@@ -1,0 +1,185 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All pure DataFrame compositions — explode/groupBy/join — so Catalyst
+plans them and they scale horizontally. No Python UDFs anywhere in the
+dedup path.
+
+100 TB design
+-------------
+- exact: one shuffle on the 128-bit content hash (never on the text
+  itself — project the hash first so only 16 bytes cross the wire).
+- MinHash+LSH: explode(tokens) is the expensive step — O(total tokens)
+  rows, but each row is (doc_id, token-hash) only. Signatures are one
+  hash-aggregate; banding turns the quadratic all-pairs problem into
+  equi-joins on (band_idx, band_hash) buckets. Bucket skew (a band
+  value shared by millions of docs) is the classic failure: cap bucket
+  size (``max_bucket``) and let AQE split stragglers.
+- verification: exact Jaccard only on LSH candidates — the candidate
+  set is tiny relative to n², so the token-set join is cheap.
+
+Cross-engine note: hashes use md5 (lexicographic MIN over hex strings
+acts as the random permutation), which both Spark and DuckDB
+implement identically — so even the MinHash pipeline is
+oracle-checkable. Swap ``xxhash64`` in for md5 at production scale
+(4-8x faster, no crypto needed); plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.functions.text import normalize_text
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct pairs; empty tokens dropped (split of a
+    trailing-space text yields '' both in Spark and DuckDB)."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-free dedup: md5(normalized text) → keep min id per
+    hash. Returns (content_hash, keep_id, n_dups)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): sig_i = MIN(md5(i || '|' || token)).
+
+    One explode + one hash-aggregate (all min()s computed map-side
+    partially). 8 permutations × 4-band layout ≈ Jaccard>0.5 recall;
+    tune num_hashes/bands for the target similarity threshold.
+    """
+    tok = tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band value →
+    distinct candidate (id_a < id_b) pairs."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact token-set Jaccard for (id_a, id_b) pairs; when ``pairs``
+    is None, all pairs (quadratic — only for bounded subsets/tests).
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed from exact integer
+    counts — engine-portable double division.
+    """
+    tok = tokens(df, id_col, text_col)
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(F.col(id_col).alias("id_a"), "tok")
+    b = tok.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-token xxhash64, signed bit votes,
+    majority per bit → packed integer. (id, simhash).
+
+    xxhash64 keeps this JVM-fast; not oracle-expressible (DuckDB has no
+    xxhash64) → registered rows-only.
+    """
+    tok = tokens(df, id_col, text_col)
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    packed = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed + bit
+    return voted.select(F.col(id_col), packed.alias("simhash"))

@@ -1,0 +1,101 @@
+"""Join operators: referential-integrity semi/anti joins + helpers.
+
+reference: glue_jobs/order_items_etl.py:100-104 — order_items kept only
+when ``order_id`` exists in orders AND ``product_id`` exists in
+products (left-semi x2); FK-violating rows are silently dropped (the
+docs demand an error log the code never writes —
+docs/full_implementation_guide.md:21,151 — so ``fk_violations``
+supplies the missing left-anti complement feeding the quarantine sink).
+
+100 TB notes
+------------
+- The reference builds the FK key sets with ``select(k).distinct()``
+  (order_items_etl.py:46,56). We keep that projection (key column only
+  crosses the wire) and mark the dim side broadcastable when small —
+  the docs claim broadcast dimension lookups
+  (docs/full_implementation_guide.md:154) but the code never hints it.
+- A semi-join against a 100 TB fact table with a small dim broadcasts:
+  zero shuffle of the fact side. When the dim exceeds the broadcast
+  threshold Catalyst falls back to shuffle-hash/sort-merge and AQE
+  splits skewed partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _prep_dim(dim: DataFrame, on: Sequence[str], broadcast_dim: bool) -> DataFrame:
+    keys = dim.select(*on).distinct()
+    return F.broadcast(keys) if broadcast_dim else keys
+
+
+def semi_join(
+    df: DataFrame, dim: DataFrame, on: Sequence[str] | str, broadcast_dim: bool = True
+) -> DataFrame:
+    """Rows of ``df`` whose key exists in ``dim`` (EXISTS).
+
+    reference: order_items_etl.py:100-104.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    return df.join(_prep_dim(dim, on, broadcast_dim), on=on, how="left_semi")
+
+
+def anti_join(
+    df: DataFrame, dim: DataFrame, on: Sequence[str] | str, broadcast_dim: bool = True
+) -> DataFrame:
+    """Rows of ``df`` whose key is absent from ``dim`` (NOT EXISTS).
+
+    The complement the reference silently drops (SURVEY.md §2.4 J3).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    return df.join(_prep_dim(dim, on, broadcast_dim), on=on, how="left_anti")
+
+
+def referential_filter(
+    df: DataFrame, fks: dict[str, tuple[DataFrame, str]], broadcast_dim: bool = True
+) -> DataFrame:
+    """Apply every FK semi-join in sequence.
+
+    ``fks`` maps a column of ``df`` to ``(parent_df, parent_key)``.
+    reference: order_items_etl.py:100-104 (two chained semi-joins).
+    """
+    out = df
+    for child_col, (parent, parent_key) in fks.items():
+        keys = parent.select(F.col(parent_key).alias(child_col)).distinct()
+        if broadcast_dim:
+            keys = F.broadcast(keys)
+        out = out.join(keys, on=child_col, how="left_semi")
+    return out
+
+
+def fk_violations(
+    df: DataFrame, fks: dict[str, tuple[DataFrame, str]], broadcast_dim: bool = True
+) -> DataFrame:
+    """Rows violating ANY of the FK constraints, tagged with the first
+    violated constraint in ``fk_violation`` (feeds the quarantine sink;
+    fixes SURVEY.md §2.13's dropped-invalid-rows gap)."""
+    out = df
+    for child_col, (parent, parent_key) in fks.items():
+        out = semi_join(out, parent.select(F.col(parent_key).alias(child_col)),
+                        child_col, broadcast_dim)
+    # violations = original minus fully-valid, tagged per constraint
+    parts = []
+    remaining = df
+    for child_col, (parent, parent_key) in fks.items():
+        bad = anti_join(
+            remaining, parent.select(F.col(parent_key).alias(child_col)),
+            child_col, broadcast_dim,
+        ).withColumn("fk_violation", F.lit(child_col))
+        parts.append(bad)
+        remaining = semi_join(
+            remaining, parent.select(F.col(parent_key).alias(child_col)),
+            child_col, broadcast_dim,
+        )
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result

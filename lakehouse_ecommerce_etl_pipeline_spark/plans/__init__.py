@@ -1,0 +1,20 @@
+"""The registered query corpus (driver contract).
+
+Importing this package populates the registry: every operator from
+SURVEY.md §2 (and the extension tiers) registers a named Spark
+callable plus — when SQL-expressible — a DuckDB oracle string.
+``__spark_entry__.py`` re-exports ``queries()`` / ``oracle_sql()``.
+"""
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import (  # noqa: F401
+    oracle_sql,
+    queries,
+    REGISTRY,
+)
+
+# populate the registry (import order = SURVEY.md tier order)
+from lakehouse_ecommerce_etl_pipeline_spark.plans import parity  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import lakehouse  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402

@@ -1,0 +1,374 @@
+"""LLM-data-pipeline queries (BASELINE.json north star): dedup,
+similarity search, text analysis, multimodal plumbing — over the
+``documents`` / ``embeddings`` tables.
+
+Oracle strategy: even the MinHash/LSH pipeline is oracle-checked —
+md5-based permutations are computable in DuckDB (lexicographic MIN over
+hex digests), so the full signature → banding → candidate-pair chain
+has ANSI SQL twins, generated programmatically below to guarantee the
+formulas match. xxhash64-based ops (SimHash) and IVF internals are
+rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.functions import text as txt
+from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
+    extract_image_metadata,
+    synthetic_blobs,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.llm.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+# SQL fragments mirroring functions/text.py exactly ------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_T = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+_NTOK = (
+    f"CASE WHEN length({_T}) = 0 THEN 0 "
+    f"ELSE length({_T}) - length(replace({_T}, ' ', '')) + 1 END"
+)
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def _sql_lang_scores() -> tuple[str, list[str]]:
+    """(CTE select-list, lang names) mirroring text.lang_scores."""
+    exprs = []
+    langs = sorted(txt.LANG_MARKERS)
+    pad = f"' ' || {_NORM} || ' '"
+    for lang in langs:
+        terms = []
+        for m in txt.LANG_MARKERS[lang]:
+            token = f" {m} "
+            terms.append(
+                f"CAST((length({pad}) - length(replace({pad}, '{token}', '')))"
+                f" / {len(token)} AS INTEGER)"
+            )
+        exprs.append("(" + " + ".join(terms) + f") AS s_{lang}")
+    return ",\n       ".join(exprs), langs
+
+
+def _sql_lang_id() -> str:
+    scores_sql, langs = _sql_lang_scores()
+    total = " + ".join(f"s_{lg}" for lg in langs)
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = f"CASE WHEN ({total}) = 0 THEN 'und' " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+       {scores_sql}
+      FROM documents
+    )
+    SELECT doc_id, lang, {case} AS lang_pred FROM scores
+    """
+
+
+# token CTE shared by the minhash/jaccard oracles (mirrors llm.dedup.tokens)
+def _tok_cte(where: str = "") -> str:
+    return f"""
+    tok0 AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents {where}
+    ),
+    tok AS (SELECT DISTINCT doc_id, tok FROM tok0 WHERE tok <> '')
+    """
+
+
+_NUM_HASHES = 8
+_ROWS_PER_BAND = 2
+
+_SIG_SELECT = ",\n           ".join(
+    f"MIN(md5('{i}|' || tok)) AS sig_{i}" for i in range(_NUM_HASHES)
+)
+
+_BANDS_UNION = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(sig_{b * _ROWS_PER_BAND} || '|' || sig_{b * _ROWS_PER_BAND + 1}) "
+    f"AS band_hash FROM sig"
+    for b in range(_NUM_HASHES // _ROWS_PER_BAND)
+)
+
+
+# ------------------------------------------------------- text analysis
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           {_NTOK} AS n_tokens,
+           CASE WHEN length({_T}) = 0 THEN 0.0
+                ELSE CAST(length(replace({_T}, ' ', '')) AS DOUBLE)
+                     / CAST({_NTOK} AS DOUBLE) END AS avg_token_len,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text)
+                     - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Text quality metrics: char/token counts, mean token length,
+    punctuation ratio — all codegen'd length/replace arithmetic
+    (functions/text.py), no UDFs."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        txt.n_chars("text").alias("n_chars"),
+        txt.n_tokens("text").alias("n_tokens"),
+        txt.avg_token_len("text").alias("avg_token_len"),
+        txt.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(
+             CAST(length(text) BETWEEN 20 AND 100000 AS INTEGER)
+           + CAST((CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text)
+                     - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE) END) < 0.2 AS INTEGER)
+           + CAST((CASE WHEN length({_T}) = 0 THEN 0.0
+                ELSE CAST(length(replace({_T}, ' ', '')) AS DOUBLE)
+                     / CAST({_NTOK} AS DOUBLE) END) BETWEEN 2.0 AND 12.0 AS INTEGER)
+             AS DOUBLE) / 3.0 AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Composite quality score (pre-training corpus filter signal)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", txt.quality_score("text").alias("quality")
+    )
+
+
+@register("q_lang_id", oracle=_sql_lang_id())
+def q_lang_id(spark, sf_dir):
+    """Marker-lexicon language ID with deterministic argmax — the
+    oracle SQL is generated from the same lexicon so formulas cannot
+    drift."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", txt.lang_id("text").alias("lang_pred")
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+)
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint over normalized text (functions/text.py)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", txt.fingerprint("text").alias("fp")
+    )
+
+
+# ------------------------------------------------------------- dedup
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY md5({_NORM})
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: 16-byte content hash shuffles, never the text."""
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_minhash_signatures",
+    oracle=f"""
+    WITH {_tok_cte()}
+    SELECT doc_id, {_SIG_SELECT} FROM tok GROUP BY doc_id
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 md5 permutations, lexicographic MIN) —
+    one explode + one partial-aggregable hash aggregate."""
+    return minhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
+    )
+
+
+@register(
+    "q_lsh_candidates",
+    oracle=f"""
+    WITH {_tok_cte()},
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM tok GROUP BY doc_id),
+    bands AS (
+      {_BANDS_UNION}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidates(spark, sf_dir):
+    """LSH banding (4 bands × 2 rows): candidate pairs via equi-join on
+    (band_idx, band_hash) — the quadratic-to-linear trick."""
+    sigs = minhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+
+
+@register(
+    "q_jaccard_pairs",
+    oracle=f"""
+    WITH {_tok_cte("WHERE doc_id < 20")},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+)
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard (bounded subset — the verification
+    kernel LSH candidates feed into at scale)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return jaccard_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "q_near_dup_pairs",
+    oracle=f"""
+    WITH {_tok_cte()},
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM tok GROUP BY doc_id),
+    bands AS (
+      {_BANDS_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6)
+             AS jaccard
+    FROM cand c
+    JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    """,
+)
+def q_near_dup_pairs(spark, sf_dir):
+    """Full near-dup pipeline: MinHash → LSH candidates → exact
+    Jaccard verification ≥ 0.5 — the production dedup chain."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+    jac = jaccard_pairs(docs, "doc_id", "text", pairs=cand)
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+@register("q_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (JVM xxhash64 bit votes)."""
+    return simhash(load(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+# ------------------------------------------------------ similarity
+
+def _query_vec(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+
+@register(
+    "q_similarity_topk",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6)
+             AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10 — exact ANN baseline; JVM-side
+    zip_with/aggregate fold, broadcast query, TakeOrderedAndProject."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "q_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(
+            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.8)."""
+    return cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), 0.8)
+
+
+@register("q_ann_ivf")  # rows-only: approximate by construction
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-10 (coarse quantize → probe 2 of 8
+    buckets) — the 100 TB scale path for similarity search."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_centroids=8, n_probe=2)
+
+
+# ------------------------------------------------------ multimodal
+
+@register("q_multimodal_meta")  # rows-only: binary plumbing, no SQL twin
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata extraction via Arrow-batched mapInPandas
+    (decode kernel stubbed per runtime constraints — llm/multimodal.py)."""
+    blobs = synthetic_blobs(load(spark, sf_dir, "documents"))
+    return extract_image_metadata(blobs, fake=True)

@@ -1,0 +1,90 @@
+"""MERGE upsert — the reference's core idempotency primitive.
+
+reference: glue_jobs/orders_etl.py:82-91 (merge on ``order_id`` with
+``whenMatchedUpdateAll / whenNotMatchedInsertAll``), identical shape in
+order_items_etl.py:109-118 (key ``id``) and product_etl.py:72-81 (key
+``product_id``).
+
+Semantics (last-write-wins upsert):
+  result = source ∪ (target ⟕̸ source)          -- anti-join + union
+
+``merge_frames`` is the pure-DataFrame relational core (what the
+oracle checks); ``merge_upsert`` is the storage operator that applies
+it to a managed table — dispatching to real ``DeltaTable.merge`` when
+delta-spark is present, else computing the merged snapshot and
+atomically publishing it (sources/table.py).
+
+Invariant (load-bearing, SURVEY.md §7 hard-part 2): the source must be
+unique on the merge keys — Delta MERGE throws on duplicate source
+matches, and the reference guarantees this by deduplicating first
+(orders_etl.py:74). ``merge_frames`` asserts the same contract via an
+optional runtime check.
+
+100 TB: Delta MERGE rewrites only files containing matched keys (file
+skipping by min/max stats); the fallback rewrites the table, which is
+correct but O(table) — acceptable single-node, noted as the reason the
+Delta path exists. The anti-join shuffles on the merge key; with a
+date-partitioned target and date-bounded sources, partition pruning
+bounds the rewrite set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.session import delta_available
+from lakehouse_ecommerce_etl_pipeline_spark.sources import table as managed
+
+
+def merge_frames(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Relational MERGE result: every source row (update-all ∪
+    insert-all) + target rows whose key has no source match."""
+    cols = target.columns
+    kept = target.join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return kept.select(*cols).unionByName(source.select(*cols))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Upsert ``source`` into the managed table at ``path``; initial
+    write if the table doesn't exist yet (reference: merge-or-initial
+    branch, orders_etl.py:82-96)."""
+    if not managed.exists(path):
+        managed.write(spark, source, path, partition_by=list(partition_by or []))
+        return
+    if delta_available():
+        from delta.tables import DeltaTable  # type: ignore
+
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    target = managed.read(spark, path)
+    merged = merge_frames(target, source, keys)
+    managed.write(spark, merged, path, partition_by=list(partition_by or []))
+
+
+def assert_unique_keys(df: DataFrame, keys: Sequence[str]) -> None:
+    """Guard for the MERGE source-uniqueness contract (raises on dupes).
+    An action — use in tests/pipeline, not in lazy plans."""
+    dupes = (
+        df.groupBy(*[F.col(k) for k in keys]).count().filter(F.col("count") > 1)
+    )
+    if dupes.limit(1).count() > 0:
+        raise ValueError(f"MERGE source has duplicate keys on {list(keys)}")

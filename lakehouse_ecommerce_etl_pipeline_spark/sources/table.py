@@ -1,0 +1,101 @@
+"""Managed lakehouse tables: Delta when available, versioned parquet
+otherwise.
+
+reference: the processed zone is Delta tables (glue_jobs/orders_etl.py:
+21-22,82-96). delta-spark is not in this runtime, so the fallback is a
+minimal versioned-parquet table that preserves the two Delta properties
+the reference actually relies on: (a) atomic replace — readers never
+see a partial write; (b) MERGE-able snapshots (sinks/merge.py).
+
+Layout of a managed table directory::
+
+    <path>/_v=<n>/part-*.parquet   # immutable snapshot n
+    <path>/_LATEST                 # text file holding "<n>"; atomic rename
+
+A writer stages ``_LATEST.tmp`` then ``os.replace``s it over
+``_LATEST`` — the commit point, same single-atomic-swap shape as
+Delta's ``_delta_log`` JSON commit (one winner per version).
+
+100 TB: snapshots are plain partitioned parquet — all scan
+optimizations apply. This single-writer scheme is a stand-in for local
+FS; on S3 with many writers use real Delta (the code path is gated on
+``delta_available()``), which this module dispatches to when present.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_ecommerce_etl_pipeline_spark.session import delta_available
+
+_LATEST = "_LATEST"
+
+
+def _latest_version(path: str) -> int | None:
+    marker = os.path.join(path, _LATEST)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return int(f.read().strip())
+
+
+def exists(path: str) -> bool:
+    """Does a managed table exist at ``path``?
+
+    reference: DeltaTable.isDeltaTable checks in orders_etl.py:82-85
+    (merge-or-initial-write branch).
+    """
+    if delta_available():
+        from delta.tables import DeltaTable  # type: ignore
+
+        spark = SparkSession.getActiveSession()
+        return DeltaTable.isDeltaTable(spark, path)
+    return _latest_version(path) is not None
+
+
+def snapshot_dir(path: str, version: int) -> str:
+    return os.path.join(path, f"_v={version}")
+
+
+def read(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the current snapshot (reference: order_items_etl.py:45,53-55
+    — Delta scans of orders/products for FK lookups)."""
+    if delta_available():
+        return spark.read.format("delta").load(path)
+    v = _latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no managed table at {path}")
+    return spark.read.parquet(snapshot_dir(path, v))
+
+
+def write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Write a new snapshot and atomically publish it.
+
+    reference: orders_etl.py:93-96 (initial partitioned Delta write).
+    ``maxRecordsPerFile`` bounds file sizes at scale (small-file
+    problem's inverse); partition columns mirror the reference
+    (date / department).
+    """
+    if delta_available():
+        w = df.write.format("delta").mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+        return
+    v = (_latest_version(path) or 0) + 1
+    w = df.write.mode("overwrite").option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(snapshot_dir(path, v))
+    tmp = os.path.join(path, _LATEST + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(path, _LATEST))

@@ -1,0 +1,120 @@
+"""Streaming windowed aggregation + dedup over the events stream.
+
+100 TB / production notes: watermarks bound state (late events beyond
+the watermark are dropped); ``dropDuplicatesWithinWatermark`` gives
+at-least-once sources exactly-once semantics with bounded state;
+``availableNow`` turns the same query into an incremental batch drain
+(the Trigger.Once successor) — one query definition serves both
+continuous and catch-up modes.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    normalize_nanos_timestamps,
+)
+
+_SUM_DECIMAL = "decimal(30,8)"
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file stream source wants a directory; stage a symlink dir
+    when handed a single parquet file."""
+    if os.path.isdir(path):
+        return path
+    d = os.path.join(
+        "/tmp",
+        "lakehouse_spark_stream",
+        os.path.basename(os.path.dirname(path)),
+        os.path.basename(path).replace(".", "_"),
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def tumbling_agg_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Run a tumbling-window count/sum aggregation as a real
+    Structured Streaming query over a parquet directory, drained
+    synchronously with availableNow, returning the final result.
+
+    The plan is the exact streaming twin of the batch
+    ``q_events_window_agg`` (plans/analytics.py) — same window(),
+    same decimal-exact sum — so the batch oracle checks the stream.
+    """
+    schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_stream_dir(parquet_path))
+    )
+    stream = normalize_nanos_timestamps(stream, (ts_col,))
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_SUM_DECIMAL)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    parquet_path: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` on the key set."""
+    schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_stream_dir(parquet_path))
+    )
+    stream = normalize_nanos_timestamps(stream, (ts_col,))
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
+over the same parquet tables; compare row count, column names, and
+order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+import datetime as _dt
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda x: pd.Timestamp(x)
+                if isinstance(x, (_dt.date, _dt.datetime))
+                else (tuple(x) if isinstance(x, (list, tuple)) else x)
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def frames_equal(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(sp.columns) != sorted(du.columns):
+        return False, f"columns spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    if len(sp) != len(du):
+        return False, f"rowcount spark={len(sp)} duck={len(du)}"
+    a, b = normalize(sp), normalize(du)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if not values_equal(x, y):
+                return False, f"col {c} row {i}: spark={x!r} duck={y!r}"
+    return True, ""
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from lakehouse_ecommerce_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sp_df = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(sp_df)} rows ({dt:.1f}s) [no oracle]")
+            continue
+        try:
+            du_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        ok, why = frames_equal(sp_df, du_df)
+        if ok:
+            n_pass += 1
+            print(f"PASS  {name}: {len(sp_df)} rows ({dt:.1f}s)")
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: {why}")
+    print(
+        f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, {n_fail} fail"
+        + (f" -> {failures}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
