@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full compute,
+no driver-side result transfer — the fair way to time a distributed
+plan). Timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakehouse_ecommerce_etl_pipeline_spark import plans
+from lakehouse_ecommerce_etl_pipeline_spark.session import get_spark
+
+# Headline set: one per operator family, scale-relevant shapes.
+HEADLINE = [
+    "q_groupby_agg",        # TPC-H Q1: scan + hash agg
+    "q_star_join",          # broadcast star join + agg
+    "q_join_leftsemi",      # FK semi join
+    "q_merge_upsert",       # MERGE relational core (anti join + union)
+    "q_dedup_by_key",       # window dedup (shuffle + sort)
+    "q_window_rank",        # ranking window
+    "q_topk",               # TakeOrderedAndProject
+    "q_events_window_agg",  # time-bucket agg
+    "q_json_extract",       # JSON projection
+    "q_sessionize",         # lag + cumsum session assignment
+    "q_dedup_exact",        # content-hash dedup (documents)
+    "q_minhash_signatures", # explode + 8-way min agg
+    "q_text_stats",         # codegen string metrics
+    "q_similarity_topk",    # brute-force cosine top-k
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf = float(sf_tag)
+    except ValueError:
+        sf = sf_tag
+
+    spark = get_spark("bench")
+    qs = plans.queries()
+
+    # JVM/codegen warm-up on a trivial plan (not timed)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,16 +61,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig_0..sig_{n-1}): sig_i = MIN(md5(i || '|' || token)).
 
-    One explode + one hash-aggregate (all min()s computed map-side
-    partially). 8 permutations × 4-band layout ≈ Jaccard>0.5 recall;
-    tune num_hashes/bands for the target similarity threshold.
+    Shape: explode the per-token hash family to (id, i, h) rows, min
+    per (id, i), pivot i back to columns. An equivalent single
+    hash-aggregate with ``num_hashes`` MIN columns generates huge
+    codegen (measured 19-35 s of first-run JIT at 8 hashes); the long
+    layout keeps every aggregate trivial — partial min() still
+    combines map-side, so shuffle volume is ~num_hashes rows of
+    (id, i, 32B) per doc either way. 8 permutations × 4-band layout ≈
+    Jaccard>0.5 recall; tune num_hashes/bands for the threshold.
     """
     tok = tokens(df, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return tok.groupBy(id_col).agg(*aggs)
+    hashed = tok.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.md5(F.concat(F.lit(f"{i}|"), F.col("tok"))).alias("h"),
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "x.i", "x.h")
+    minh = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
+    sig = minh.groupBy(id_col).pivot("i", list(range(num_hashes))).agg(F.first("mh"))
+    return sig.select(
+        id_col, *[F.col(str(i)).alias(f"sig_{i}") for i in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(

@@ -21,7 +21,11 @@ DEFAULT_REASON = "Missing required fields"  # product_etl.py:66
 
 
 def with_reason(df: DataFrame, reason: str = DEFAULT_REASON) -> DataFrame:
-    """Tag rejects (reference: lit column, product_etl.py:65-67)."""
+    """Tag rejects (reference: lit column, product_etl.py:65-67).
+    Rows already carrying a ``rejection_reason`` keep it — upstream
+    operators (FK checks) tag with finer-grained reasons."""
+    if "rejection_reason" in df.columns:
+        return df
     return df.withColumn("rejection_reason", F.lit(reason))
 
 

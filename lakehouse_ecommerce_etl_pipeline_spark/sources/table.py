@@ -24,13 +24,16 @@ FS; on S3 with many writers use real Delta (the code path is gated on
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from lakehouse_ecommerce_etl_pipeline_spark.session import delta_available
 
 _LATEST = "_LATEST"
+_SCHEMA = "_SCHEMA.json"
 
 
 def _latest_version(path: str) -> int | None:
@@ -67,7 +70,15 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     v = _latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no managed table at {path}")
-    return spark.read.parquet(snapshot_dir(path, v))
+    snap = snapshot_dir(path, v)
+    # schema sidecar: lets empty snapshots (a partitioned write of zero
+    # rows emits no parquet files) read back as empty typed frames
+    schema_file = os.path.join(snap, _SCHEMA)
+    if os.path.exists(schema_file):
+        with open(schema_file) as f:
+            schema = T.StructType.fromJson(json.load(f))
+        return spark.read.schema(schema).parquet(snap)
+    return spark.read.parquet(snap)
 
 
 def write(
@@ -94,7 +105,10 @@ def write(
     w = df.write.mode("overwrite").option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(snapshot_dir(path, v))
+    snap = snapshot_dir(path, v)
+    w.parquet(snap)
+    with open(os.path.join(snap, _SCHEMA), "w") as f:
+        json.dump(df.schema.jsonValue(), f)
     tmp = os.path.join(path, _LATEST + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(v))

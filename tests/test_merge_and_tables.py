@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_ecommerce_etl_pipeline_spark.sinks.merge import (
+    assert_unique_keys,
+    merge_frames,
+    merge_upsert,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.sources import table as managed
+
+
+def test_merge_frames_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [("k1", 1), ("k2", 2), ("k3", 3)], "k string, v int"
+    )
+    source = spark.createDataFrame([("k2", 20), ("k9", 90)], "k string, v int")
+    out = {r.k: r.v for r in merge_frames(target, source, ["k"]).collect()}
+    assert out == {"k1": 1, "k2": 20, "k3": 3, "k9": 90}
+
+
+def test_merge_upsert_idempotent_rerun(spark, tmp_path):
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v int")
+    source = spark.createDataFrame([("k2", 20), ("k3", 30)], "k string, v int")
+    merge_upsert(spark, path, target, ["k"])  # initial write branch
+    merge_upsert(spark, path, source, ["k"])
+    once = sorted((r.k, r.v) for r in managed.read(spark, path).collect())
+    merge_upsert(spark, path, source, ["k"])  # re-run: no change
+    twice = sorted((r.k, r.v) for r in managed.read(spark, path).collect())
+    assert once == twice == [("k1", 1), ("k2", 20), ("k3", 30)]
+
+
+def test_managed_table_atomic_versions(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    assert not managed.exists(path)
+    df1 = spark.createDataFrame([(1,)], "v int")
+    managed.write(spark, df1, path)
+    assert managed.exists(path)
+    assert managed.read(spark, path).count() == 1
+    df2 = spark.createDataFrame([(1,), (2,)], "v int")
+    managed.write(spark, df2, path)
+    assert managed.read(spark, path).count() == 2  # new snapshot published
+
+
+def test_assert_unique_keys_raises_on_dupes(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        assert_unique_keys(df, ["k"])
+    assert_unique_keys(df.limit(1), ["k"])  # unique → no raise

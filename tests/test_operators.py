@@ -1,0 +1,121 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.operators.dedup import (
+    dedup_arbitrary,
+    dedup_deterministic,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.operators.joins import (
+    anti_join,
+    fk_violations,
+    referential_filter,
+    semi_join,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.operators.setops import (
+    except_distinct,
+    union_all,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.operators.validate import (
+    split_valid_invalid,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.operators.windows import (
+    sessionize,
+    top_k_per_group,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.functions.strings import (
+    basename,
+    is_ingestible_path,
+    path_segment,
+)
+
+
+def test_split_valid_invalid_partitions_exactly(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", None), (None, None)], "k string, v int"
+    )
+    valid, invalid = split_valid_invalid(df, ["k", "v"])
+    assert valid.count() == 1
+    assert invalid.count() == 3
+    assert valid.union(invalid).count() == df.count()
+
+
+def test_dedup_arbitrary_keeps_one_per_key(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)], "k string, v int")
+    assert dedup_arbitrary(df, ["k"]).count() == 2
+
+
+def test_dedup_deterministic_keeps_first_by_order(spark):
+    df = spark.createDataFrame([("a", 2), ("a", 1), ("b", 5)], "k string, v int")
+    rows = {r.k: r.v for r in dedup_deterministic(df, ["k"], ["v"]).collect()}
+    assert rows == {"a": 1, "b": 5}
+
+
+def test_semi_anti_join_partition(spark):
+    facts = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, v string")
+    dim = spark.createDataFrame([(1,), (3,)], "k int")
+    assert {r.k for r in semi_join(facts, dim, "k").collect()} == {1, 3}
+    assert {r.k for r in anti_join(facts, dim, "k").collect()} == {2}
+
+
+def test_referential_filter_and_violations(spark):
+    items = spark.createDataFrame(
+        [("i1", "o1", "p1"), ("i2", "o9", "p1"), ("i3", "o1", "p9")],
+        "id string, order_id string, product_id string",
+    )
+    orders = spark.createDataFrame([("o1",)], "order_id string")
+    products = spark.createDataFrame([("p1",)], "product_id string")
+    fks = {"order_id": (orders, "order_id"), "product_id": (products, "product_id")}
+    assert [r.id for r in referential_filter(items, fks).collect()] == ["i1"]
+    bad = {(r.id, r.fk_violation) for r in fk_violations(items, fks).collect()}
+    assert bad == {("i2", "order_id"), ("i3", "product_id")}
+
+
+def test_except_distinct_matches_reference_subtract(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], "v int")
+    b = spark.createDataFrame([(2,)], "v int")
+    assert [r.v for r in except_distinct(a, b).collect()] == [1]  # DISTINCT semantics
+
+
+def test_union_all_by_name_handles_column_order(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, k int")
+    rows = {(r.k, r.v) for r in union_all(a, b).collect()}
+    assert rows == {(1, "x"), (2, "y")}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g1", 3), ("g2", 9)], "g string, v int"
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("g1", 2), ("g1", 3), ("g2", 9)]
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, "2024-01-01 00:00:00"),
+            ("u1", 2, "2024-01-01 00:10:00"),
+            ("u1", 3, "2024-01-01 01:10:00"),  # > 30 min gap → new session
+        ],
+        "user_id string, event_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_id: r.session_id for r in
+           sessionize(df, "user_id", "ts", 1800, ["event_id"]).collect()}
+    assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_routing_predicate_and_path_functions(spark):
+    df = spark.createDataFrame(
+        [("raw/orders/a.csv",), ("raw/orders/b.xlsx",), ("tmp/x.csv",), ("raw/n.txt",)],
+        "path string",
+    )
+    kept = df.filter(is_ingestible_path("path"))
+    assert kept.count() == 2
+    seg = kept.select(path_segment("path", 1).alias("ds"), basename("path").alias("f"))
+    assert {(r.ds, r.f) for r in seg.collect()} == {
+        ("orders", "a.csv"),
+        ("orders", "b.xlsx"),
+    }

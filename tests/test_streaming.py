@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+    stream_dedup,
+    tumbling_agg_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_batch_parity_tumbling_agg(spark):
+    """The availableNow stream must produce exactly the batch plan's
+    result (stream/batch parity is the guarantee)."""
+    from pyspark.sql import functions as F
+
+    streamed = tumbling_agg_stream(spark, f"{SF}/events.parquet")
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
+
+
+def test_stream_dedup_preserves_distinct_keys(spark):
+    out = stream_dedup(spark, f"{SF}/events.parquet", ["event_id"])
+    n_distinct = load(spark, SF, "events").select("event_id").distinct().count()
+    assert out.count() == n_distinct
