@@ -55,6 +55,56 @@ def anti_join(
     return df.join(_prep_dim(dim, on, broadcast_dim), on=on, how="left_anti")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach ``value_cols``
+    from the latest right row with ``right.ts <= left.ts`` per key.
+
+    Spark has no native ASOF join; this is the union+window
+    composition: tag both sides, union, sort per key by (ts, side)
+    with right rows first at equal timestamps (giving <= semantics),
+    then forward-fill the right values with last(ignorenulls) and keep
+    only left rows.
+
+    100 TB: one shuffle + one per-key sort — the same cost as a window
+    function, no range-explosion. Skewed keys serialize per key (the
+    usual window caveat); bucket by (key, coarse time range) first
+    when a single key's history exceeds one task. If multiple right
+    rows share (key, ts), pre-aggregate the right side to one row per
+    (key, ts) for determinism.
+    """
+    from pyspark.sql import Window
+
+    vtypes = dict(right.dtypes)
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        unioned = unioned.withColumn(
+            f"{c}{suffix}",
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).cast(vtypes[c]),
+        )
+    return unioned.filter(F.col("__side") == 1).select(
+        *left.columns, *[f"{c}{suffix}" for c in value_cols]
+    )
+
+
 def referential_filter(
     df: DataFrame, fks: dict[str, tuple[DataFrame, str]], broadcast_dim: bool = True
 ) -> DataFrame:

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Plan-quality audit: print condensed physical plans for the headline
+queries so regressions in pushdown/broadcast/shuffle shape are visible
+at review time.
+
+Usage: python scripts/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEY_MARKERS = [
+    "Scan parquet",
+    "PushedFilters",
+    "ReadSchema",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "Exchange",
+    "HashAggregate",
+    "Window",
+    "WindowGroupLimit",
+    "TakeOrderedAndProject",
+    "BroadcastExchange",
+]
+
+DEFAULT_QUERIES = [
+    "q_scan_parquet",
+    "q_groupby_agg",
+    "q_star_join",
+    "q_join_leftsemi",
+    "q_topk",
+    "q_dedup_by_key",
+    "q_merge_upsert",
+    "q_similarity_topk",
+    "q_minhash_signatures",
+    "q_asof_join",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from lakehouse_ecommerce_etl_pipeline_spark import plans
+    from lakehouse_ecommerce_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    qs = plans.queries()
+    for name in names:
+        print(f"==== {name}")
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        for line in buf.getvalue().splitlines():
+            if any(k in line for k in KEY_MARKERS):
+                print(" ", line.strip()[:160])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
