@@ -32,16 +32,20 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.functions.text import normalize_text
 
 
-def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) distinct pairs; empty tokens dropped (split of a
-    trailing-space text yields '' both in Spark and DuckDB)."""
-    return (
-        df.select(
-            F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
-        )
-        .filter(F.col("tok") != "")
-        .distinct()
-    )
+def tokens(
+    df: DataFrame, id_col: str, text_col: str, distinct: bool = True
+) -> DataFrame:
+    """(id, token) pairs; empty tokens dropped (split of a
+    trailing-space text yields '' both in Spark and DuckDB).
+
+    ``distinct=True`` gives set semantics (required for Jaccard).
+    Operators that are duplicate-insensitive (MinHash MIN) pass
+    ``distinct=False`` and skip a full shuffle of the token stream.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return tok.distinct() if distinct else tok
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -69,8 +73,13 @@ def minhash_signatures(
     combines map-side, so shuffle volume is ~num_hashes rows of
     (id, i, 32B) per doc either way. 8 permutations × 4-band layout ≈
     Jaccard>0.5 recall; tune num_hashes/bands for the threshold.
+    MIN is duplicate-insensitive, so ``distinct`` is semantically
+    optional here — but distinct-first partial-aggregates map-side and
+    shrinks the ×num_hashes fan-out on duplicate-heavy text (measured
+    faster at sf0.1); pass distinct=False for shingled input where
+    near-unique tokens make the dedup a wasted shuffle.
     """
-    tok = tokens(df, id_col, text_col)
+    tok = tokens(df, id_col, text_col, distinct=True)
     hashed = tok.select(
         id_col,
         F.explode(

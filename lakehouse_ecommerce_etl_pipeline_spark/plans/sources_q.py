@@ -1,0 +1,105 @@
+"""Source-format coverage queries: ORC and JSON-lines roundtrips, and
+the vectorized Python (Arrow) surface — pandas_udf / applyInPandas —
+exercised with oracle-checkable semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, work_dir
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+
+@register("q_scan_orc", oracle="SELECT * FROM orders")
+def q_scan_orc(spark, sf_dir):
+    """ORC source roundtrip — same columnar pushdown/pruning machinery
+    as parquet (Spark-native reader)."""
+    out = os.path.join(work_dir(sf_dir, "orc"), "orders")
+    load(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "q_scan_json",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def q_scan_json(spark, sf_dir):
+    """JSON-lines source with declared schema (no inference pass).
+    Doubles survive exactly: Spark writes shortest-roundtrip reprs."""
+    out = os.path.join(work_dir(sf_dir, "json"), "orders")
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").json(out)
+    return spark.read.schema(JSON_SCHEMA).json(out)
+
+
+_NTOK_SQL = (
+    "CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) = 0 THEN 0 "
+    "ELSE length(regexp_replace(trim(text), '\\s+', ' ', 'g')) "
+    "   - length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '')) + 1 "
+    "END"
+)
+
+
+@register(
+    "q_pandas_udf_tokens",
+    oracle=f"SELECT doc_id, CAST({_NTOK_SQL} AS INTEGER) AS n_tokens FROM documents",
+)
+def q_pandas_udf_tokens(spark, sf_dir):
+    """Vectorized scalar pandas_udf (Arrow batches): whitespace token
+    count via pandas str ops — Python's whitespace-run split matches
+    the SQL normalize-then-count formula exactly. Demonstrates the
+    sanctioned slow path: Arrow-batched, never row-at-a-time."""
+
+    @F.pandas_udf("int")
+    def tok_count(s: pd.Series) -> pd.Series:
+        return s.str.split().str.len().astype("int32")
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", tok_count("text").alias("n_tokens")
+    )
+
+
+@register(
+    "q_grouped_pandas_norm",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           (l_quantity - MIN(l_quantity) OVER (PARTITION BY l_returnflag))
+           / (MAX(l_quantity) OVER (PARTITION BY l_returnflag)
+              - MIN(l_quantity) OVER (PARTITION BY l_returnflag)) AS q_norm
+    FROM lineitem
+    """,
+)
+def q_grouped_pandas_norm(spark, sf_dir):
+    """Grouped-map applyInPandas: per-group min-max normalization —
+    one pandas DataFrame per group, Arrow both ways. (At 100 TB:
+    groups must fit in executor memory — pre-aggregate or use window
+    functions, which is exactly what the oracle does; the parity of
+    the two formulations is the test.)"""
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        lo, hi = q.min(), q.max()
+        return pdf.assign(q_norm=(q - lo) / (hi - lo)).drop(columns=["l_quantity"])
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        norm,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, q_norm double",
+    )

@@ -40,12 +40,23 @@ from lakehouse_ecommerce_etl_pipeline_spark.sources import table as managed
 
 
 def merge_frames(
-    target: DataFrame, source: DataFrame, keys: Sequence[str]
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Relational MERGE result: every source row (update-all ∪
-    insert-all) + target rows whose key has no source match."""
-    cols = target.columns
+    insert-all) + target rows whose key has no source match.
+
+    ``evolve_schema=True`` is the reference's *claimed* schema
+    evolution (README.md:104,117 — never wired in its code, no
+    mergeSchema anywhere): new source columns are added to the result
+    (NULL for untouched target rows), missing source columns become
+    NULL — Delta's ``mergeSchema`` semantics."""
     kept = target.join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+    if evolve_schema:
+        return kept.unionByName(source, allowMissingColumns=True)
+    cols = target.columns
     return kept.select(*cols).unionByName(source.select(*cols))
 
 
@@ -55,6 +66,7 @@ def merge_upsert(
     source: DataFrame,
     keys: Sequence[str],
     partition_by: Sequence[str] | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """Upsert ``source`` into the managed table at ``path``; initial
     write if the table doesn't exist yet (reference: merge-or-initial
@@ -65,6 +77,8 @@ def merge_upsert(
     if delta_available():
         from delta.tables import DeltaTable  # type: ignore
 
+        if evolve_schema:
+            spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         (
             DeltaTable.forPath(spark, path)
@@ -76,7 +90,7 @@ def merge_upsert(
         )
         return
     target = managed.read(spark, path)
-    merged = merge_frames(target, source, keys)
+    merged = merge_frames(target, source, keys, evolve_schema=evolve_schema)
     managed.write(spark, merged, path, partition_by=list(partition_by or []))
 
 

@@ -62,15 +62,22 @@ def snapshot_dir(path: str, version: int) -> str:
     return os.path.join(path, f"_v={version}")
 
 
-def read(spark: SparkSession, path: str) -> DataFrame:
-    """Scan the current snapshot (reference: order_items_etl.py:45,53-55
-    — Delta scans of orders/products for FK lookups)."""
+def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Scan a snapshot (reference: order_items_etl.py:45,53-55 — Delta
+    scans of orders/products for FK lookups). ``version`` gives time
+    travel — the versioned layout keeps every published snapshot, the
+    same contract as Delta's ``versionAsOf``."""
     if delta_available():
-        return spark.read.format("delta").load(path)
-    v = _latest_version(path)
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(path)
+    v = version if version is not None else _latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no managed table at {path}")
     snap = snapshot_dir(path, v)
+    if not os.path.isdir(snap):
+        raise FileNotFoundError(f"no version {v} at {path}")
     # schema sidecar: lets empty snapshots (a partitioned write of zero
     # rows emits no parquet files) read back as empty typed frames
     schema_file = os.path.join(snap, _SCHEMA)
@@ -113,3 +120,55 @@ def write(
     with open(tmp, "w") as f:
         f.write(str(v))
     os.replace(tmp, os.path.join(path, _LATEST))
+
+
+def history(path: str) -> list[int]:
+    """Published snapshot versions, oldest first (Delta: DESCRIBE
+    HISTORY analogue)."""
+    if not os.path.isdir(path):
+        return []
+    vs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("_v=") and os.path.isdir(os.path.join(path, d))
+    ]
+    return sorted(vs)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> None:
+    """Maintenance rewrite — the OPTIMIZE / Z-ORDER the reference docs
+    claim but never implement (README.md:119,
+    docs/full_implementation_guide.md:317-321).
+
+    Compaction coalesces small files; ``zorder_by`` approximates
+    Z-ordering with linear clustering (range-partition + sort within
+    partitions on the given columns) — the practical substitute that
+    gives the same min/max file-skipping benefit for the leading
+    columns. Publishes a new snapshot atomically; time travel keeps
+    the old one."""
+    df = read(spark, path)
+    if zorder_by:
+        n = target_partitions or df.rdd.getNumPartitions()
+        df = df.repartitionByRange(n, *zorder_by).sortWithinPartitions(*zorder_by)
+    elif target_partitions:
+        df = df.coalesce(target_partitions)
+    write(spark, df, path)
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (Delta VACUUM
+    analogue). Returns removed versions. Never touches the published
+    ``_LATEST`` version."""
+    import shutil
+
+    vs = history(path)
+    latest = _latest_version(path)
+    removable = [v for v in vs[:-keep_last] if v != latest] if keep_last else []
+    for v in removable:
+        shutil.rmtree(snapshot_dir(path, v), ignore_errors=True)
+    return removable

@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from lakehouse_ecommerce_etl_pipeline_spark.sources import table as managed
+from lakehouse_ecommerce_etl_pipeline_spark.streaming.ingest import stream_ingest_csv
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+    ]
+)
+
+
+def test_stream_ingest_merge_exactly_once(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+
+    pd.DataFrame({"k": ["a", "b", None], "v": [1, 2, 3]}).to_csv(
+        raw / "batch1.csv", index=False
+    )
+    stream_ingest_csv(spark, str(raw), table, SCHEMA, ["k"], ["k"], ckpt)
+    out1 = {r.k: r.v for r in managed.read(spark, table).collect()}
+    assert out1 == {"a": 1, "b": 2}  # null-key row dropped
+
+    # second file: update b, insert c
+    pd.DataFrame({"k": ["b", "c"], "v": [20, 30]}).to_csv(
+        raw / "batch2.csv", index=False
+    )
+    stream_ingest_csv(spark, str(raw), table, SCHEMA, ["k"], ["k"], ckpt)
+    out2 = {r.k: r.v for r in managed.read(spark, table).collect()}
+    assert out2 == {"a": 1, "b": 20, "c": 30}
+
+    # re-drain with same checkpoint: no new files → no state change
+    stream_ingest_csv(spark, str(raw), table, SCHEMA, ["k"], ["k"], ckpt)
+    out3 = {r.k: r.v for r in managed.read(spark, table).collect()}
+    assert out3 == out2
+    # checkpoint prevented re-reading old files (exactly-once discovery)
+    assert managed.history(table) == [1, 2]
