@@ -44,6 +44,22 @@ def q_scan_table(spark, sf_dir):
     return managed.read(spark, path)
 
 
+@register(
+    "q_scan_delta",
+    oracle="SELECT * FROM orders",
+)
+def q_scan_delta(spark, sf_dir):
+    """S3 — the SURVEY §2.1 'Delta table scan' slot by its inventory
+    name: scans the managed lakehouse table (DeltaTable when
+    delta-spark is present, versioned-parquet snapshot otherwise —
+    sources/table.py dispatches). Same snapshot-isolation contract
+    either way."""
+    path = os.path.join(work_dir(sf_dir, "tables"), "orders_delta_scan")
+    if not managed.exists(path):
+        managed.write(spark, load(spark, sf_dir, "orders"), path)
+    return managed.read(spark, path)
+
+
 def _merge_source(spark, sf_dir):
     """Deterministic MERGE source: updates (every 10th key, doubled
     price, status 'U') + inserts (every 7th key shifted past the key

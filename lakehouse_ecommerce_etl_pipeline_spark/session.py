@@ -71,6 +71,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        # bucketed tables need a catalog warehouse; keep it off the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/lakehouse_spark_warehouse"
+            ),
+        )
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp type — read as long and convert at the source
         # (plans/_helpers.load truncates to micros, matching DuckDB)
