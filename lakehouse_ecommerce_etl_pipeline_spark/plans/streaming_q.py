@@ -31,3 +31,30 @@ def q_stream_dedup(spark, sf_dir):
     """Streaming dedup with bounded state
     (dropDuplicatesWithinWatermark on event_id)."""
     return stream_dedup(spark, f"{sf_dir}/events.parquet", ["event_id"])
+
+
+@register(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals in the state store, drained availableNow; equals
+    the batch group-by when drained in one batch. Both sides round to
+    2 dp: the inputs are 2-dp values, so the true sum lies ON the 2-dp
+    grid and rounding recovers it exactly regardless of each engine's
+    float summation order."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.stateful import (
+        running_user_totals_stream,
+    )
+
+    totals = running_user_totals_stream(spark, f"{sf_dir}/events.parquet")
+    return totals.select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
