@@ -39,6 +39,11 @@ HEADLINE = [
     "q_minhash_signatures", # explode + 8-way min agg
     "q_text_stats",         # codegen string metrics
     "q_similarity_topk",    # brute-force cosine top-k
+    "q_tpch_q3_shipping_priority",  # fact-fact join + top-k
+    "q_tpch_q5_local_supplier",     # 6-way star join
+    "q_tpch_q6_forecast_revenue",   # scan-filter-agg with full pushdown
+    "q_asof_join",          # union+window as-of composition
+    "q_enrich_derived",     # decimal-exact derived column
 ]
 
 

@@ -106,9 +106,18 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join docs sharing any band value →
-    distinct candidate (id_a < id_b) pairs."""
+    distinct candidate (id_a < id_b) pairs.
+
+    ``max_bucket`` drops buckets holding more than that many docs
+    BEFORE the self-join — the scale guard: a degenerate band value
+    shared by k docs contributes k² pairs; huge buckets are
+    non-discriminative (boilerplate/empty-ish docs) and quadratically
+    dominate cost while adding almost no near-dup signal. Standard
+    LSH-at-scale practice; leave None for exhaustive candidates.
+    """
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -130,6 +139,15 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(bands).alias("b")
     ).select(id_col, "b.band_idx", "b.band_hash")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        sizes = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(sizes))
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

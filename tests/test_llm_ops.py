@@ -107,3 +107,24 @@ def test_multimodal_stub_contract(spark):
         decode_image(b"\x89PNG", fake=False)
     with pytest.raises(NotImplementedError):
         resize_stub(None, 10, 10)
+
+
+def test_lsh_max_bucket_prunes_degenerate_buckets(spark):
+    # 20 docs sharing identical text → every band bucket has 20 docs
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text shared by everyone") for i in range(20)]
+        + [(100, "a unique document about spark plans"),
+           (101, "a unique document about spark plans")],
+        "doc_id long, text string",
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "doc_id", "text", 8)
+    full = lsh_candidate_pairs(sigs, "doc_id", 8, 2).count()
+    capped = lsh_candidate_pairs(sigs, "doc_id", 8, 2, max_bucket=5)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert full >= 190  # the 20-clone bucket alone yields 190 pairs
+    assert pairs == {(100, 101)}  # cap kills the degenerate bucket only
