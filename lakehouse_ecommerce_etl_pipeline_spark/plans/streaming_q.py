@@ -3,6 +3,7 @@ availableNow so the driver can check them like batch queries."""
 
 from __future__ import annotations
 
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import events_parquet_path
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
     stream_dedup,
@@ -23,14 +24,14 @@ def q_stream_tumbling_agg(spark, sf_dir):
     """Structured Streaming tumbling-window aggregation (watermark +
     window + decimal-exact sum), drained via availableNow. Checked
     against the BATCH oracle — stream/batch parity is the test."""
-    return tumbling_agg_stream(spark, f"{sf_dir}/events.parquet")
+    return tumbling_agg_stream(spark, events_parquet_path(spark, sf_dir))
 
 
 @register("q_stream_dedup")  # rows-only: state-dependent row acceptance
 def q_stream_dedup(spark, sf_dir):
     """Streaming dedup with bounded state
     (dropDuplicatesWithinWatermark on event_id)."""
-    return stream_dedup(spark, f"{sf_dir}/events.parquet", ["event_id"])
+    return stream_dedup(spark, events_parquet_path(spark, sf_dir), ["event_id"])
 
 
 @register(
@@ -54,7 +55,7 @@ def q_stream_stateful_totals(spark, sf_dir):
         running_user_totals_stream,
     )
 
-    totals = running_user_totals_stream(spark, f"{sf_dir}/events.parquet")
+    totals = running_user_totals_stream(spark, events_parquet_path(spark, sf_dir))
     return totals.select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     )
