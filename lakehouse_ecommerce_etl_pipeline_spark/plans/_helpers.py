@@ -18,6 +18,16 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # an untouched default (200) means nobody sized the shuffle for
+        # this workload — right-size to the core count; AQE coalescing
+        # then adapts downward per stage. An explicitly-set value is
+        # respected.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(os.cpu_count() or 8)
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     except Exception:  # pragma: no cover - settable in all known versions
         pass
 
