@@ -85,3 +85,50 @@ def test_pipeline_marker_skip_on_restored_file(spark, raw_zone, tmp_path):
     results = run_pipeline(spark, raw_zone)
     assert results == {}  # marker hit → skipped
     assert os.path.exists(dst)  # not re-archived
+
+
+def test_pipeline_second_monthly_batch_upserts(spark, raw_zone):
+    """The reference's real cadence: a May batch lands after April.
+    Overlapping keys update in place (MERGE), new keys insert, markers
+    accumulate per file (reference: monthly file naming,
+    lakehouse_etl_stepfunction.json:96)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.excel import (
+        write_fake_workbook,
+    )
+
+    run_pipeline(spark, raw_zone)
+    orders_before = managed.read(spark, table_path(raw_zone, "orders"))
+    assert orders_before.count() == 20
+
+    t1 = dt.datetime(2025, 5, 1, 9, 0, 0)
+    may = pd.DataFrame(
+        [
+            # update: o5 re-sent with a corrected amount
+            {"order_num": "n5", "order_id": "o5", "user_id": "u0",
+             "order_timestamp": t1, "total_amount": 777.77},
+            # inserts: two genuinely new orders
+            {"order_num": "n100", "order_id": "o100", "user_id": "u1",
+             "order_timestamp": t1, "total_amount": 50.0},
+            {"order_num": "n101", "order_id": "o101", "user_id": "u2",
+             "order_timestamp": t1, "total_amount": 60.0},
+        ]
+    )
+    write_fake_workbook(
+        os.path.join(raw_zone, "raw", "orders", "orders_may_2025.bundle"),
+        {"Sheet1": may},
+    )
+    results = run_pipeline(spark, raw_zone)
+    assert results["orders"]["loaded"] == 22  # 20 + 2 inserts
+
+    orders = managed.read(spark, table_path(raw_zone, "orders"))
+    row = orders.filter("order_id = 'o5'").collect()[0]
+    assert float(row.total_amount) == 777.77  # updated in place
+    assert str(row.date) == "2025-05-01"      # re-derived partition col
+    assert orders.filter("order_id IN ('o100','o101')").count() == 2
+    # both monthly files archived + marked
+    archived = sorted(os.listdir(os.path.join(raw_zone, "archived", "orders")))
+    assert archived == ["orders_apr_2025.bundle", "orders_may_2025.bundle"]
