@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.functions.text import normalize_text
 
 
+def token_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks: array<string>) — the distinct token SET per document
+    as an array column, computed entirely in one projection (no
+    explode, no shuffle). The building block for the shuffle-free
+    signature/verification paths."""
+    arr = F.array_distinct(
+        F.filter(
+            F.split(normalize_text(text_col), " "), lambda t: t != ""
+        )
+    )
+    return df.select(F.col(id_col), arr.alias("toks"))
+
+
 def tokens(
     df: DataFrame, id_col: str, text_col: str, distinct: bool = True
 ) -> DataFrame:
@@ -65,40 +78,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig_0..sig_{n-1}): sig_i = MIN(md5(i || '|' || token)).
 
-    Shape: explode the per-token hash family to (id, i, h) rows, min
-    per (id, i), pivot i back to columns. An equivalent single
-    hash-aggregate with ``num_hashes`` MIN columns generates huge
-    codegen (measured 19-35 s of first-run JIT at 8 hashes); the long
-    layout keeps every aggregate trivial — partial min() still
-    combines map-side, so shuffle volume is ~num_hashes rows of
-    (id, i, 32B) per doc either way. 8 permutations × 4-band layout ≈
-    Jaccard>0.5 recall; tune num_hashes/bands for the threshold.
-    MIN is duplicate-insensitive, so ``distinct`` is semantically
-    optional here — but distinct-first partial-aggregates map-side and
-    shrinks the ×num_hashes fan-out on duplicate-heavy text (measured
-    faster at sf0.1); pass distinct=False for shingled input where
-    near-unique tokens make the dedup a wasted shuffle.
+    Shuffle-free: the per-doc token set is an array column, each
+    signature is ``array_min(transform(toks, t -> md5(i|t)))`` — one
+    narrow projection, zero exchanges. (Earlier iterations measured:
+    a wide num_hashes-column MIN hash-aggregate costs 19-35 s of
+    first-run codegen; an explode + (id,i) min + pivot costs three
+    shuffles. The array form beats both and scales as pure map work.)
+    8 permutations × 4-band layout ≈ Jaccard>0.5 recall; tune
+    num_hashes/bands for the target threshold.
     """
-    tok = tokens(df, id_col, text_col, distinct=True)
-    hashed = tok.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.md5(F.concat(F.lit(f"{i}|"), F.col("tok"))).alias("h"),
-                    )
-                    for i in range(num_hashes)
-                ]
-            )
-        ).alias("x"),
-    ).select(id_col, "x.i", "x.h")
-    minh = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
-    sig = minh.groupBy(id_col).pivot("i", list(range(num_hashes))).agg(F.first("mh"))
-    return sig.select(
-        id_col, *[F.col(str(i)).alias(f"sig_{i}") for i in range(num_hashes)]
-    )
+    ta = token_array(df, id_col, text_col)
+
+    def perm_hash(i: int):
+        prefix = f"{i}|"
+        # single-arg lambda: a two-arg lambda would be interpreted by
+        # transform() as the (element, index) variant
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    sigs = [
+        F.array_min(F.transform(F.col("toks"), perm_hash(i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return ta.select(id_col, *sigs)
 
 
 def lsh_candidate_pairs(
@@ -176,7 +177,29 @@ def jaccard_pairs(
 
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed from exact integer
     counts — engine-portable double division.
+
+    Two physical strategies, same semantics:
+    - ``pairs`` given (the LSH-verification path): join the candidate
+      pairs to each side's token ARRAY and compute
+      ``size(array_intersect)`` per pair — cost scales with candidate
+      count, not with token co-occurrence (the token⋈token self-join
+      explodes quadratically on common tokens).
+    - all-pairs (bounded subsets/tests only): classic token self-join.
     """
+    if pairs is not None:
+        ta = token_array(df, id_col, text_col)
+        a = ta.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+        b = ta.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("toks_a", "toks_b"))
+        union = F.size("toks_a") + F.size("toks_b") - inter
+        return joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union.cast("double"), round_to).alias(
+                "jaccard"
+            ),
+        ).filter(F.col("jaccard") > 0)
     tok = tokens(df, id_col, text_col)
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = tok.select(F.col(id_col).alias("id_a"), "tok")
@@ -187,8 +210,6 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
