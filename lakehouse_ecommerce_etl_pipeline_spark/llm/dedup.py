@@ -231,22 +231,36 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """SimHash fingerprint: per-token xxhash64, signed bit votes,
     majority per bit → packed integer. (id, simhash).
 
-    xxhash64 keeps this JVM-fast; not oracle-expressible (DuckDB has no
-    xxhash64) → registered rows-only.
+    Shuffle-free like the MinHash path: per-token ±1 bit-vote arrays
+    are summed with an ``aggregate`` fold over the token array and
+    packed in the same projection — zero exchanges. xxhash64 keeps it
+    JVM-fast; not oracle-expressible (DuckDB has no xxhash64) →
+    registered rows-only.
     """
-    tok = tokens(df, id_col, text_col)
-    h = F.xxhash64("tok")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    voted = tok.groupBy(id_col).agg(*votes)
+    ta = token_array(df, id_col, text_col)
+
+    def vote_array(t):
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for b in range(bits)
+            ]
+        )
+
+    zero = F.array(*[F.lit(0) for _ in range(bits)])
+    votes = F.aggregate(
+        F.transform(F.col("toks"), vote_array),
+        zero,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
     packed = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+        bit = F.when(F.element_at(F.col("__votes"), b + 1) > 0, F.lit(2**b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         packed = bit if packed is None else packed + bit
-    return voted.select(F.col(id_col), packed.alias("simhash"))
+    return (
+        ta.withColumn("__votes", votes)
+        .select(F.col(id_col), packed.alias("simhash"))
+    )
