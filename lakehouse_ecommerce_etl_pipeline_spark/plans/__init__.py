@@ -24,4 +24,5 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics3  # noqa: F40
 from lakehouse_ecommerce_etl_pipeline_spark.plans import tpch  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import tpch2  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics4  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics5  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
