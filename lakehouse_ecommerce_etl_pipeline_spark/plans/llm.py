@@ -303,6 +303,76 @@ def q_near_dup_pairs(spark, sf_dir):
     return jac.filter(F.col("jaccard") >= 0.5)
 
 
+_NEAR_DUP_PAIRS_CTE = f"""
+    {_tok_cte()},
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM tok GROUP BY doc_id),
+    bands AS (
+      {_BANDS_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    nd_pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    )
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_DUP_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM nd_pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM nd_pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+    )
+    SELECT doc_id,
+           COALESCE(component, doc_id) AS component,
+           doc_id = COALESCE(component, doc_id) AS keep
+    FROM documents LEFT JOIN comp ON doc_id = node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup endgame: near-dup PAIRS → connected-component
+    CLUSTERS → one survivor per cluster (min doc_id keeps, the rest
+    drop). Spark runs iterative min-label propagation
+    (llm/components.py, joins + localCheckpoint per round); the oracle
+    is DuckDB's recursive-CTE transitive closure — two entirely
+    different algorithms whose agreement checks both."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import dedup_keep_list
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+    pairs = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup_keep_list(docs, pairs.select("id_a", "id_b"), "doc_id")
+
+
 @register("q_simhash")  # rows-only: xxhash64 has no DuckDB twin
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (JVM xxhash64 bit votes)."""

@@ -128,3 +128,39 @@ def test_lsh_max_bucket_prunes_degenerate_buckets(spark):
     pairs = {(r.id_a, r.id_b) for r in capped.collect()}
     assert full >= 190  # the 20-clone bucket alone yields 190 pairs
     assert pairs == {(100, 101)}  # cap kills the degenerate bucket only
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        connected_components,
+        dedup_keep_list,
+    )
+
+    # chain 1-2-3, pair 10-11, isolated 99
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    verdict = {r.doc_id: (r.component, r.keep) for r in
+               dedup_keep_list(docs, pairs, "doc_id").collect()}
+    assert verdict == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 99: (99, True),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        connected_components,
+    )
+
+    # a 12-node path: worst-case diameter for min-label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 12
