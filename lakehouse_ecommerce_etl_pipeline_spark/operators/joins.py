@@ -105,6 +105,57 @@ def asof_join(
     )
 
 
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join via per-key ``pd.merge_asof`` — the
+    alternative physical strategy to ``asof_join``'s union+window
+    composition (same semantics; results must match, tested).
+
+    Shape: cogroup both sides by key, Arrow-batch each group into
+    pandas, sort-merge locally. Better than the window form when the
+    right side is much denser than the left (the window form carries
+    every right row through the sort); worse when single keys exceed
+    executor memory — the standard applyInPandas caveat.
+    """
+    import pandas as pd
+
+    l_cols = left.columns
+    out_cols = [*l_cols, *[f"{c}{suffix}" for c in value_cols]]
+    l_schema = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    r_types = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    schema_str = ", ".join(
+        [*[f"{c} {l_schema[c]}" for c in l_cols],
+         *[f"{c}{suffix} {r_types[c]}" for c in value_cols]]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in value_cols:
+                out[f"{c}{suffix}"] = None
+            return out[out_cols]
+        rpdf = rpdf.sort_values(right_ts, kind="mergesort")[
+            [right_ts, *value_cols]
+        ].rename(columns={c: f"{c}{suffix}" for c in value_cols})
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on=right_ts,
+            direction="backward", suffixes=("", "__r"),
+        )
+        return merged[out_cols]
+
+    l_grp = left.groupBy(on)
+    r_grp = right.groupBy(on)
+    return l_grp.cogroup(r_grp).applyInPandas(merge, schema=schema_str)
+
+
 def referential_filter(
     df: DataFrame, fks: dict[str, tuple[DataFrame, str]], broadcast_dim: bool = True
 ) -> DataFrame:

@@ -127,6 +127,46 @@ def q_asof_join(spark, sf_dir):
 
 
 @register(
+    "q_asof_join_pandas",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts,
+             MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, c.ts, p.purchase_value AS purchase_value_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join_pandas(spark, sf_dir):
+    """The as-of join's SECOND physical strategy: cogrouped
+    ``pd.merge_asof`` per key (Arrow both ways). Same oracle as
+    q_asof_join — three implementations (union+window, merge_asof,
+    DuckDB native ASOF) must all agree."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.joins import (
+        asof_join_pandas,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join_pandas(
+        clicks, purchases, "user_id", "ts", "ts", ["purchase_value"]
+    )
+
+
+@register(
     "q_range_join",
     oracle="""
     WITH months AS (

@@ -83,6 +83,79 @@ def q_tpch_q18_large_volume(spark, sf_dir):
 
 
 @register(
+    "q_tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_1')
+        OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_0'))
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def q_tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): double nation
+    dimension aliasing (supplier vs customer side) + yearly revenue."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1"))
+        | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q12_late_lines",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(DISTINCT o.o_orderkey) AS late_orders
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 90
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q12_late_lines(spark, sf_dir):
+    """TPC-H Q12 adapted (no shipmode/receipt columns in this schema):
+    orders with lines shipped > 90 days after order date, counted per
+    priority."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(li, o.o_orderkey == li.l_orderkey).filter(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("late_orders")
+    )
+
+
+@register(
     "q_tpch_q19_brand_revenue",
     oracle=f"""
     SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue

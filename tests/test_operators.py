@@ -119,3 +119,28 @@ def test_routing_predicate_and_path_functions(spark):
         ("orders", "a.csv"),
         ("orders", "b.xlsx"),
     }
+
+
+def test_asof_join_pandas_matches_window_variant(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 7), (3, 50)], "k int, t long"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 9, 300.0)], "k int, t long, v double"
+    ).withColumn("t", F.timestamp_seconds("t"))
+
+    a = sorted(map(tuple, asof_join(left, right, "k", "t", "t", ["v"]).collect()))
+    b = sorted(map(tuple, asof_join_pandas(left, right, "k", "t", "t", ["v"]).collect()))
+    assert a == b
+    by_key_t = {(r[0], r[1].second): r[2] for r in a}
+    assert by_key_t[(1, 10)] == 100.0   # latest at-or-before
+    assert by_key_t[(1, 20)] == 200.0
+    assert by_key_t[(1, 5)] is None     # nothing before
+    assert by_key_t[(2, 7)] is None     # right exists but later
+    assert by_key_t[(3, 50)] is None    # key absent from right
