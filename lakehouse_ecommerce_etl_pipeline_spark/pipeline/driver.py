@@ -100,7 +100,11 @@ def run_dataset(
     n_rejected = write_rejected(spark, rejected, tpath)
     merge_upsert(spark, tpath, clean, [job.merge_key], partition_by=job.partition_by)
 
-    qualified = catalog.register_table(spark, managed.read(spark, tpath), dataset)
+    # K4 — the reference's DDL shape: CREATE TABLE ... USING <fmt>
+    # LOCATION pointing at the current snapshot (orders_etl.py:98-103)
+    qualified = catalog.register_table_external(
+        spark, managed.current_data_path(tpath), dataset
+    )
     n_loaded = catalog.count_star(spark, qualified)  # O5 validation query
     return {"loaded": n_loaded, "rejected": n_rejected}
 

@@ -36,6 +36,40 @@ def register_table(
     return full
 
 
+def register_table_external(
+    spark: SparkSession,
+    snapshot_path: str,
+    name: str,
+    database: str = DEFAULT_DATABASE,
+) -> str:
+    """The reference's actual K4 DDL shape: ``CREATE DATABASE IF NOT
+    EXISTS`` + ``CREATE TABLE ... USING <format> LOCATION`` against a
+    concrete data directory (orders_etl.py:98-103 — Delta there,
+    parquet here). Because versioned-parquet snapshots rotate
+    directories on publish, registration re-points the table at the
+    current snapshot (drop + create — the in-memory catalog has no
+    ALTER LOCATION)."""
+    import os
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    partitioned = os.path.isdir(snapshot_path) and any(
+        "=" in d for d in os.listdir(snapshot_path)
+    )
+    if partitioned:
+        # a bare external-table DDL does not discover Hive-style
+        # partition directories (needs declared partitions + MSCK);
+        # the reader's partition inference does — register its view
+        full = f"{database}_{name}"
+        spark.read.parquet(snapshot_path).createOrReplaceTempView(full)
+        return full
+    full = f"{database}.{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {full}")
+    spark.sql(
+        f"CREATE TABLE {full} USING PARQUET LOCATION '{snapshot_path}'"
+    )
+    return full
+
+
 def count_star(spark: SparkSession, qualified_name: str) -> int:
     """The post-load validation smoke query (SURVEY.md §2.5-A4)."""
     return spark.sql(f"SELECT COUNT(*) AS cnt FROM {qualified_name}").collect()[0][0]

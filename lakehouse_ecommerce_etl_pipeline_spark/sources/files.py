@@ -55,6 +55,32 @@ def read_csv(
     )
 
 
+def read_csv_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan that CAPTURES malformed rows instead of silently
+    nulling them (PERMISSIVE + columnNameOfCorruptRecord) — rows whose
+    raw text couldn't parse land with the raw line in ``corrupt_col``
+    and NULLs elsewhere, ready for the quarantine sink. The honest
+    version of the reference's dirty-data story (its CSV scan drops
+    malformed values silently)."""
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full_schema)
+        .load(path)
+    )
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 

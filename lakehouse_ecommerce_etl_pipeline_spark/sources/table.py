@@ -122,6 +122,18 @@ def write(
     os.replace(tmp, os.path.join(path, _LATEST))
 
 
+def current_data_path(path: str) -> str:
+    """The directory holding the CURRENT snapshot's data files — what
+    external catalog registration should point at (the table root
+    itself under Delta, the published ``_v=N`` dir otherwise)."""
+    if delta_available():
+        return path
+    v = _latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no managed table at {path}")
+    return snapshot_dir(path, v)
+
+
 def history(path: str) -> list[int]:
     """Published snapshot versions, oldest first (Delta: DESCRIBE
     HISTORY analogue)."""

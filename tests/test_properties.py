@@ -1,0 +1,59 @@
+"""Property-based tests (hypothesis) for the core relational
+invariants — randomized inputs catch edge shapes example tests miss."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_ecommerce_etl_pipeline_spark.operators.validate import (
+    split_valid_invalid,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.sinks.merge import merge_frames
+
+_slow = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.text(alphabet="abcde", min_size=1, max_size=2)
+rows = st.lists(st.tuples(keys, st.integers(-100, 100)), min_size=0, max_size=12)
+
+
+@_slow
+@given(target_rows=rows, source_rows=rows)
+def test_merge_frames_properties(spark, target_rows, source_rows):
+    # MERGE contract requires unique source keys (reference dedups first)
+    source_rows = list({k: (k, v) for k, v in source_rows}.values())
+    target_rows = list({k: (k, v) for k, v in target_rows}.values())
+    target = spark.createDataFrame(target_rows or [("zz", 0)], "k string, v int")
+    source = spark.createDataFrame(source_rows or [("zz", 1)], "k string, v int")
+    out = {r.k: r.v for r in merge_frames(target, source, ["k"]).collect()}
+    t = dict(target_rows or [("zz", 0)])
+    s = dict(source_rows or [("zz", 1)])
+    # property 1: key set = union
+    assert set(out) == set(t) | set(s)
+    # property 2: source wins on overlap, target preserved otherwise
+    for k, v in out.items():
+        assert v == (s[k] if k in s else t[k])
+
+
+@_slow
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.one_of(st.none(), st.integers(0, 5)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_split_valid_invalid_is_exact_partition(spark, data):
+    df = spark.createDataFrame(data, "a int, b int")
+    valid, invalid = split_valid_invalid(df, ["a", "b"])
+    nv, ni = valid.count(), invalid.count()
+    assert nv + ni == len(data)
+    assert nv == sum(1 for a, b in data if a is not None and b is not None)
+    assert valid.filter("a IS NULL OR b IS NULL").count() == 0
