@@ -23,6 +23,8 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import rules_q  # noqa: F401,E
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics3  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import tpch  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import tpch2  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import tpch3  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import tpch4  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics4  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics5  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
