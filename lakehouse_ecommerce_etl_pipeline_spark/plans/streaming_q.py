@@ -59,3 +59,36 @@ def q_stream_stateful_totals(spark, sf_dir):
     return totals.select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     )
+
+
+@register(
+    "q_stream_transform_with_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_transform_with_state(spark, sf_dir):
+    """transformWithState (Spark 4 typed-state-handle API): the same
+    per-user running totals as q_stream_stateful_totals, maintained in
+    a ValueState handle — same 2-dp rounding rationale. Falls back to
+    the applyInPandasWithState implementation on Spark versions
+    without the API, keeping the query's semantics identical."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.stateful import (
+        running_user_totals_stream,
+        running_user_totals_tws,
+        transform_with_state_available,
+    )
+
+    fn = (
+        running_user_totals_tws
+        if transform_with_state_available()
+        else running_user_totals_stream
+    )
+    totals = fn(spark, events_parquet_path(spark, sf_dir))
+    return totals.select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )

@@ -53,6 +53,84 @@ def _update(
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
 
 
+def _make_processor():
+    """``StatefulProcessor`` for transformWithStateInPandas — the
+    Spark 4 successor API to applyInPandasWithState (typed state
+    handles: value/list/map state, timers). Maintains the same
+    (count, sum) per-user running totals as ``_update`` above.
+    Built inside a factory so the module imports cleanly on Spark
+    versions without the API."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class P(StatefulProcessor):
+        def init(self, handle):
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self):
+            pass
+
+    return P()
+
+
+def transform_with_state_available() -> bool:
+    """The API needs pyspark >= 4.0 AND protobuf (the state-server
+    wire format — transform_with_state_driver_worker imports
+    ``google.protobuf``); absent either, callers fall back to
+    applyInPandasWithState."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """transformWithStateInPandas variant of the running per-user
+    totals: identical semantics to ``running_user_totals_stream`` but
+    on the typed-state-handle API (ValueState in the state store,
+    update output mode, no event-time dependency → timeMode None).
+
+    100 TB notes: same sharding story as applyInPandasWithState —
+    state co-partitions with the grouping shuffle; the typed handles
+    additionally support TTL and timers for bounding idle-key state.
+    """
+    schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_stream_dir(parquet_path))
+    )
+    stream = normalize_nanos_timestamps(stream)
+    totals = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def running_user_totals_stream(
     spark: SparkSession, parquet_path: str
 ) -> DataFrame:

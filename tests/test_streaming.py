@@ -33,3 +33,35 @@ def test_stream_dedup_preserves_distinct_keys(spark):
     out = stream_dedup(spark, f"{SF}/events.parquet", ["event_id"])
     n_distinct = load(spark, SF, "events").select("event_id").distinct().count()
     assert out.count() == n_distinct
+
+
+def test_transform_with_state_parity_or_fallback(spark):
+    """q_stream_transform_with_state equals the batch group-by on
+    whichever stateful API the environment supports (ValueState
+    transformWithState where protobuf exists, applyInPandasWithState
+    otherwise — the gate decides, the semantics must not change)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.stateful import (
+        running_user_totals_stream,
+        running_user_totals_tws,
+        transform_with_state_available,
+    )
+
+    fn = (
+        running_user_totals_tws
+        if transform_with_state_available()
+        else running_user_totals_stream
+    )
+    out = fn(spark, f"{SF}/events.parquet")
+    got = {(r.user_id, r.n_events, round(r.sum_value, 2)) for r in out.collect()}
+    from pyspark.sql import functions as F
+
+    batch = (
+        load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+    )
+    want = {(r.user_id, r.n, round(r.s, 2)) for r in batch.collect()}
+    assert got == want
