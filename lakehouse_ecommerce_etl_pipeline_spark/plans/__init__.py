@@ -18,6 +18,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import lakehouse  # noqa: F401
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics2  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm2  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import sources_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import rules_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics3  # noqa: F401,E402
