@@ -50,6 +50,29 @@ def deterministic_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    thresholds: dict[str, str],
+    default_threshold: str = "0",
+    salt: str = "strat:",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (the reproducible analogue
+    of ``DataFrame.sampleBy``): a row survives iff md5(salt||id) <
+    its stratum's hex threshold. Used to rebalance source mixes in a
+    training corpus (down-weight a crawl, keep all of a curated set:
+    threshold 'g' > 'ffffffff…' keeps everything, '0' drops all).
+
+    Same scale shape as the split: stateless projection, the
+    threshold map ships as a CASE expression (no join)."""
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr: Column = F.lit(default_threshold)
+    for stratum, th in sorted(thresholds.items()):
+        expr = F.when(F.col(stratum_col) == stratum, F.lit(th)).otherwise(expr)
+    return df.filter(bucket < expr)
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -59,6 +59,44 @@ def q_split_train_val(spark, sf_dir):
 
 
 @register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+    FROM documents
+    WHERE md5('strat:' || CAST(doc_id AS VARCHAR)) <
+          CASE WHEN source = 'src0' THEN 'g'
+               WHEN source = 'src1' THEN '8'
+               WHEN source = 'src2' THEN '2'
+               ELSE '4' END
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (reproducible ``sampleBy``):
+    per-source keep rates via md5 hex thresholds — keep all of src0
+    ('g' sorts above every hex digest), ~1/2 of src1, ~1/8 of src2,
+    ~1/4 elsewhere. The source-mix rebalancing step of corpus
+    construction; membership is stable under repartition/retry."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.sampling import (
+        stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": "g", "src1": "8", "src2": "2"},
+        default_threshold="4",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("source")
+    )
+
+
+@register(
     "q_pack_sequences",
     oracle=f"""
     WITH toks AS (

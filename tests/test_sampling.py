@@ -61,3 +61,24 @@ def test_pack_sequences_offsets_and_bins(spark):
             assert r.bin >= prev_bin  # bins are consecutive per shard
             cum += r.tok_count
             prev_bin = r.bin
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.sampling import (
+        stratified_sample,
+    )
+
+    docs = load(spark, SF, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "source", {"src0": "g", "src1": "2"}, default_threshold="0"
+    )
+    rows = kept.collect()
+    # 'g' keeps every src0 row; '0' drops every other-source row
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert sum(1 for r in rows if r.source == "src0") == n_src0
+    assert {r.source for r in rows} <= {"src0", "src1"}
+    # determinism under repartition
+    again = stratified_sample(
+        docs.repartition(7), "doc_id", "source", {"src0": "g", "src1": "2"}, "0"
+    )
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again.collect()}
