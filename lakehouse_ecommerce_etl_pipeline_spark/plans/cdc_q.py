@@ -1,5 +1,6 @@
-"""CDC-tier query: change-data-feed diff between two deterministic
-snapshot views of the orders table (operators/cdc.py)."""
+"""CDC + profiling queries: change-data-feed diff between two
+deterministic snapshot views of the orders table (operators/cdc.py)
+and the ANALYZE-TABLE statistics pass (operators/profile.py)."""
 
 from __future__ import annotations
 
@@ -84,3 +85,45 @@ def q_table_changes(spark, sf_dir):
         ).otherwise(F.col("o_totalprice")),
     )
     return table_changes(v1, v2, ["o_orderkey"])
+
+
+def _profile_branch_sql(col: str, num_expr: str | None, is_str: bool) -> str:
+    num = num_expr or "NULL"
+    mn = f"MIN({num})" if num_expr else "CAST(NULL AS DOUBLE)"
+    mx = f"MAX({num})" if num_expr else "CAST(NULL AS DOUBLE)"
+    ms = f"MIN({col})" if is_str else "CAST(NULL AS VARCHAR)"
+    xs = f"MAX({col})" if is_str else "CAST(NULL AS VARCHAR)"
+    return f"""
+      SELECT '{col}' AS column_name,
+             COUNT(*) AS n_rows,
+             COUNT(*) - COUNT({col}) AS n_nulls,
+             COUNT(DISTINCT {col}) AS n_distinct,
+             CAST({mn} AS DOUBLE) AS min_num, CAST({mx} AS DOUBLE) AS max_num,
+             {ms} AS min_str, {xs} AS max_str
+      FROM orders"""
+
+
+_PROFILE_SQL = " UNION ALL ".join(
+    [
+        _profile_branch_sql("o_orderkey", "CAST(o_orderkey AS DOUBLE)", False),
+        _profile_branch_sql("o_custkey", "CAST(o_custkey AS DOUBLE)", False),
+        _profile_branch_sql("o_orderstatus", None, True),
+        _profile_branch_sql("o_totalprice", "CAST(o_totalprice AS DOUBLE)", False),
+        _profile_branch_sql("o_orderdate", "CAST(epoch_us(o_orderdate) AS DOUBLE)", False),
+        _profile_branch_sql("o_orderpriority", None, True),
+    ]
+)
+
+
+@register("q_profile_table", oracle=_PROFILE_SQL)
+def q_profile_table(spark, sf_dir):
+    """ANALYZE-TABLE statistics pass (operators/profile.py): one row
+    per column with null/distinct counts and type-bucketed min/max
+    (numerics+timestamps as doubles/micro-epochs, strings as
+    strings). Long layout, one single-column pruned scan per branch —
+    avoids the wide-aggregate codegen cliff."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.profile import (
+        profile_table,
+    )
+
+    return profile_table(load(spark, sf_dir, "orders"))
