@@ -109,3 +109,61 @@ def q_embedding_quantize(spark, sf_dir):
             F.array_join(quantized, ",").alias("q_csv"),
         )
     )
+
+
+@register(
+    "q_window_rank_fns",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_rank_fns(spark, sf_dir):
+    """The remaining rank-family window functions — NTILE bucketing,
+    PERCENT_RANK, CUME_DIST — per market segment with a total order
+    (custkey tiebreak). All three are ratios of exact integers
+    ((rank-1)/(n-1), rank/n), so the doubles agree bit-for-bit
+    cross-engine; no rounding needed."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram of order totals (50k-wide buckets):
+    FLOOR-based bucket assignment — the same double division on both
+    engines, no ROUND ties — with per-bucket counts and extrema.
+    Map-side combinable; bucket count is bounded by the value range,
+    so the shuffle is tiny at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
