@@ -6,6 +6,7 @@ from __future__ import annotations
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import events_parquet_path
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+    session_agg_stream,
     stream_dedup,
     tumbling_agg_stream,
 )
@@ -92,3 +93,38 @@ def q_stream_transform_with_state(spark, sf_dir):
     return totals.select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     )
+
+
+@register(
+    "q_stream_session_window",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flags
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_window(spark, sf_dir):
+    """Structured Streaming sessionization (session_window gap merge
+    in the state store), drained availableNow. The batch oracle is the
+    lag-gap island decomposition: a >= 30 min gap starts a new island,
+    matching session_window's merge-on-overlap rule, and Spark's
+    session end = last event + gap. Integer-micros gap test and
+    decimal-exact sums keep both engines bit-identical."""
+    return session_agg_stream(spark, events_parquet_path(spark, sf_dir))

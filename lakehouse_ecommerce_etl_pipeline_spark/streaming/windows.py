@@ -118,3 +118,59 @@ def stream_dedup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def session_agg_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (gap-merged
+    dynamic windows in the state store), drained with availableNow.
+
+    Session end is Spark's convention: last event ts + gap. The batch
+    twin is the lag-gap island computation (operators/windows.py
+    sessionize) — a strict >= gap break matches session_window's
+    merge-on-overlap rule, so the stream result equals the batch
+    oracle when drained in one availableNow pass.
+
+    100 TB: state is O(open sessions); with a watermark the store
+    evicts sessions older than the horizon. Keys partition the state
+    (shuffle on user_id) — skewed power-users can be pre-split by a
+    salt column folded back on merge.
+    """
+    schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_stream_dir(parquet_path))
+    )
+    stream = normalize_nanos_timestamps(stream, (ts_col,))
+    agg = (
+        stream.groupBy(
+            F.session_window(ts_col, gap).alias("w"), key_col
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_SUM_DECIMAL)).cast("double").alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
