@@ -41,6 +41,14 @@ DEFAULT_QUERIES = [
     "q_similarity_topk",
     "q_minhash_signatures",
     "q_asof_join",
+    "q_incremental_agg_merge",
+    "q_gapfill_locf",
+    "q_zorder_stats",
+    "q_inverted_index",
+    "q_pareto_frontier",
+    "q_grid_radius_join",
+    "q_scd2_history",
+    "q_higher_order_fns",
 ]
 
 
