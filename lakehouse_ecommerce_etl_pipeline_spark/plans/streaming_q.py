@@ -128,3 +128,54 @@ def q_stream_session_window(spark, sf_dir):
     session end = last event + gap. Integer-micros gap test and
     decimal-exact sums keep both engines bit-identical."""
     return session_agg_stream(spark, events_parquet_path(spark, sf_dir))
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join (events stream x customer
+    dimension) + per-segment aggregate, drained availableNow; the
+    batch star-join aggregate is the oracle."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.joins import (
+        stream_static_enrich_agg,
+    )
+
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return stream_static_enrich_agg(
+        spark, events_parquet_path(spark, sf_dir), dim
+    )
+
+
+@register(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS left_id,
+           p.event_id AS right_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_micros
+    FROM events v JOIN events p
+      ON v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.user_id = v.user_id
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+    """,
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (view -> purchase within 1 h per
+    user) with watermark-bounded state; inner results emit eagerly so
+    one availableNow drain equals the batch range join (integer-micros
+    interval test on both engines)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    return stream_interval_join(spark, events_parquet_path(spark, sf_dir))
