@@ -1,0 +1,60 @@
+"""Custom Python data source (Spark 4 DataSource API).
+
+The reference's only ingestion surface is files landed in S3 (CSV +
+Excel workbooks — glue_jobs/*_etl.py); the DataSource API is how a
+Spark-native engine ingests from arbitrary systems (REST feeds,
+queues, bespoke formats) without a JVM connector. This module ships a
+deterministic synthetic-rows source — the plumbing (registration,
+schema, partition planning, per-partition generators) is the real
+API; the row generator stands in for a network client.
+
+100 TB: `partitions()` is the parallelism contract — one
+InputPartition per split means each executor task pulls only its
+slice (here an integer range; in production a shard/offset range).
+The driver never materializes rows; generators stream per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def synthetic_value(i: int) -> int:
+    """The deterministic payload formula (shared with oracles)."""
+    return (i * i * 31 + i * 17) % 1000
+
+
+class SyntheticRowsDataSource(DataSource):
+    """`spark.read.format("synthetic_rows").option("n", N)` — N rows
+    (id, v) split across `partitions` independent generators."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rows"
+
+    def schema(self) -> str:
+        return "id bigint, v bigint"
+
+    def reader(self, schema) -> "SyntheticRowsReader":
+        return SyntheticRowsReader(self.options)
+
+
+class SyntheticRowsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 100_000))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.num_partitions)]
+
+    def read(self, partition):
+        i = partition.value
+        lo = self.n * i // self.num_partitions
+        hi = self.n * (i + 1) // self.num_partitions
+        for row_id in range(lo, hi):
+            yield (row_id, synthetic_value(row_id))
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration of the custom source."""
+    spark.dataSource.register(SyntheticRowsDataSource)
