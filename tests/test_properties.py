@@ -57,3 +57,32 @@ def test_split_valid_invalid_is_exact_partition(spark, data):
     assert nv + ni == len(data)
     assert nv == sum(1 for a, b in data if a is not None and b is not None)
     assert valid.filter("a IS NULL OR b IS NULL").count() == 0
+
+
+# ---------------------------------------------------------------- zorder
+
+morton_coords = st.integers(0, 1023)
+
+
+@_slow
+@given(x=morton_coords, y=morton_coords, x2=morton_coords, y2=morton_coords)
+def test_morton_code_bijective_and_locality(spark, x, y, x2, y2):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.zorder import (
+        zvalue_column,
+    )
+
+    df = spark.createDataFrame([(x, y), (x2, y2)], "x long, y long")
+    za, zb = [r[0] for r in df.select(zvalue_column("x", "y", 10)).collect()]
+    # injective: distinct points never share a Z-value
+    if (x, y) != (x2, y2):
+        assert za != zb
+    else:
+        assert za == zb
+    # range: 10+10 bits interleave into [0, 2^20)
+    assert 0 <= za < (1 << 20) and 0 <= zb < (1 << 20)
+    # containment: the top 2k bits of z identify the 2^(10-k) cell;
+    # equal top-4 bits => both coords share their top-2 bits
+    if za >> 16 == zb >> 16:
+        assert x >> 8 == x2 >> 8 and y >> 8 == y2 >> 8
