@@ -97,3 +97,17 @@ def q_mask_pii(spark, sf_dir):
         F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("balance_band"),
         "c_mktsegment",
     )
+
+
+@register("q_kmeans_clusters")  # rows-only: float means are order-dependent
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means (k=4, 3 iterations, deterministic seeds) over
+    the embeddings table — the iterative-algorithm tier; JVM-side
+    distance folds, one shuffle per iteration (llm/kmeans.py).
+    Rows-only: centroid means accumulate floats in partition order, so
+    no cross-engine oracle; invariants are pytest-checked (coverage,
+    inertia monotonicity)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.kmeans import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=4, iters=3)

@@ -57,3 +57,29 @@ def test_stream_sessions_match_batch_islands(spark):
         F.col("session_end") < F.col("session_start") + F.expr("INTERVAL 30 MINUTES")
     ).count()
     assert bad == 0
+
+
+def test_kmeans_covers_all_rows_and_inertia_decreases(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.kmeans import (
+        assign_clusters,
+        kmeans,
+        update_centroids,
+    )
+
+    emb = load(spark, SF0001, "embeddings")
+    n = emb.count()
+    out = kmeans(emb, k=4, iters=2)
+    assert out.count() == n
+    assert out.filter(F.col("cluster").isNull()).count() == 0
+    assert out.select("cluster").distinct().count() <= 4
+    # Lloyd's monotonicity: one update+reassign never increases inertia
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.orderBy("vec_id").limit(4).select("embedding").collect()
+    ]
+    a0 = assign_clusters(emb, seeds)
+    i0 = a0.agg(F.sum("dist_sq")).first()[0]
+    c1 = update_centroids(a0, dim=64)
+    a1 = assign_clusters(emb, c1)
+    i1 = a1.agg(F.sum("dist_sq")).first()[0]
+    assert i1 <= i0 * (1 + 1e-9)
