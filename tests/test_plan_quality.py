@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the optimizations the 100 TB
+design depends on (broadcasts, pushdown, window-group-limit, partial
+aggregation) must stay in the compiled plans — a correctness-
+preserving code change that silently loses one of these is a scale
+regression this file catches."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import REGISTRY
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF0001)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q_star_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not sort-merge
+
+
+def test_topk_uses_ordered_limit_not_global_sort(spark):
+    plan = _plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q6_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "q_tpch_q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # projection pruning: the 11-column lineitem scan reads few cols
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read.count(":") <= 5
+
+
+def test_grouped_agg_is_partial_then_final(spark):
+    plan = _plan(spark, "q_groupby_agg")
+    assert plan.count("HashAggregate") >= 2  # map-side combine present
+
+
+def test_window_topk_per_group_has_group_limit(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.windows import (
+        top_k_per_group,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+
+    df = top_k_per_group(
+        load(spark, SF0001, "orders"),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey")],
+        2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # rank-filter pushes the per-group limit into the shuffle read
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_join_broadcasts(spark):
+    plan = _plan(spark, "q_join_leftsemi")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_grid_radius_join_is_equi_join_not_nested_loop(spark):
+    plan = _plan(spark, "q_grid_radius_join")
+    assert "BroadcastNestedLoopJoin" not in plan  # cell key equi-join
