@@ -111,3 +111,50 @@ def q_kmeans_clusters(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans(emb, k=4, iters=3)
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT l_extendedprice AS val,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           MIN(val) AS lo,
+           MAX(val) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_histogram_equidepth(spark, sf_dir):
+    """Equi-depth (decile) histogram of extended price via ntile over
+    a totally-ordered window — the quantile-bucket companion to the
+    fixed-width q_histogram. Raw double min/max per bucket (no float
+    arithmetic), full (value, orderkey, linenumber) tiebreak so both
+    engines cut identical buckets.
+
+    100 TB: an unpartitioned ntile is a single-reducer sort — fine
+    for a profile pass, wrong as a data path. At scale, derive bucket
+    BOUNDARIES from approx_percentile (one-pass mergeable sketch) and
+    assign buckets with a narrow range filter — same output shape,
+    no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_extendedprice").alias("val"),
+            F.ntile(10).over(w).alias("bucket"),
+        )
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
