@@ -1,0 +1,59 @@
+"""LLM-data tier III: document chunking with overlap.
+
+Cross-engine exactness: chunk boundaries are integer token indices
+(sequence/generate_series with the same stride) and chunk text is a
+joined slice of the same whitespace split — strings match exactly.
+
+Reference parity: no analogue — chunking is the training-data
+operation that turns documents into model-context-sized windows; it
+complements packing (llm/sampling.py pack_sequences: many small docs
+→ one sequence) by going the other way (one long doc → many windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+_CHUNK = 32
+_STRIDE = 16
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id,
+           CAST((i - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(l[i : i + {_CHUNK} - 1], ' ') AS chunk,
+           CAST(len(l[i : i + {_CHUNK} - 1]) AS INTEGER) AS n_tokens
+    FROM toks, unnest(generate_series(1, len(l), {_STRIDE})) AS u(i)
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking: split each document into 32-token
+    windows at stride 16 (50 % overlap) — the standard context-window
+    preparation for embedding/training, inverse of sequence packing.
+    1-based token starts; the tail window is short, never dropped.
+
+    100 TB: sequence+explode+slice is narrow (no shuffle) and fully
+    codegen'd — chunking streams through the scan at IO speed. Chunk
+    count per doc is ceil(n_tokens/stride), so output size is bounded
+    by (1/stride + 1/chunk) x token volume; downstream shuffles key
+    on (doc_id, chunk_idx), which is unskewed by construction."""
+    toks = F.split(F.col("text"), " ")
+    start = F.explode(
+        F.sequence(F.lit(1), F.size(F.col("l")), F.lit(_STRIDE))
+    ).alias("i")
+    d = load(spark, sf_dir, "documents").select("doc_id", toks.alias("l"))
+    piece = F.slice(F.col("l"), F.col("i"), _CHUNK)
+    return d.select("doc_id", "l", start).select(
+        "doc_id",
+        ((F.col("i") - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk"),
+        F.size(piece).cast("int").alias("n_tokens"),
+    )
