@@ -57,3 +57,41 @@ def q_chunk_documents(spark, sf_dir):
         F.array_join(piece, " ").alias("chunk"),
         F.size(piece).cast("int").alias("n_tokens"),
     )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey)
+               AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 2
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """Latest 2 orders per customer via the rank-filter pattern
+    (operators/windows.py top_k_per_group). Total order (date DESC,
+    orderkey) makes the cut deterministic.
+
+    100 TB: the rn <= k filter compiles to WindowGroupLimit, which
+    pushes the per-group limit below the shuffle — each map task
+    forwards at most k rows per group instead of the full group, so
+    the exchange carries O(groups x k), not O(rows). Verified in
+    tests/test_plan_quality.py."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    return top_k_per_group(
+        load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+        ),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey")],
+        2,
+    ).drop("rn")
