@@ -95,3 +95,52 @@ def q_topk_per_group(spark, sf_dir):
         [F.col("o_orderdate").desc(), F.col("o_orderkey")],
         2,
     ).drop("rn")
+
+
+@register(
+    "q_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           array_to_string(list_sort(list_intersect(a.toks, b.toks)), ',')
+             AS common_tokens,
+           CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER)
+             AS n_common,
+           CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS INTEGER)
+             AS n_union,
+           CAST(len(list_filter(list_distinct(a.toks),
+                                x -> NOT list_contains(b.toks, x)))
+                AS INTEGER) AS n_only_a
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_array_setops(spark, sf_dir):
+    """Array set algebra (intersect/union/except, deduped) between
+    each document's token set and its successor's — the set-overlap
+    primitives under n-gram Jaccard, serialized sorted so both
+    engines hash identically.
+
+    100 TB: array set ops are per-row JVM expressions; the only wide
+    op is the (doc_id = doc_id+1) self-join, an equi-join on the
+    shifted key. For real pairwise workloads the pair list comes from
+    blocking (LSH/prefix/grid) — this query covers the set-op
+    expressions themselves."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.array_intersect("ta", "tb")
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.array_join(F.array_sort(inter), ",").alias("common_tokens"),
+            F.size(inter).cast("int").alias("n_common"),
+            F.size(F.array_union("ta", "tb")).cast("int").alias("n_union"),
+            F.size(F.array_except("ta", "tb")).cast("int").alias("n_only_a"),
+        )
+    )
