@@ -1,0 +1,406 @@
+"""Analytics tier XVI: robust statistics and graph analytics.
+
+New shapes over I-XV: median/MAD robust outlier detection (two-phase
+exact quantiles), gaps-and-islands over integer sequences (the
+row_number-difference trick), month-over-month growth rates, modal
+value per group (deterministic argmax), global triangle counting on
+the co-purchase graph (oriented wedge join), and a 3-iteration
+decimal-exact PageRank — the iterative-dataflow tier with a full
+DuckDB oracle (float sums are order-dependent, so every per-node
+contribution is quantized to DECIMAL(25,15) before summing; decimal
+addition is associative, making the fixpoint bit-identical on both
+engines — the same discipline operators/aggregates.py applies to
+plain SUMs).
+
+Reference parity: the reference's docs promise "anomaly detection on
+ordering behavior" (docs/full_implementation_guide.md:153) with no
+code — median/MAD is that feature done robustly; the graph tier is
+the co-purchase analysis its order_items fact exists to serve.
+
+Cross-engine exactness: quantile_cont ≡ Spark percentile (verified,
+q_percentile); double→decimal casts are tie-safe (dyadic rationals
+never sit on half-ulp decimal boundaries); IEEE division/abs on
+identical doubles; total orders under every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+
+# ------------------------------------------------------- median + MAD
+
+
+@register(
+    "q_median_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS seg_median
+      FROM customer GROUP BY c_mktsegment
+    ),
+    dev AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, m.seg_median,
+             abs(c.c_acctbal - m.seg_median) AS absdev
+      FROM customer c JOIN med m USING (c_mktsegment)
+    ),
+    mad AS (
+      SELECT c_mktsegment, quantile_cont(absdev, 0.5) AS seg_mad
+      FROM dev GROUP BY c_mktsegment
+    )
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+           d.seg_median, m.seg_mad
+    FROM dev d JOIN mad m USING (c_mktsegment)
+    WHERE d.absdev > 1.5 * m.seg_mad
+    """,
+)
+def q_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: customers whose balance deviates from
+    their segment median by more than 1.5× the median absolute
+    deviation. Median/MAD resist the heavy tail that wrecks the
+    z-score variant (q_anomaly_zscore) — this is the docs' promised
+    "anomaly detection" feature built on order statistics.
+
+    100 TB: two grouped exact percentiles (each a sort within the
+    segment partition) and two broadcast-sized dimension joins (one
+    row per segment). At scale swap percentile for approx_percentile
+    sketches — the MAD cut tolerates sketch error by construction."""
+    cust = load(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.5).alias("seg_median")
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "seg_median",
+        F.abs(F.col("c_acctbal") - F.col("seg_median")).alias("absdev"),
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.percentile("absdev", 0.5).alias("seg_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .filter(F.col("absdev") > 1.5 * F.col("seg_mad"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "seg_median", "seg_mad")
+    )
+
+
+# ------------------------------------------------------- gaps & islands
+
+
+@register(
+    "q_integer_islands",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60
+             AS minute_idx
+      FROM events
+    ),
+    g AS (
+      SELECT minute_idx,
+             minute_idx - row_number() OVER (ORDER BY minute_idx) AS grp
+      FROM m
+    )
+    SELECT MIN(minute_idx) AS island_start,
+           MAX(minute_idx) AS island_end,
+           COUNT(*) AS n_minutes
+    FROM g GROUP BY grp
+    """,
+)
+def q_integer_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the integer epoch-minute sequence of
+    event activity: maximal runs of consecutive active minutes via
+    the classic value-minus-row_number constant-group trick. The
+    integer-sequence cousin of q_sessionize (which islands on time
+    gaps, not unit steps).
+
+    100 TB: the distinct is a map-side-combined shuffle; the
+    unpartitioned row_number is a single-reducer sort over the
+    *distinct minute* domain (bounded: 525k/year) — the trick keys on
+    the domain being small after dedup, not on raw event volume."""
+    m = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr("unix_timestamp(date_trunc('minute', ts)) div 60").alias(
+                "minute_idx"
+            )
+        )
+        .distinct()
+    )
+    g = m.select(
+        "minute_idx",
+        (
+            F.col("minute_idx")
+            - F.row_number().over(Window.orderBy("minute_idx"))
+        ).alias("grp"),
+    )
+    return g.groupBy("grp").agg(
+        F.min("minute_idx").alias("island_start"),
+        F.max("minute_idx").alias("island_end"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    ).drop("grp")
+
+
+# ------------------------------------------------------- MoM growth
+
+
+@register(
+    "q_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) AS mom_growth
+    FROM m
+    """,
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: decimal-exact monthly sums,
+    then one lag and one IEEE division over identical doubles. First
+    month's growth is NULL (no prior).
+
+    100 TB: the monthly rollup shuffles once and collapses to a few
+    hundred rows; the lag window over months is driver-trivial. The
+    pre-aggregation is what makes the unpartitioned window safe —
+    never window over raw facts for a timeline."""
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+# ------------------------------------------------------- mode per group
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT l_returnflag, l_quantity AS modal_quantity, n AS n_lines,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, modal_quantity, n_lines FROM r WHERE rk = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal (most frequent) quantity per return flag — the
+    deterministic MODE() aggregate: count per (group, value), then a
+    total-order ranking (count desc, value asc tiebreak) so both
+    engines pick the same winner on ties.
+
+    100 TB: two shuffles, both map-side combinable; the ranking
+    window partitions by group so it parallelizes (and Spark executes
+    the rk=1 filter as WindowGroupLimit — top-1 per partition without
+    materializing ranks)."""
+    c = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), "l_quantity"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_quantity"),
+            F.col("n").alias("n_lines"),
+        )
+    )
+
+
+# ------------------------------------------------------- triangle count
+
+_PAIRS_CTE = """
+    d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_PAIRS_CTE}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the co-purchase graph (parts are
+    adjacent iff they share an order). Edges are oriented by key
+    (src < dst), so each triangle a<b<c is counted exactly once by
+    the wedge join e(a,b)⋈e(b,c) closed by e(a,c).
+
+    100 TB: the standard distributed algorithm — orientation bounds
+    the wedge blowup by the *oriented* out-degree (high-degree hub
+    nodes fan out only to higher ids; the classic refinement orients
+    by (degree, id) to cap it at O(sqrt(|E|))). Two shuffles on edge
+    endpoints; the closing join is a semi-probe of the edge set."""
+    d = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    e1 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tb"))
+    e2 = e.select(F.col("src").alias("tb"), F.col("dst").alias("tc"))
+    e3 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tc"))
+    return (
+        e1.join(e2, "tb")
+        .join(e3, ["ta", "tc"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# ------------------------------------------------------- PageRank
+
+_PR_ITERS = 3
+_DAMP = 0.85
+
+
+@register(
+    "q_pagerank",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    edges AS (
+      SELECT src, dst FROM e
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM deg),
+    r0 AS (
+      SELECT src AS node, CAST(1 AS DOUBLE) / (SELECT c FROM n) AS r
+      FROM deg
+    ),
+    r1 AS (
+      SELECT ed.dst AS node,
+             CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
+             + CAST(0.85 AS DOUBLE) *
+               CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(25,15))) AS DOUBLE)
+               AS r
+      FROM edges ed
+      JOIN deg d ON d.src = ed.src
+      JOIN r0 r ON r.node = ed.src
+      GROUP BY ed.dst
+    ),
+    r2 AS (
+      SELECT ed.dst AS node,
+             CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
+             + CAST(0.85 AS DOUBLE) *
+               CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(25,15))) AS DOUBLE)
+               AS r
+      FROM edges ed
+      JOIN deg d ON d.src = ed.src
+      JOIN r1 r ON r.node = ed.src
+      GROUP BY ed.dst
+    ),
+    r3 AS (
+      SELECT ed.dst AS node,
+             CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
+             + CAST(0.85 AS DOUBLE) *
+               CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(25,15))) AS DOUBLE)
+               AS r
+      FROM edges ed
+      JOIN deg d ON d.src = ed.src
+      JOIN r2 r ON r.node = ed.src
+      GROUP BY ed.dst
+    )
+    SELECT node, r AS pagerank FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 synchronous PageRank iterations (damping 0.85) over the
+    symmetric co-purchase graph — the iterative-dataflow operator
+    with a FULL value oracle: per-node contributions r/outdeg are
+    quantized to DECIMAL(25,15) before the incoming-sum, so the
+    reduction is associative and the ranks are bit-identical across
+    engines, partitionings, and retries (plain float PageRank is
+    none of those). Double→decimal quantization is tie-safe.
+
+    100 TB: one shuffle per iteration (group incoming contributions
+    by dst); the edge list with degrees is the reused build side —
+    cache it, and co-partition edges by src across iterations so only
+    the rank table moves. The symmetric graph has no dangling-mass
+    term (every node has out-edges by construction)."""
+    d = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    half = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src")
+    n_nodes = deg.count()
+
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .groupBy(F.col("dst"))
+            .agg(
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(_DAMP)
+                    * F.sum(
+                        (F.col("r") / F.col("outdeg")).cast("decimal(25,15)")
+                    ).cast("double")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))
