@@ -44,6 +44,10 @@ HEADLINE = [
     "q_tpch_q6_forecast_revenue",   # scan-filter-agg with full pushdown
     "q_asof_join",          # union+window as-of composition
     "q_enrich_derived",     # decimal-exact derived column
+    "q_cohort_retention",   # self-join + count-distinct matrix
+    "q_market_basket",      # fact self-join pair mining + top-k
+    "q_bloom_prefilter_join",  # manual runtime-filter semi join
+    "q_pagerank",           # 3-iteration decimal-exact graph fixpoint
 ]
 
 

@@ -382,15 +382,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src")
+    # the edge list is the reused build side of every iteration —
+    # materialize it ONCE (otherwise each iteration's lineage re-runs
+    # the pair-mining self-join: the difference between O(iters) and
+    # O(iters × build) work), and pre-hash-partition it on dst so the
+    # per-iteration contribution aggregate reuses the cached
+    # partitioning instead of re-shuffling the edges every round
+    ed = edges.join(deg, "src").repartition("dst").persist()
     n_nodes = deg.count()
 
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
     )
     for _ in range(_PR_ITERS):
+        # ranks is |nodes| rows — broadcast it so the (much larger)
+        # edge table never shuffles for the join; the only per-
+        # iteration shuffle is the contribution aggregation on dst
         ranks = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(F.broadcast(ranks), ed["src"] == ranks["node"])
             .groupBy(F.col("dst"))
             .agg(
                 (
