@@ -101,6 +101,98 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_BITS = 8
+
+
+@register(
+    "q_hyperplane_lsh",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT vec_id,
+             {", ".join(
+                 f"SUM(CASE WHEN md5('{j}:' || CAST(pos AS VARCHAR)) < '8' "
+                 f"THEN qv ELSE -qv END) AS d{j}"
+                 for j in range(_LSH_BITS)
+             )}
+      FROM q GROUP BY vec_id
+    ),
+    sig AS (
+      SELECT vec_id,
+             {" || ".join(
+                 f"(CASE WHEN d{j} >= 0 THEN '1' ELSE '0' END)"
+                 for j in range(_LSH_BITS)
+             )} AS bucket
+      FROM dots
+    )
+    SELECT vec_id, bucket,
+           COUNT(*) OVER (PARTITION BY bucket) AS n_in_bucket
+    FROM sig
+    """,
+)
+def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (SimHash for dense vectors): 8 signed
+    projections bucket each embedding by the sign pattern of its dot
+    products with ±1 hyperplanes (plane j's sign at dimension i is
+    md5('j:i') < '8' — deterministic, engine-portable, no RNG state).
+    Components are quantized to integers (FLOOR(v·1000)) BEFORE the
+    dot product, so the projection sums are associative integer
+    arithmetic and the sign — the only thing the bucket depends on —
+    is exact on both engines (a float dot product could flip a
+    near-zero sign between engines; cf. the angular counterpart of
+    the coordinate-space q_simhash).
+
+    100 TB: one narrow explode + one map-side-combinable aggregate
+    per vector — no pairwise work at all; candidate pairs come from
+    equal buckets (expected collisions concentrate near-duplicates at
+    cos θ ≈ 1 with P[same bit] = 1 − θ/π). Widen bits or AND/OR
+    multiple tables to trade recall vs bucket size; this is the
+    embedding-side analogue of the MinHash band trick
+    (q_lsh_candidates)."""
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("v").cast("double") * 1000).cast("bigint").alias("qv"),
+        )
+    )
+    signed = [
+        F.sum(
+            F.when(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("pos").cast("string")))
+                < "8",
+                F.col("qv"),
+            ).otherwise(-F.col("qv"))
+        ).alias(f"d{j}")
+        for j in range(_LSH_BITS)
+    ]
+    dots = q.groupBy("vec_id").agg(*signed)
+    bucket = F.concat(
+        *[
+            F.when(F.col(f"d{j}") >= 0, "1").otherwise("0")
+            for j in range(_LSH_BITS)
+        ]
+    ).alias("bucket")
+    sig = dots.select("vec_id", bucket)
+    from pyspark.sql import Window
+
+    return sig.select(
+        "vec_id",
+        "bucket",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("bucket"))
+        .alias("n_in_bucket"),
+    )
+
+
 @register(
     "q_grouping_id",
     oracle="""

@@ -12,6 +12,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics18 import (
     q_bitmap_distinct,
     q_bpe_token_count,
     q_grouping_id,
+    q_hyperplane_lsh,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import REGISTRY
 
@@ -51,6 +52,20 @@ def test_grouping_id_levels(spark):
     # subtotals tie out to detail rows
     detail = sum(r["n_orders"] for r in rows if r["gid"] == 0)
     assert detail == total
+
+
+def test_hyperplane_lsh_buckets_consistent(spark):
+    rows = q_hyperplane_lsh(spark, SF0001).collect()
+    n_vecs = load(spark, SF0001, "embeddings").count()
+    assert len(rows) == n_vecs
+    sizes: dict[str, int] = {}
+    for r in rows:
+        assert len(r["bucket"]) == 8 and set(r["bucket"]) <= {"0", "1"}
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    for r in rows:
+        assert r["n_in_bucket"] == sizes[r["bucket"]]
+    # hashing actually spreads vectors over multiple buckets
+    assert len(sizes) > 1
 
 
 # ---- physical-plan regressions for the new tiers (scale contracts)
