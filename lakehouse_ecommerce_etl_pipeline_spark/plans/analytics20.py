@@ -1,0 +1,297 @@
+"""Analytics tier XX: statistical tests, sketch-quality measurement,
+funnel timing.
+
+- chi-square test of independence over a contingency table, with the
+  term sums routed through DECIMAL so the statistic is associative
+  and fully value-oracled (each term is an IEEE expression of exact
+  integers — identical on both engines — and the quantized terms add
+  in any order);
+- MinHash estimate-quality: the estimated Jaccard (matching signature
+  fraction) side-by-side with the exact token-set Jaccard on the LSH
+  candidate pairs — the measurement loop that tells you whether 8
+  permutations are enough before you scale the dedup;
+- time-to-convert funnel latency: exact interpolated median/p90 of
+  first-view→first-purchase seconds.
+
+Reference parity: all extension-tier (SURVEY.md §2.13) — the
+analytical zone's "ordering behavior" analyses, done with
+engine-exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
+    _BANDS_UNION,
+    _NUM_HASHES,
+    _ROWS_PER_BAND,
+    _SIG_SELECT,
+    _tok_cte,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+
+# ------------------------------------------------- chi-square test
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT s, p, o,
+             CAST(SUM(o) OVER (PARTITION BY s) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY p) AS BIGINT) AS c,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT n,
+             CAST(
+               (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+               / CAST(n * r * c AS DOUBLE)
+             AS DECIMAL(30,12)) AS term
+      FROM m
+    )
+    SELECT CAST(SUM(term) AS DOUBLE) AS chi2_stat,
+           CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM orders) - 1 AS INTEGER)
+           * CAST((SELECT COUNT(DISTINCT o_orderpriority) FROM orders) - 1
+                  AS INTEGER) AS dof,
+           MAX(n) AS n
+    FROM terms
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order status and
+    priority: contingency cells + marginals via windows over the
+    (tiny) cell table, per-cell terms (o·n − r·c)²/(n·r·c) computed
+    as IEEE expressions of exact integers (identical on both
+    engines), then quantized to DECIMAL(30,12) so the final sum is
+    order-independent — a float Σ would tie the statistic to
+    partitioning.
+
+    100 TB: one shuffle to build the cells; everything after runs on
+    |status|×|priority| rows. The bigint products bound the row count
+    at ~3·10^6 per marginal before n·r·c needs the term rewritten as
+    (d/n)·(d/r)/c — note for true 100 TB cardinalities."""
+    cells = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = cells.select(
+        "s",
+        "p",
+        "o",
+        F.sum("o").over(Window.partitionBy("s")).alias("r"),
+        F.sum("o").over(Window.partitionBy("p")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = (
+        (diff * diff) / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    ).cast("decimal(30,12)")
+    terms = m.select("n", term.alias("term"))
+    o = load(spark, sf_dir, "orders")
+    dof = (
+        (o.select("o_orderstatus").distinct().count() - 1)
+        * (o.select("o_orderpriority").distinct().count() - 1)
+    )
+    return terms.agg(
+        F.sum("term").cast("double").alias("chi2_stat"),
+        F.lit(dof).cast("int").alias("dof"),
+        F.max("n").alias("n"),
+    )
+
+
+# ------------------------------------------------- sketch quality
+
+_EST_MATCH = " + ".join(
+    f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+    for i in range(_NUM_HASHES)
+)
+
+
+@register(
+    "q_minhash_estimate_quality",
+    oracle=f"""
+    WITH {_tok_cte("WHERE doc_id < 100")},
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM tok GROUP BY doc_id),
+    bands AS (
+      {_BANDS_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b, ({_EST_MATCH}) AS n_match
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.id_a
+      JOIN tok b ON b.doc_id = c.id_b AND b.tok = a.tok
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           CAST(e.n_match AS DOUBLE) / {_NUM_HASHES} AS est_jaccard,
+           ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE), 6)
+             AS true_jaccard
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    """,
+)
+def q_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (fraction of the 8 signature slots that
+    agree — an unbiased estimator of J) next to the exact token-set
+    Jaccard. Run it before scaling a dedup: the est-vs-true spread
+    tells you whether 8 permutations and a 0.5 threshold hold, or you
+    need 16/32. All comparisons are md5-string equalities and integer
+    ratios — exact on both engines.
+
+    100 TB: estimates are free (signatures already exist for LSH);
+    exact Jaccard runs only on the candidate pairs, which is the
+    whole point of banding. Bounded here to a doc subset (the
+    measurement needs a sample, not the corpus) — same discipline as
+    q_jaccard_pairs."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(_NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(_NUM_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    )
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", n_match.alias("n_match"))
+    )
+
+    tok = tokens(docs, "doc_id", "text")
+    ta = tok.select(F.col("doc_id").alias("id_a"), F.col("tok").alias("t"))
+    tb = tok.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("t"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
+
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_match").cast("double") / _NUM_HASHES).alias(
+                "est_jaccard"
+            ),
+            F.round(
+                i0.cast("double") / (F.col("sa") + F.col("sb") - i0).cast("double"),
+                6,
+            ).alias("true_jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------- funnel timing
+
+
+@register(
+    "q_time_to_convert",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT date_diff('second', t_view, t_buy) AS conv_s
+      FROM u WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+        AND t_buy > t_view
+    )
+    SELECT COUNT(*) AS n_converted,
+           quantile_cont(conv_s, 0.5) AS median_s,
+           quantile_cont(conv_s, 0.9) AS p90_s
+    FROM conv
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: seconds from a user's first view to their
+    first purchase (ordered conversions only), summarized as exact
+    interpolated median and p90 — the duration companion of
+    q_funnel_ordered's stage counts. Durations are integer epoch-
+    second differences, so the percentile interpolation runs on
+    identical inputs cross-engine.
+
+    100 TB: one conditional-min aggregate per user (map-side
+    combinable), then percentiles over one value per converted user —
+    swap exact percentile for approx_percentile at cluster scale."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_buy"),
+        )
+    )
+    conv = u.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_view"))
+    ).select(
+        (
+            F.expr("unix_micros(t_buy) div 1000000")
+            - F.expr("unix_micros(t_view) div 1000000")
+        ).alias("conv_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("conv_s", 0.5).alias("median_s"),
+        F.percentile("conv_s", 0.9).alias("p90_s"),
+    )
