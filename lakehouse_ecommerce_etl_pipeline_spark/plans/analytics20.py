@@ -295,3 +295,44 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("conv_s", 0.5).alias("median_s"),
         F.percentile("conv_s", 0.9).alias("p90_s"),
     )
+
+
+# ------------------------------------------------- moving median
+
+
+@register(
+    "q_moving_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_median
+    FROM events
+    """,
+)
+def q_moving_median(spark, sf_dir):
+    """Rolling median of the event value over a trailing 5-row frame
+    per user — the robust (outlier-immune) counterpart of the moving
+    averages in q_window_frame, and an ordered-set aggregate running
+    as a window function. The frame is a row count under a total
+    (ts, event_id) order, and interpolation sees identical doubles on
+    both engines, so every output is bit-stable.
+
+    100 TB: one shuffle on user_id, then a per-partition sort and a
+    5-element sliding buffer — no whole-history state. Percentile
+    frames resist incremental computation (no inverse op), so Spark
+    recomputes per frame: fine at width 5, use a t-digest-style
+    sketch column for wide frames."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.percentile("value", 0.5).over(w).alias("moving_median"),
+    )

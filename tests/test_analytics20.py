@@ -39,3 +39,23 @@ def test_time_to_convert_percentiles_ordered(spark):
     r = q_time_to_convert(spark, SF0001).first()
     assert r["n_converted"] > 0
     assert 0 <= r["median_s"] <= r["p90_s"]
+
+
+def test_moving_median_first_row_equals_value(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_moving_median,
+    )
+
+    mm = q_moving_median(spark, SF0001)
+    first = (
+        load(spark, SF0001, "events")
+        .groupBy("user_id")
+        .agg(F.min_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+    )
+    joined = mm.join(first, ["user_id", "event_id"]).collect()
+    assert joined
+    for r in joined:
+        assert r["moving_median"] == r["value"]  # 1-row frame
