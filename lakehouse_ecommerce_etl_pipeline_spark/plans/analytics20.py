@@ -336,3 +336,134 @@ def q_moving_median(spark, sf_dir):
         "value",
         F.percentile("value", 0.5).over(w).alias("moving_median"),
     )
+
+
+# ------------------------------------------------- boundary buckets
+
+_DECILES = "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]"
+
+
+@register(
+    "q_quantile_bucket_assign",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_cont(c_acctbal, {_DECILES}) AS bl FROM customer
+    )
+    SELECT c.c_custkey,
+           CAST(len(list_filter(b.bl, x -> x < c.c_acctbal)) + 1 AS INTEGER)
+             AS decile
+    FROM customer c CROSS JOIN b
+    """,
+)
+def q_quantile_bucket_assign(spark, sf_dir):
+    """Equi-depth bucket ASSIGNMENT via precomputed boundaries: one
+    pass computes the 9 decile cut points, then every row's bucket is
+    1 + (boundaries strictly below its value) — a broadcast of 9
+    doubles and a codegen'd array scan per row. This is the scale
+    path the ntile-based q_histogram_equidepth's docstring promises:
+    same bucketing contract, NO global sort, no single reducer.
+    Boundary values and < comparisons are identical doubles on both
+    engines, so assignments match exactly.
+
+    100 TB: swap the exact percentile for approx_percentile (one-pass
+    mergeable sketch) and the plan is a scan + broadcast + scan —
+    fully parallel at any scale; rows equal to a cut point land in
+    the lower bucket by the strict < (deterministic tie rule)."""
+    cust = load(spark, sf_dir, "customer")
+    b = cust.agg(
+        F.percentile(
+            "c_acctbal", [i / 10 for i in range(1, 10)]
+        ).alias("bl")
+    )
+    return cust.crossJoin(F.broadcast(b)).select(
+        "c_custkey",
+        (
+            F.size(F.filter("bl", lambda x: x < F.col("c_acctbal"))) + 1
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+
+
+# ------------------------------------------------- feature moments
+
+
+@register(
+    "q_feature_moments",
+    oracle="""
+    WITH q AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    z AS (
+      SELECT pos, v,
+             CAST(FLOOR(v * 100000000) AS DECIMAL(20,0)) AS qi
+      FROM q
+    ),
+    m AS (
+      SELECT pos,
+             CAST(COUNT(*) AS DECIMAL(20,0)) AS n,
+             SUM(qi) AS s1,
+             SUM(qi * qi) AS s2,
+             MIN(v) AS lo, MAX(v) AS hi
+      FROM z GROUP BY pos
+    )
+    SELECT CAST(pos AS INTEGER) AS pos,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100000000.0 AS mean,
+           sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) / 100000000.0
+             AS stddev,
+           lo, hi
+    FROM m
+    """,
+)
+def q_feature_moments(spark, sf_dir):
+    """Per-dimension feature statistics of the embedding matrix
+    (mean, population stddev, min, max) — the profiling pass feature
+    standardization / whitening reads its scale factors from.
+    Components are quantized to FLOOR(v·1e8) integers so BOTH moments
+    and the variance numerator n·Σx² − (Σx)² are exact decimal
+    arithmetic; floats appear only in the final divisions and sqrt of
+    identical inputs. (The textbook E[x²]−E[x]² in doubles loses the
+    oracle to FMA: DuckDB contracts a−b·c where the JVM cannot, a
+    1-ulp divergence this formulation removes.)
+
+    100 TB: one narrow posexplode + one map-side-combinable aggregate
+    over 64 groups; the same shape as q_label_centroids with a second
+    moment added — production fuses both passes into one agg."""
+    z = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.col("vf").cast("double").alias("v"),
+        )
+        .withColumn(
+            "qi", F.floor(F.col("v") * 100000000).cast("decimal(20,0)")
+        )
+    )
+    m = z.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum("qi").alias("s1"),
+        F.sum(F.col("qi") * F.col("qi")).alias("s2"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    n_d = F.col("n").cast("double")
+    return m.select(
+        "pos",
+        (F.col("s1").cast("double") / n_d / 100000000.0).alias("mean"),
+        (
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                    "double"
+                )
+                / n_d
+                / n_d
+            )
+            / 100000000.0
+        ).alias("stddev"),
+        "lo",
+        "hi",
+    )

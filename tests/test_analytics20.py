@@ -59,3 +59,44 @@ def test_moving_median_first_row_equals_value(spark):
     assert joined
     for r in joined:
         assert r["moving_median"] == r["value"]  # 1-row frame
+
+
+def test_quantile_buckets_are_balanced_deciles(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_quantile_bucket_assign,
+    )
+
+    df = q_quantile_bucket_assign(spark, SF0001)
+    sizes = {
+        r["decile"]: r["n"]
+        for r in df.groupBy("decile").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(sizes) == set(range(1, 11))
+    # equi-depth up to interpolation ties: no bucket off by >2 from ideal
+    n = sum(sizes.values())
+    for v in sizes.values():
+        assert abs(v - n / 10) <= 2
+
+
+def test_feature_moments_match_numpy(spark):
+    import numpy as np
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_feature_moments,
+    )
+
+    rows = {r["pos"]: r for r in q_feature_moments(spark, SF0001).collect()}
+    mat = np.array(
+        [r["embedding"] for r in load(spark, SF0001, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    assert len(rows) == mat.shape[1] == 64
+    for pos in (0, 31, 63):
+        q = np.floor(mat[:, pos] * 1e8)
+        assert abs(rows[pos]["mean"] - q.mean() / 1e8) < 1e-9
+        assert abs(rows[pos]["stddev"] - q.std() / 1e8) < 1e-6
+        assert rows[pos]["lo"] == mat[:, pos].min()
+        assert rows[pos]["hi"] == mat[:, pos].max()
