@@ -467,3 +467,56 @@ def q_feature_moments(spark, sf_dir):
         "lo",
         "hi",
     )
+
+
+# ------------------------------------------------- SQL-defined UDF
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS net_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sql_udf(spark, sf_dir):
+    """SQL-defined scalar function (Spark 4 `CREATE FUNCTION ...
+    RETURN expr`): the net-price formula is declared ONCE as catalog
+    DDL and reused by name — the engine's answer to the reference's
+    copy-pasted per-job expressions (the same formula appears inline
+    in all three Glue jobs). Declared with a DECIMAL return type so
+    aggregation over it stays exact; the oracle inlines the body,
+    proving SQL UDFs are pure macro expansion (Catalyst inlines them
+    — zero runtime cost, unlike Python UDFs).
+
+    100 TB: a SQL UDF is substituted into the plan before
+    optimization, so pushdown/codegen/pruning see through it — the
+    ONLY udf flavor with no scale tax; it is also the unit of
+    business-logic governance (one definition, grants, versioned in
+    the catalog)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        ensure_session_defaults,
+    )
+
+    ensure_session_defaults(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(17,4) "
+        "RETURN CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(4,2)))"
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_udf_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(net_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS net_revenue,
+               COUNT(*) AS n_lines
+        FROM sql_udf_lineitem GROUP BY l_returnflag
+        """
+    )

@@ -100,3 +100,32 @@ def test_feature_moments_match_numpy(spark):
         assert abs(rows[pos]["stddev"] - q.std() / 1e8) < 1e-6
         assert rows[pos]["lo"] == mat[:, pos].min()
         assert rows[pos]["hi"] == mat[:, pos].max()
+
+
+def test_sql_udf_matches_inline_expression(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_sql_udf,
+    )
+
+    got = {
+        r["l_returnflag"]: (r["net_revenue"], r["n_lines"])
+        for r in q_sql_udf(spark, SF0001).collect()
+    }
+    rev = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    )
+    want = {
+        r["l_returnflag"]: (r["net_revenue"], r["n_lines"])
+        for r in load(spark, SF0001, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(rev).cast("double").alias("net_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .collect()
+    }
+    assert got == want
