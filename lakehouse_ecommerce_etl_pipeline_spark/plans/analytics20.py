@@ -520,3 +520,68 @@ def q_sql_udf(spark, sf_dir):
         FROM sql_udf_lineitem GROUP BY l_returnflag
         """
     )
+
+
+# ------------------------------------------------- CDC apply-changes
+
+_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderdate, o_orderpriority"
+)
+_UPD = "md5('upd:' || CAST(o_orderkey AS VARCHAR)) < '2'"
+_DEL = f"md5('del:' || CAST(o_orderkey AS VARCHAR)) < '2' AND NOT ({_UPD})"
+
+
+@register(
+    "q_merge_apply_changes",
+    oracle=f"""
+    WITH changed AS (
+      SELECT o_orderkey FROM orders WHERE ({_UPD}) OR ({_DEL})
+    ),
+    kept AS (
+      SELECT {_ORDER_COLS} FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+    ),
+    upserts AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE {_UPD}
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM upserts
+    """,
+)
+def q_merge_apply_changes(spark, sf_dir):
+    """MERGE with a delete branch (CDC apply): a deterministic change
+    feed — ~1/8 of keys updated (+1000 price), a disjoint ~1/8
+    retracted — applied to the orders table via
+    sinks/merge.py::apply_changes_frames. The relational core
+    (anti-join ∪ filtered upserts) is what the Delta
+    whenMatchedDelete/UpdateAll/InsertAll branches compute, so the
+    snapshot oracles exactly; the storage path is exercised by
+    tests/test_merge_and_tables.py.
+
+    100 TB: one shuffle on the merge key; with Delta, file skipping
+    bounds the rewrite to files containing changed keys and deletes
+    are tombstones until VACUUM. The md5-threshold change feed is the
+    cookbook's deterministic-sampling trick — reproducible fixtures
+    without RNG."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sinks.merge import (
+        apply_changes_frames,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    upd = F.expr(_UPD.replace("VARCHAR", "STRING"))
+    dele = F.expr(_DEL.replace("VARCHAR", "STRING"))
+    changes = orders.filter(upd | dele).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(upd, F.col("o_totalprice") + 1000)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.when(dele, "delete").otherwise("upsert").alias("op"),
+    )
+    return apply_changes_frames(orders, changes, ["o_orderkey"], op_col="op")

@@ -94,6 +94,78 @@ def merge_upsert(
     managed.write(spark, merged, path, partition_by=list(partition_by or []))
 
 
+def apply_changes_frames(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Relational CDC-apply (MERGE with a delete branch): ``source``
+    rows are last-write-wins upserts unless ``op_col == 'delete'``,
+    which removes the key from the target — the
+    ``whenMatchedDelete`` clause the plain reference MERGE
+    (glue_jobs/orders_etl.py:82-91) lacks, required the day an
+    upstream emits retractions.
+
+        result = (target ⟕̸ source.keys) ∪ σ[op≠delete](source)
+
+    Same uniqueness contract as ``merge_frames``: source unique per
+    key (one op per key per batch)."""
+    kept = target.join(
+        source.select(*keys).distinct(), on=list(keys), how="left_anti"
+    )
+    cols = target.columns
+    upserts = source.filter(F.col(op_col) != "delete").select(*cols)
+    return kept.select(*cols).unionByName(upserts)
+
+
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Storage CDC-apply on a managed table: Delta
+    ``whenMatchedDelete(op='delete') / whenMatchedUpdateAll /
+    whenNotMatchedInsert(op≠'delete')`` when delta-spark is present,
+    else the snapshot rewrite of ``apply_changes_frames``.
+
+    100 TB: identical file-skipping profile to MERGE — only files
+    holding matched keys rewrite; deletes are logical (tombstoned by
+    the new file list) until VACUUM reclaims them."""
+    if not managed.exists(path):
+        managed.write(
+            spark,
+            source.filter(F.col(op_col) != "delete").drop(op_col),
+            path,
+            partition_by=list(partition_by or []),
+        )
+        return
+    if delta_available():
+        from delta.tables import DeltaTable  # type: ignore
+
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        data_cols = [c for c in source.columns if c != op_col]
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedDelete(condition=f"s.{op_col} = 'delete'")
+            .whenMatchedUpdate(set={c: f"s.{c}" for c in data_cols})
+            .whenNotMatchedInsert(
+                condition=f"s.{op_col} != 'delete'",
+                values={c: f"s.{c}" for c in data_cols},
+            )
+            .execute()
+        )
+        return
+    target = managed.read(spark, path)
+    merged = apply_changes_frames(target, source, keys, op_col=op_col)
+    managed.write(spark, merged, path, partition_by=list(partition_by or []))
+
+
 def assert_unique_keys(df: DataFrame, keys: Sequence[str]) -> None:
     """Guard for the MERGE source-uniqueness contract (raises on dupes).
     An action — use in tests/pipeline, not in lazy plans."""

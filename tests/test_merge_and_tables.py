@@ -48,3 +48,32 @@ def test_assert_unique_keys_raises_on_dupes(spark):
     with pytest.raises(ValueError, match="duplicate keys"):
         assert_unique_keys(df, ["k"])
     assert_unique_keys(df.limit(1), ["k"])  # unique → no raise
+
+
+def test_apply_changes_deletes_and_upserts(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.sinks.merge import apply_changes
+    from lakehouse_ecommerce_etl_pipeline_spark.sources import table as managed
+
+    path = str(tmp_path / "cdc_target")
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    )
+    apply_changes(spark, path, base.withColumn("op", F.lit("upsert")), ["k"])
+
+    changes = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [2, 3, 5], "v": ["B", None, "E"], "op": ["upsert", "delete", "upsert"]}
+        )
+    )
+    apply_changes(spark, path, changes, ["k"])
+    got = {r["k"]: r["v"] for r in managed.read(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 4: "d", 5: "E"}  # 3 deleted, 2 updated
+
+    # idempotent re-apply: deletes of absent keys are no-ops,
+    # upserts converge to the same snapshot
+    apply_changes(spark, path, changes, ["k"])
+    again = {r["k"]: r["v"] for r in managed.read(spark, path).collect()}
+    assert again == got
