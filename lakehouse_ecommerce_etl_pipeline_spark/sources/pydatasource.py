@@ -16,7 +16,12 @@ The driver never materializes rows; generators stream per task.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def synthetic_value(i: int) -> int:
@@ -38,6 +43,9 @@ class SyntheticRowsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticRowsReader":
         return SyntheticRowsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticRowsStreamReader":
+        return SyntheticRowsStreamReader(self.options)
+
 
 class SyntheticRowsReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -53,6 +61,41 @@ class SyntheticRowsReader(DataSourceReader):
         hi = self.n * (i + 1) // self.num_partitions
         for row_id in range(lo, hi):
             yield (row_id, synthetic_value(row_id))
+
+
+class SyntheticRowsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source (Spark 4
+    SimpleDataSourceStreamReader): offsets are row ids, each
+    micro-batch emits the next `batch_rows` ids with the SAME
+    deterministic payload formula as the batch reader — stream/batch
+    parity by construction, which is what the pytest asserts.
+
+    100 TB: offsets are the replay contract — `read(start)` must be
+    a pure function of the offset range so checkpoint recovery
+    re-produces identical batches (exactly-once through an
+    idempotent sink). A real connector maps these to queue offsets /
+    log sequence numbers; the simple reader runs on the driver, so
+    it suits control-plane-rate feeds — high-volume streams implement
+    the partitioned DataSourceStreamReader instead."""
+
+    def __init__(self, options) -> None:
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        rows = [(i, synthetic_value(i)) for i in range(lo, hi)]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: pure function of the offset range
+        return iter(
+            (i, synthetic_value(i)) for i in range(start["next"], end["next"])
+        )
 
 
 def register_synthetic_source(spark) -> None:

@@ -41,3 +41,41 @@ def test_stream_ingest_merge_exactly_once(spark, tmp_path):
     assert out3 == out2
     # checkpoint prevented re-reading old files (exactly-once discovery)
     assert managed.history(table) == [1, 2]
+
+
+def test_python_streaming_datasource_matches_batch(spark, tmp_path):
+    """Spark 4 SimpleDataSourceStreamReader: drain the synthetic
+    stream and assert exact stream/batch parity of the deterministic
+    payload (offsets are row ids; read(start) is pure)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.pydatasource import (
+        register_synthetic_source,
+        synthetic_value,
+    )
+
+    register_synthetic_source(spark)
+    got: dict[int, int] = {}
+
+    def sink(batch_df, _bid: int) -> None:
+        for r in batch_df.collect():
+            got[r["id"]] = r["v"]
+
+    # a simple stream reader yields ONE micro-batch per availableNow
+    # run; re-running on the same checkpoint resumes from the
+    # committed offset — the recovery contract under test
+    for _ in range(5):
+        q = (
+            spark.readStream.format("synthetic_rows")
+            .option("batch_rows", 200)
+            .option("max_rows", 500)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if len(got) >= 500:
+            break
+
+    assert len(got) == 500  # drained to max_rows, no dupes
+    assert all(got[i] == synthetic_value(i) for i in range(500))
