@@ -77,3 +77,50 @@ def test_apply_changes_deletes_and_upserts(spark, tmp_path):
     apply_changes(spark, path, changes, ["k"])
     again = {r["k"]: r["v"] for r in managed.read(spark, path).collect()}
     assert again == got
+
+
+def test_dynamic_partition_overwrite_touches_only_landed_partitions(
+    spark, tmp_path
+):
+    import pandas as pd
+
+    from lakehouse_ecommerce_etl_pipeline_spark.sinks.writer import (
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {"d": ["a", "a", "b", "c"], "v": [1, 2, 3, 4]}
+        )
+    )
+    write_partitioned(base, path, ["d"])
+
+    # re-land partition 'b' only
+    patch = spark.createDataFrame(pd.DataFrame({"d": ["b"], "v": [30]}))
+    overwrite_partitions(patch, path, ["d"])
+
+    got = sorted(
+        (r["d"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [("a", 1), ("a", 2), ("b", 30), ("c", 4)]
+
+
+def test_max_records_per_file_splits_output(spark, tmp_path):
+    import os
+
+    from lakehouse_ecommerce_etl_pipeline_spark.sinks.writer import (
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "mrpf")
+    df = spark.range(1000).selectExpr("id", "'x' AS d").coalesce(1)
+    write_partitioned(df, path, ["d"], max_records_per_file=100)
+    files = [
+        f
+        for f in os.listdir(os.path.join(path, "d=x"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 10  # 1000 rows / 100-row cap
+    assert spark.read.parquet(path).count() == 1000
