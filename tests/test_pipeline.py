@@ -132,3 +132,19 @@ def test_pipeline_second_monthly_batch_upserts(spark, raw_zone):
     # both monthly files archived + marked
     archived = sorted(os.listdir(os.path.join(raw_zone, "archived", "orders")))
     assert archived == ["orders_apr_2025.bundle", "orders_may_2025.bundle"]
+
+
+def test_cli_entrypoint_runs_dag_and_prints_summary(spark, raw_zone, capsys):
+    import json
+
+    from lakehouse_ecommerce_etl_pipeline_spark.pipeline.__main__ import main
+
+    rc = main([str(raw_zone)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["datasets"]) == {"products", "orders", "order_items"}
+    # second invocation: marker log skips everything, summary is empty
+    rc = main([str(raw_zone)])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["datasets"] == {}
