@@ -147,3 +147,63 @@ def q_python_datasource(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_python_datasource_stream",
+    oracle="""
+    SELECT id, (id*id*31 + id*17) % 1000 AS v
+    FROM range(0, 600) t(id)
+    """,
+)
+def q_python_datasource_stream(spark, sf_dir):
+    """Read through the STREAMING face of the custom Python
+    DataSource (Spark 4 SimpleDataSourceStreamReader): drain the
+    offset-ordered micro-batches (150 rows each) into a batch frame
+    via foreachBatch. Offsets are row ids and read(start) is a pure
+    function of the range, so the drained stream equals the
+    closed-form oracle row-for-row — stream/batch parity for a
+    custom connector.
+
+    100 TB: the simple reader is driver-side (control-plane rates);
+    the partitioned DataSourceStreamReader variant fans splits to
+    executors. Either way the offset log is the replay contract:
+    checkpoint recovery re-reads [start, end) and an idempotent sink
+    dedups — exactly-once end to end (tests/test_streaming_ingest.py
+    exercises the resume)."""
+    import tempfile
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        ensure_session_defaults,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    ensure_session_defaults(spark)
+    register_synthetic_source(spark)
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend((r["id"], r["v"]) for r in batch_df.collect())
+
+    with tempfile.TemporaryDirectory() as ck:
+        # one micro-batch per availableNow run (simple-reader
+        # contract) — loop until the bounded stream is drained
+        for _ in range(8):
+            q = (
+                spark.readStream.format("synthetic_rows")
+                .option("batch_rows", 150)
+                .option("max_rows", 600)
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if len(rows) >= 600:
+                break
+    return spark.createDataFrame(
+        sorted(set(rows)), schema="id bigint, v bigint"
+    )
