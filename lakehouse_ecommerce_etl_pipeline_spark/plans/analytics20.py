@@ -585,3 +585,71 @@ def q_merge_apply_changes(spark, sf_dir):
         F.when(dele, "delete").otherwise("upsert").alias("op"),
     )
     return apply_changes_frames(orders, changes, ["o_orderkey"], op_col="op")
+
+
+# ------------------------------------------------- activity heatmap
+
+
+@register(
+    "q_dow_hour_heatmap",
+    oracle="""
+    WITH e AS (
+      SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INTEGER) AS h FROM events
+    )
+    SELECT dow,
+           CAST(COALESCE(SUM(CASE WHEN h = 0 THEN 1 END), 0) AS BIGINT) AS h00,
+           CAST(COALESCE(SUM(CASE WHEN h = 1 THEN 1 END), 0) AS BIGINT) AS h01,
+           CAST(COALESCE(SUM(CASE WHEN h = 2 THEN 1 END), 0) AS BIGINT) AS h02,
+           CAST(COALESCE(SUM(CASE WHEN h = 3 THEN 1 END), 0) AS BIGINT) AS h03,
+           CAST(COALESCE(SUM(CASE WHEN h = 4 THEN 1 END), 0) AS BIGINT) AS h04,
+           CAST(COALESCE(SUM(CASE WHEN h = 5 THEN 1 END), 0) AS BIGINT) AS h05,
+           CAST(COALESCE(SUM(CASE WHEN h = 6 THEN 1 END), 0) AS BIGINT) AS h06,
+           CAST(COALESCE(SUM(CASE WHEN h = 7 THEN 1 END), 0) AS BIGINT) AS h07,
+           CAST(COALESCE(SUM(CASE WHEN h = 8 THEN 1 END), 0) AS BIGINT) AS h08,
+           CAST(COALESCE(SUM(CASE WHEN h = 9 THEN 1 END), 0) AS BIGINT) AS h09,
+           CAST(COALESCE(SUM(CASE WHEN h = 10 THEN 1 END), 0) AS BIGINT) AS h10,
+           CAST(COALESCE(SUM(CASE WHEN h = 11 THEN 1 END), 0) AS BIGINT) AS h11,
+           CAST(COALESCE(SUM(CASE WHEN h = 12 THEN 1 END), 0) AS BIGINT) AS h12,
+           CAST(COALESCE(SUM(CASE WHEN h = 13 THEN 1 END), 0) AS BIGINT) AS h13,
+           CAST(COALESCE(SUM(CASE WHEN h = 14 THEN 1 END), 0) AS BIGINT) AS h14,
+           CAST(COALESCE(SUM(CASE WHEN h = 15 THEN 1 END), 0) AS BIGINT) AS h15,
+           CAST(COALESCE(SUM(CASE WHEN h = 16 THEN 1 END), 0) AS BIGINT) AS h16,
+           CAST(COALESCE(SUM(CASE WHEN h = 17 THEN 1 END), 0) AS BIGINT) AS h17,
+           CAST(COALESCE(SUM(CASE WHEN h = 18 THEN 1 END), 0) AS BIGINT) AS h18,
+           CAST(COALESCE(SUM(CASE WHEN h = 19 THEN 1 END), 0) AS BIGINT) AS h19,
+           CAST(COALESCE(SUM(CASE WHEN h = 20 THEN 1 END), 0) AS BIGINT) AS h20,
+           CAST(COALESCE(SUM(CASE WHEN h = 21 THEN 1 END), 0) AS BIGINT) AS h21,
+           CAST(COALESCE(SUM(CASE WHEN h = 22 THEN 1 END), 0) AS BIGINT) AS h22,
+           CAST(COALESCE(SUM(CASE WHEN h = 23 THEN 1 END), 0) AS BIGINT) AS h23
+    FROM e GROUP BY dow
+""",
+)
+def q_dow_hour_heatmap(spark, sf_dir):
+    """Day-of-week x hour-of-day activity heatmap: the canonical
+    operations dashboard matrix, computed as a pivot over derived
+    time parts. Day numbering is normalized to DuckDB's 0=Sunday
+    convention (Spark dayofweek is 1=Sunday — the classic
+    cross-engine off-by-one); missing cells are zero-filled so the
+    matrix is dense.
+
+    100 TB: one shuffle on (dow) with map-side combine over at most
+    7x24 cells — the pivot is metadata-width, the scan is the cost.
+    Derived-column pivots like this are why partition pruning on a
+    date column matters: a dashboard refresh scans only new days."""
+    e = load(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("int").alias("h"),
+    )
+    pivoted = (
+        e.groupBy("dow")
+        .pivot("h", list(range(24)))
+        .agg(F.count(F.lit(1)))
+    )
+    zero = F.lit(0).cast("bigint")
+    return pivoted.select(
+        "dow",
+        *[
+            F.coalesce(F.col(str(h)).cast("bigint"), zero).alias(f"h{h:02d}".format(h=h))
+            for h in range(24)
+        ],
+    )
