@@ -653,3 +653,57 @@ def q_dow_hour_heatmap(spark, sf_dir):
             for h in range(24)
         ],
     )
+
+
+# ------------------------------------------------- sequence patterns
+
+
+@register(
+    "q_sequence_pattern",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, journey,
+           CAST(len(regexp_extract_all(journey, 'v[ce]*p')) AS BIGINT)
+             AS n_conversions,
+           journey LIKE '%vp%' AS has_direct_conversion
+    FROM j
+    """,
+)
+def q_sequence_pattern(spark, sf_dir):
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE shape):
+    collapse each user's ordered event stream into a journey string
+    of type initials, then count regex occurrences of
+    view→(click|error)*→purchase — pattern mining over sequences as
+    plain string algebra. Ordering is imposed INSIDE the aggregation
+    (collect_list of (ts,event_id,initial) structs, array_sort, then
+    join), since collect_list alone has no order guarantee; the
+    oracle's string_agg carries the same ORDER BY. Regex uses
+    explicit ASCII classes only (Java/RE2-portable).
+
+    100 TB: one shuffle on user_id; journeys are bounded by per-user
+    activity (cap with slice() for power users). The technique turns
+    sequential-pattern queries into scan+regex — no self-joins, no
+    state machine UDF, codegen end to end."""
+    j = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "  struct(ts, event_id, substring(event_type, 1, 1) AS c)"
+                ")), s -> s.c), '')"
+            ).alias("journey")
+        )
+    )
+    return j.select(
+        "user_id",
+        "journey",
+        F.expr("CAST(size(regexp_extract_all(journey, 'v[ce]*p', 0)) AS BIGINT)")
+        .alias("n_conversions"),
+        F.col("journey").like("%vp%").alias("has_direct_conversion"),
+    )
