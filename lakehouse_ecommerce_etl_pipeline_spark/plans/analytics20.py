@@ -707,3 +707,45 @@ def q_sequence_pattern(spark, sf_dir):
         .alias("n_conversions"),
         F.col("journey").like("%vp%").alias("has_direct_conversion"),
     )
+
+
+# ------------------------------------------------- weighted mean
+
+
+@register(
+    "q_weighted_avg",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS wavg_discount,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_weighted_avg(spark, sf_dir):
+    """Value-weighted average discount per brand: Σ(w·x)/Σ(w) with
+    both sums in sized decimals ((12,2)×(4,2) → exact (17,4)
+    products), one IEEE division at the end — the weighted-mean
+    aggregate a plain AVG silently gets wrong (it answers "average
+    discount per LINE", not "per DOLLAR"). Dimension joins broadcast.
+
+    100 TB: identical cost to an unweighted aggregate — two partial
+    sums instead of one, still map-side combinable, one shuffle on
+    the group key."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    w = F.col("l_extendedprice").cast("decimal(12,2)")
+    x = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(w * x).cast("double") / F.sum(w).cast("double")).alias(
+                "wavg_discount"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
