@@ -129,3 +129,49 @@ def test_sql_udf_matches_inline_expression(spark):
         .collect()
     }
     assert got == want
+
+
+def test_dow_hour_heatmap_dense_and_total(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_dow_hour_heatmap,
+    )
+
+    rows = q_dow_hour_heatmap(spark, SF0001).collect()
+    assert all(0 <= r["dow"] <= 6 for r in rows)
+    total = sum(r[f"h{h:02d}"] for r in rows for h in range(24))
+    assert total == load(spark, SF0001, "events").count()
+
+
+def test_sequence_pattern_counts_conversions(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_sequence_pattern,
+    )
+
+    rows = q_sequence_pattern(spark, SF0001).collect()
+    assert rows
+    import re
+
+    for r in rows:
+        assert set(r["journey"]) <= {"v", "c", "p", "s", "e"}
+        assert r["n_conversions"] == len(
+            re.findall(r"v[ce]*p", r["journey"])
+        )
+        assert r["has_direct_conversion"] == ("vp" in r["journey"])
+
+
+def test_weighted_avg_between_min_and_max_discount(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_weighted_avg,
+    )
+
+    lo, hi = (
+        load(spark, SF0001, "lineitem")
+        .agg(F.min("l_discount"), F.max("l_discount"))
+        .first()
+    )
+    for r in q_weighted_avg(spark, SF0001).collect():
+        assert lo - 1e-12 <= r["wavg_discount"] <= hi + 1e-12
