@@ -86,3 +86,39 @@ def test_morton_code_bijective_and_locality(spark, x, y, x2, y2):
     # equal top-4 bits => both coords share their top-2 bits
     if za >> 16 == zb >> 16:
         assert x >> 8 == x2 >> 8 and y >> 8 == y2 >> 8
+
+
+@_slow
+@given(target_rows=rows, change_rows=rows, del_flags=st.lists(st.booleans(), max_size=12))
+def test_apply_changes_frames_matches_dict_model(
+    spark, target_rows, change_rows, del_flags
+):
+    from lakehouse_ecommerce_etl_pipeline_spark.sinks.merge import (
+        apply_changes_frames,
+    )
+
+    # unique keys per batch (the MERGE source contract)
+    target_rows = list({k: (k, v) for k, v in target_rows}.values())
+    change_rows = list({k: (k, v) for k, v in change_rows}.values())
+    changes = [
+        (k, v, "delete" if (i < len(del_flags) and del_flags[i]) else "upsert")
+        for i, (k, v) in enumerate(change_rows)
+    ]
+    target = spark.createDataFrame(
+        target_rows or [("zz", 0)], "k string, v int"
+    )
+    source = spark.createDataFrame(
+        changes or [("zz", 1, "upsert")], "k string, v int, op string"
+    )
+    out = {
+        r.k: r.v
+        for r in apply_changes_frames(target, source, ["k"]).collect()
+    }
+    # dict replay model
+    model = dict(target_rows or [("zz", 0)])
+    for k, v, op in changes or [("zz", 1, "upsert")]:
+        if op == "delete":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert out == model
