@@ -749,3 +749,79 @@ def q_weighted_avg(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ------------------------------------------------- decile transitions
+
+
+@register(
+    "q_quintile_transition",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 2 END
+               AS period,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT o_custkey, period,
+             CAST(ntile(5) OVER (PARTITION BY period
+                                 ORDER BY monetary DESC, o_custkey)
+                  AS INTEGER) AS quintile
+      FROM m
+    )
+    SELECT a.quintile AS q_before, b.quintile AS q_after,
+           COUNT(*) AS n_customers
+    FROM q a JOIN q b ON a.o_custkey = b.o_custkey
+     AND a.period = 1 AND b.period = 2
+    GROUP BY 1, 2
+    """,
+)
+def q_quintile_transition(spark, sf_dir):
+    """Customer-value migration matrix: spend quintile in the early
+    period (orders before 1998) vs the late period, counted per
+    (before, after) cell — the period-over-period dynamics view that
+    static RFM (q_rfm_segments) can't show (who climbed, who
+    churned-down). Quintiles rank inside each period under a total
+    order; only customers active in both periods transition.
+
+    100 TB: two aggregates on (custkey, period) + per-period ntile
+    (single reducer over one row per customer-period — replace with
+    approx_percentile boundaries at scale, q_quantile_bucket_assign)
+    + a self-join on custkey that co-partitions with the aggregate.
+    The output is a 5×5 matrix."""
+    from pyspark.sql import Window
+
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+            )
+            .otherwise(2)
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("monetary")
+        )
+    )
+    w = Window.partitionBy("period").orderBy(F.desc("monetary"), "o_custkey")
+    q = m.select(
+        "o_custkey", "period", F.ntile(5).over(w).cast("int").alias("quintile")
+    )
+    a = q.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("quintile").alias("q_before")
+    )
+    b = q.filter(F.col("period") == 2).select(
+        "o_custkey", F.col("quintile").alias("q_after")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("q_before", "q_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -175,3 +175,29 @@ def test_weighted_avg_between_min_and_max_discount(spark):
     )
     for r in q_weighted_avg(spark, SF0001).collect():
         assert lo - 1e-12 <= r["wavg_discount"] <= hi + 1e-12
+
+
+def test_quintile_transition_matrix_is_dense_and_conserves_customers(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_quintile_transition,
+    )
+
+    rows = q_quintile_transition(spark, SF0001).collect()
+    assert all(1 <= r["q_before"] <= 5 and 1 <= r["q_after"] <= 5 for r in rows)
+    o = load(spark, SF0001, "orders")
+    both = (
+        o.select(
+            "o_custkey",
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            .cast("int")
+            .alias("early"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count_distinct("early").alias("np"))
+        .filter(F.col("np") == 2)
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == both
