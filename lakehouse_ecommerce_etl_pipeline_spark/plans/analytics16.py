@@ -389,9 +389,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-iteration contribution aggregate reuses the cached
     # partitioning instead of re-shuffling the edges every round
     ed = edges.join(deg, "src").repartition("dst").persist()
-    n_nodes = deg.count()
+    # derive the node set and count FROM the cached edge list — going
+    # through `deg` would re-run the pair-mining build once for the
+    # count and once more for the initial ranks' lineage (3 builds
+    # total; the spiky 40 s bench runs were exactly that)
+    nodes = ed.select("src").distinct()
+    n_nodes = nodes.count()
 
-    ranks = deg.select(
+    ranks = nodes.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
     )
     for _ in range(_PR_ITERS):

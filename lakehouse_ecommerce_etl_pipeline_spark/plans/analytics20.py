@@ -398,7 +398,7 @@ def q_quantile_bucket_assign(spark, sf_dir):
     ),
     z AS (
       SELECT pos, v,
-             CAST(FLOOR(v * 100000000) AS DECIMAL(20,0)) AS qi
+             CAST(FLOOR(v * 100000) AS DECIMAL(20,0)) AS qi
       FROM q
     ),
     m AS (
@@ -410,9 +410,9 @@ def q_quantile_bucket_assign(spark, sf_dir):
       FROM z GROUP BY pos
     )
     SELECT CAST(pos AS INTEGER) AS pos,
-           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100000000.0 AS mean,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100000.0 AS mean,
            sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
-                / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) / 100000000.0
+                / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) / 100000.0
              AS stddev,
            lo, hi
     FROM m
@@ -422,12 +422,19 @@ def q_feature_moments(spark, sf_dir):
     """Per-dimension feature statistics of the embedding matrix
     (mean, population stddev, min, max) — the profiling pass feature
     standardization / whitening reads its scale factors from.
-    Components are quantized to FLOOR(v·1e8) integers so BOTH moments
+    Components are quantized to FLOOR(v·1e5) integers so BOTH moments
     and the variance numerator n·Σx² − (Σx)² are exact decimal
     arithmetic; floats appear only in the final divisions and sqrt of
     identical inputs. (The textbook E[x²]−E[x]² in doubles loses the
     oracle to FMA: DuckDB contracts a−b·c where the JVM cannot, a
     1-ulp divergence this formulation removes.)
+
+    The grid is 1e5, not finer, so the variance numerator stays below
+    2^53 at oracle scale (n=500, |v|<0.6 ⇒ n·Σq² < 1e15): a decimal
+    whose unscaled value exceeds 2^53 casts to double through DuckDB's
+    hugeint path (upper·2^64 + lower, multiple roundings) while Spark
+    rounds once via BigDecimal — a last-ulp divergence that data
+    magnitudes, not formulas, control.
 
     100 TB: one narrow posexplode + one map-side-combinable aggregate
     over 64 groups; the same shape as q_label_centroids with a second
@@ -440,7 +447,7 @@ def q_feature_moments(spark, sf_dir):
             F.col("vf").cast("double").alias("v"),
         )
         .withColumn(
-            "qi", F.floor(F.col("v") * 100000000).cast("decimal(20,0)")
+            "qi", F.floor(F.col("v") * 100000).cast("decimal(20,0)")
         )
     )
     m = z.groupBy("pos").agg(
@@ -453,7 +460,7 @@ def q_feature_moments(spark, sf_dir):
     n_d = F.col("n").cast("double")
     return m.select(
         "pos",
-        (F.col("s1").cast("double") / n_d / 100000000.0).alias("mean"),
+        (F.col("s1").cast("double") / n_d / 100000.0).alias("mean"),
         (
             F.sqrt(
                 (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
@@ -462,7 +469,7 @@ def q_feature_moments(spark, sf_dir):
                 / n_d
                 / n_d
             )
-            / 100000000.0
+            / 100000.0
         ).alias("stddev"),
         "lo",
         "hi",

@@ -81,26 +81,31 @@ def q_fuzzy_editdist_pairs(spark, sf_dir):
 @register(
     "q_groupwise_regression",
     oracle="""
-    WITH m AS (
+    WITH z AS (
       SELECT l_returnflag,
-             CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
-                      * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
-                      * CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
-                      * CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS syy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(FLOOR(l_quantity) AS DECIMAL(18,0)) AS x,
+             CAST(FLOOR(l_extendedprice / 100) AS DECIMAL(18,0)) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(18,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(18,0)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(18,0)) AS sxx,
+             CAST(SUM(x * y) AS DECIMAL(18,0)) AS sxy,
+             CAST(SUM(y * y) AS DECIMAL(18,0)) AS syy
+      FROM z GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_obs,
-           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS slope,
-           (sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0)) * sx)
-             / n AS intercept,
-           (n * sxy - sx * sy)
-             / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+           CAST(n * sxy - sx * sy AS DOUBLE) * 100.0
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
+           CAST(sy * sxx - sx * sxy AS DOUBLE) * 100.0
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
              AS corr_xy
     FROM m ORDER BY l_returnflag
     """,
@@ -108,36 +113,53 @@ def q_fuzzy_editdist_pairs(spark, sf_dir):
 def q_groupwise_regression(spark, sf_dir):
     """Per-group OLS of extended price on quantity (slope, intercept,
     Pearson correlation) — the regr_slope/regr_intercept/corr family,
-    but derived from DECIMAL-exact moment sums instead of the engines'
+    derived from DECIMAL-exact moment sums instead of the engines'
     streaming float accumulators, which are order-dependent and would
-    never hash-match across engines.
+    never hash-match across engines. Price rides a FLOOR(y/100)
+    hundred-dollar grid (quantity is already integral) so every
+    closed-form numerator — n·Σxy−ΣxΣy, ΣyΣx²−ΣxΣxy, the variance
+    terms — is an exact decimal whose value stays below 2^53 at
+    oracle scale; a decimal bigger than that casts to double through
+    DuckDB's multi-rounding hugeint path while Spark rounds once,
+    a last-ulp divergence no formula fixes. Slope/intercept are
+    rescaled ·100 back to dollars in the final (identical-shape)
+    float expression; corr is scale-free.
 
     Scale: one map-side-combinable aggregation over 3 group keys —
     the six moments travel as a single partial-agg row per partition
     per key, so the shuffle is O(groups), not O(rows)."""
     li = load(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(8,2)")
-    y = F.col("l_extendedprice").cast("decimal(10,2)")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(y * y).cast("double").alias("syy"),
+    z = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity")).cast("decimal(18,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") / 100)
+        .cast("decimal(18,0)")
+        .alias("y"),
+    )
+    m = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").cast("decimal(18,0)").alias("sx"),
+        F.sum("y").cast("decimal(18,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(18,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(18,0)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(18,0)").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    cov_n = n * sxy - sx * sy
-    var_x = n * sxx - sx * sx
-    slope = F.try_divide(cov_n, F.nullif(var_x, F.lit(0.0)))
+    cov_n = (n * sxy - sx * sy).cast("double")
+    var_x = (n * sxx - sx * sx).cast("double")
+    var_y = (n * syy - sy * sy).cast("double")
+    ic_num = (sy * sxx - sx * sxy).cast("double")
     return m.select(
         "l_returnflag",
         n.cast("bigint").alias("n_obs"),
-        slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
+        F.try_divide(cov_n * 100.0, F.nullif(var_x, F.lit(0.0))).alias(
+            "slope"
+        ),
+        F.try_divide(ic_num * 100.0, F.nullif(var_x, F.lit(0.0))).alias(
+            "intercept"
+        ),
         F.try_divide(
-            cov_n,
-            F.nullif(F.sqrt(var_x * (n * syy - sy * sy)), F.lit(0.0)),
+            cov_n, F.nullif(F.sqrt(var_x * var_y), F.lit(0.0))
         ).alias("corr_xy"),
     ).orderBy("l_returnflag")

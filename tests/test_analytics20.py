@@ -95,9 +95,9 @@ def test_feature_moments_match_numpy(spark):
     )
     assert len(rows) == mat.shape[1] == 64
     for pos in (0, 31, 63):
-        q = np.floor(mat[:, pos] * 1e8)
-        assert abs(rows[pos]["mean"] - q.mean() / 1e8) < 1e-9
-        assert abs(rows[pos]["stddev"] - q.std() / 1e8) < 1e-6
+        q = np.floor(mat[:, pos] * 1e5)
+        assert abs(rows[pos]["mean"] - q.mean() / 1e5) < 1e-9
+        assert abs(rows[pos]["stddev"] - q.std() / 1e5) < 1e-6
         assert rows[pos]["lo"] == mat[:, pos].min()
         assert rows[pos]["hi"] == mat[:, pos].max()
 
