@@ -72,3 +72,36 @@ def test_semi_join_broadcasts(spark):
 def test_grid_radius_join_is_equi_join_not_nested_loop(spark):
     plan = _plan(spark, "q_grid_radius_join")
     assert "BroadcastNestedLoopJoin" not in plan  # cell key equi-join
+
+
+def test_partitioned_fact_join_gets_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB date-partitioned fact + filtered dim join must plan
+    a DPP subquery: only partitions matching the dim filter are read.
+    Losing this turns a one-month scan into a full-table scan."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.sinks.writer import (
+        write_partitioned,
+    )
+
+    fact_src = load(spark, SF0001, "lineitem").withColumn(
+        "smonth", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    fact_path = str(tmp_path / "lineitem_by_month")
+    write_partitioned(fact_src, fact_path, ["smonth"])
+    fact = spark.read.parquet(fact_path)
+    dim = fact_src.select(F.col("smonth").alias("m")).distinct()
+    dim_path = str(tmp_path / "month_dim")
+    dim.write.parquet(dim_path)
+    # NOTE the dim filter must pass Spark's isLikelySelective gate
+    # (EqualTo/Like/...): a bare boolean-attribute filter does NOT
+    # trigger DPP insertion
+    date_dim = spark.read.parquet(dim_path).filter(
+        F.substring("m", 6, 2) == "01"
+    )
+    joined = fact.join(date_dim, fact["smonth"] == date_dim["m"]).groupBy(
+        "smonth"
+    ).count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
