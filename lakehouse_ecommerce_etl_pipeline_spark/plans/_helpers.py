@@ -18,6 +18,12 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet timestamps (isAdjustedToUTC=false, the testdata's
+        # encoding) must read as session-UTC TIMESTAMP, not TIMESTAMP_NTZ:
+        # time-arithmetic functions (unix_micros, window(), watermarks)
+        # require TIMESTAMP, and the DuckDB oracle's naive timestamps
+        # compare equal under a pinned-UTC session either way.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # an untouched default (200) means nobody sized the shuffle for
         # this workload — right-size to the core count; AQE coalescing
         # then adapts downward per stage. An explicitly-set value is
@@ -36,10 +42,16 @@ def normalize_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -
     """Parquet TIMESTAMP(NANOS) columns arrive as long (session sets
     ``nanosAsLong`` — Spark has no nanosecond timestamp type); convert
     to microsecond timestamps with integer division (no double
-    round-trip: nano epochs exceed 2^53)."""
+    round-trip: nano epochs exceed 2^53). Micros-encoded files read by a
+    session that still infers TIMESTAMP_NTZ are coerced to session-UTC
+    TIMESTAMP for the same reason (time-arithmetic functions require it)."""
     for c in cols:
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif c in df.columns and isinstance(
+            df.schema[c].dataType, T.TimestampNTZType
+        ):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
@@ -50,7 +62,7 @@ def _events_micros_copy(sf_dir: str) -> str:
     src = f"{sf_dir}/events.parquet"
     out_dir = work_dir(sf_dir, "events_us")
     out = os.path.join(out_dir, "events.parquet")
-    if not os.path.exists(out):
+    if not artifact_fresh(src, out):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -90,6 +102,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session that can't read nanos even as long → micros copy
             return spark.read.parquet(_events_micros_copy(sf_dir))
     return spark.read.parquet(path)
+
+
+def artifact_fresh(src: str, artifact: str) -> bool:
+    """True iff a scratch artifact exists AND is newer than its source
+    file — derived copies must be rebuilt when the driver regenerates
+    the testdata in place (same paths, new bytes/types)."""
+    if not os.path.exists(artifact):
+        return False
+    try:
+        return os.path.getmtime(artifact) >= os.path.getmtime(src)
+    except OSError:
+        return False
 
 
 def work_dir(sf_dir: str, *parts: str) -> str:

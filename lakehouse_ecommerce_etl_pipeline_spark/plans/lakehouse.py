@@ -12,7 +12,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, work_dir
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    artifact_fresh,
+    load,
+    work_dir,
+)
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 from lakehouse_ecommerce_etl_pipeline_spark.sinks.merge import merge_frames, merge_upsert
 from lakehouse_ecommerce_etl_pipeline_spark.sources import table as managed
@@ -55,7 +59,8 @@ def q_scan_delta(spark, sf_dir):
     sources/table.py dispatches). Same snapshot-isolation contract
     either way."""
     path = os.path.join(work_dir(sf_dir, "tables"), "orders_delta_scan")
-    if not managed.exists(path):
+    src = os.path.join(sf_dir, "orders.parquet")
+    if not (managed.exists(path) and artifact_fresh(src, path)):
         managed.write(spark, load(spark, sf_dir, "orders"), path)
     return managed.read(spark, path)
 

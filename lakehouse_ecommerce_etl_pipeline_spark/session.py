@@ -82,6 +82,11 @@ def get_spark(
         # nanos timestamp type — read as long and convert at the source
         # (plans/_helpers.load truncates to micros, matching DuckDB)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps (isAdjustedToUTC=false) read as
+        # session-UTC TIMESTAMP, not TIMESTAMP_NTZ: time-arithmetic
+        # (unix_micros, window(), watermarks) requires TIMESTAMP, and the
+        # DuckDB oracle compares equal under the pinned-UTC session
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
 
