@@ -31,7 +31,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.operators.aggregates import (
     dsum,
     sql_dsum,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, order_part_pairs
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 
@@ -110,20 +110,9 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     small; a pathological giant basket would need a per-order items
     cap before the join). Total order under the LIMIT for a
     deterministic cutoff."""
-    d = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = d.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = d.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
     return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        order_part_pairs(spark, sf_dir)
+        .select(F.col("src").alias("part_a"), F.col("dst").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")

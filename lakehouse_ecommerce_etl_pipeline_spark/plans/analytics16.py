@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, order_part_pairs
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 
@@ -271,19 +271,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes fan out only to higher ids; the classic refinement orients
     by (degree, id) to cap it at O(sqrt(|E|))). Two shuffles on edge
     endpoints; the closing join is a semi-probe of the edge set."""
-    d = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    e = order_part_pairs(spark, sf_dir).select("src", "dst").distinct()
     e1 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tb"))
     e2 = e.select(F.col("src").alias("tb"), F.col("dst").alias("tc"))
     e3 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tc"))
@@ -362,48 +350,41 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one shuffle per iteration (group incoming contributions
     by dst); the edge list with degrees is the reused build side —
-    cache it, and co-partition edges by src across iterations so only
-    the rank table moves. The symmetric graph has no dangling-mass
-    term (every node has out-edges by construction)."""
-    d = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    half = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    cache it, placed by dst so the per-iteration aggregate reuses the
+    cached partitioning, with outdeg annotated by a window over src
+    (one shuffle; the groupBy-then-rejoin variant pays two). Each
+    iteration materializes eagerly (persist + count, prior generation
+    unpersisted) — the standard iterative-dataflow discipline: lineage
+    stays one step deep, the broadcast build reads a cached table
+    instead of re-running the nested iteration subtree, and a lost
+    executor replays one iteration, not the whole fixpoint. The
+    symmetric graph has no dangling-mass term (every node has
+    out-edges by construction)."""
+    half = order_part_pairs(spark, sf_dir).select("src", "dst").distinct()
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # the edge list is the reused build side of every iteration —
-    # materialize it ONCE (otherwise each iteration's lineage re-runs
-    # the pair-mining self-join: the difference between O(iters) and
-    # O(iters × build) work), and pre-hash-partition it on dst so the
-    # per-iteration contribution aggregate reuses the cached
-    # partitioning instead of re-shuffling the edges every round
-    ed = edges.join(deg, "src").repartition("dst").persist()
-    # derive the node set and count FROM the cached edge list — going
-    # through `deg` would re-run the pair-mining build once for the
-    # count and once more for the initial ranks' lineage (3 builds
-    # total; the spiky 40 s bench runs were exactly that)
+    ed = (
+        edges.select(
+            "src",
+            "dst",
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("outdeg"),
+        )
+        .repartition("dst")
+        .persist()
+    )
     nodes = ed.select("src").distinct()
     n_nodes = nodes.count()
 
     ranks = nodes.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
-    )
+    ).persist()
+    ranks.count()
     for _ in range(_PR_ITERS):
         # ranks is |nodes| rows — broadcast it so the (much larger)
         # edge table never shuffles for the join; the only per-
         # iteration shuffle is the contribution aggregation on dst
-        ranks = (
+        nxt = (
             ed.join(F.broadcast(ranks), ed["src"] == ranks["node"])
             .groupBy(F.col("dst"))
             .agg(
@@ -416,5 +397,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r")
             )
             .select(F.col("dst").alias("node"), "r")
+            .persist()
         )
+        nxt.count()
+        ranks.unpersist()
+        ranks = nxt
+    # the final generation is materialized — the edge cache is no
+    # longer needed by the returned (cached) plan; drop it so repeated
+    # bench/oracle invocations don't accumulate storage pressure
+    ed.unpersist()
     return ranks.select("node", F.col("r").alias("pagerank"))
