@@ -46,6 +46,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics19  # noqa: F4
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics20  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics21  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics22  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics23  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm3  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm4  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
