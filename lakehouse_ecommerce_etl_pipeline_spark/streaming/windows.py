@@ -174,3 +174,60 @@ def session_agg_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sliding_agg_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window aggregation as a real Structured Streaming
+    query (window duration > slide ⇒ every event lands in
+    window/slide overlapping windows), drained with availableNow.
+
+    The batch oracle is the explicit two-assignment union (each event
+    belongs to the hour-aligned window starting at trunc(ts) and the
+    one before it) — stream/batch parity over the OVERLAPPING
+    assignment is what distinguishes this from the tumbling twin.
+
+    100 TB: state is one row per (open window × key); overlap
+    multiplies state by window/slide — watermark eviction is what
+    keeps that product bounded, and a larger slide ratio is the first
+    lever when the store grows.
+    """
+    schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_stream_dir(parquet_path))
+    )
+    stream = normalize_nanos_timestamps(stream, (ts_col,))
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window, slide).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_SUM_DECIMAL)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
