@@ -1,0 +1,194 @@
+"""LLM tier VII: contrastive-pair mining + outer streaming joins.
+
+q_negative_sampling draws k deterministic pseudo-random negatives per
+document (md5-ranked candidates — the hash is the randomness, so both
+engines draw the same sample); q_hard_negatives mines the
+highest-cosine candidates with a DIFFERENT label (the pairs that
+matter for contrastive/metric training), under the same integer-
+quantized exact-cosine discipline as q_knn_classify.
+q_stream_interval_join_outer completes the stream-stream join matrix
+with the left-outer variant, whose no-match proofs are
+watermark-gated — the batch oracle carries the same cutoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    events_parquet_path,
+    load,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+_NEG_K = 3
+_HARD_K = 3
+_QUANT = "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)"
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    pairs AS (
+      SELECT a.doc_id, b.doc_id AS neg_id,
+             md5(CAST(a.doc_id AS VARCHAR) || ':' ||
+                 CAST(b.doc_id AS VARCHAR)) AS h
+      FROM ids a JOIN ids b ON a.doc_id <> b.doc_id
+    ),
+    r AS (
+      SELECT doc_id, neg_id,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY h, neg_id) AS BIGINT) AS rk
+      FROM pairs
+    )
+    SELECT doc_id, neg_id, rk FROM r WHERE rk <= {_NEG_K}
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: k
+    pseudo-random negative documents per document, drawn by ranking
+    candidates on md5(doc:cand) — the hash IS the randomness, so the
+    sample is reproducible across engines, retries, and
+    partitionings (the same dyadic-threshold idea as
+    q_source_mixture_sample, applied to pairs).
+
+    100 TB: the all-pairs candidate space is quadratic — this shape
+    survives by sampling WITHIN hash buckets: assign each doc to
+    md5-derived buckets and draw negatives bucket-locally (one
+    shuffle, bounded candidates per doc). The cross join here is the
+    sf-small exact twin that oracles the ranking rule."""
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    cand = ids.select(F.col("doc_id").alias("neg_id"))
+    pairs = ids.crossJoin(F.broadcast(cand)).filter(
+        F.col("doc_id") != F.col("neg_id")
+    )
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("h", "neg_id")
+    return (
+        pairs.select("doc_id", "neg_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("doc_id", "neg_id", "rk")
+    )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]), {_QUANT}) AS z
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neg_id, b.label AS neg_label,
+             CAST(list_inner_product(a.z, b.z) AS DOUBLE)
+               / sqrt(CAST(list_inner_product(a.z, a.z) AS DOUBLE)
+                      * CAST(list_inner_product(b.z, b.z) AS DOUBLE)) AS cos
+      FROM qz a JOIN qz b
+        ON a.label <> b.label AND a.vec_id < 50
+    ),
+    r AS (
+      SELECT vec_id, neg_id, neg_label, cos,
+             CAST(row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neg_id) AS BIGINT)
+               AS rk
+      FROM pairs
+    )
+    SELECT vec_id, neg_id, neg_label, cos, rk FROM r WHERE rk <= {_HARD_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for metric learning: for each of the
+    first 50 vectors, the top-3 most similar vectors carrying a
+    DIFFERENT label — the boundary pairs contrastive losses need.
+    Exact cosine over integer-quantized embeddings (FLOOR(v·1000)):
+    integer dot products are summation-order-exact, so the "hard"
+    ranking is engine-stable where raw float cosines tie-break
+    unpredictably.
+
+    100 TB: brute-force is per-query linear — route through the ANN
+    tier (IVF cells / LSH buckets / PQ codes) and only exact-score
+    the candidate shard; the label-mismatch filter pushes into the
+    candidate scan either way."""
+    z = F.expr(f"transform(embedding, {_QUANT})").alias("z")
+    qz = load(spark, sf_dir, "embeddings").select("vec_id", "label", z)
+    q = qz.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("q_label"),
+        F.col("z").alias("qv"),
+    )
+    c = qz.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("z").alias("cv"),
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    pairs = (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("q_label") != F.col("neg_label"))
+        .select(
+            F.col("vid").alias("vec_id"),
+            "neg_id",
+            "neg_label",
+            (
+                F.expr(dot.format(a="qv", b="cv")).cast("double")
+                / F.sqrt(
+                    F.expr(dot.format(a="qv", b="qv")).cast("double")
+                    * F.expr(dot.format(a="cv", b="cv")).cast("double")
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neg_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _HARD_K)
+        .select("vec_id", "neg_id", "neg_label", "cos", "rk")
+    )
+
+
+@register(
+    "q_stream_interval_join_outer",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    horizon AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS final_wm FROM events
+    )
+    SELECT v.user_id,
+           v.event_id AS left_id,
+           p.event_id AS right_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_micros
+    FROM v
+    LEFT JOIN p
+      ON p.user_id = v.user_id
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+    WHERE p.event_id IS NOT NULL
+       OR v.ts + INTERVAL 1 HOUR <= (SELECT final_wm FROM horizon)
+    """,
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (view → purchase within
+    1 h, else null-padded). Matches emit eagerly; null rows emit only
+    once the watermark proves the interval closed — so views whose
+    horizon is still open at end-of-stream stay unemitted, and the
+    batch oracle applies the identical final-watermark cutoff
+    (max(ts) − 1 h ≥ view ts + horizon). Stream/batch parity INCLUDING
+    the cutoff is the point."""
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.joins import (
+        stream_interval_join_outer,
+    )
+
+    return stream_interval_join_outer(
+        spark, events_parquet_path(spark, sf_dir)
+    )

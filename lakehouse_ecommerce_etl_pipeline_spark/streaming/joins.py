@@ -112,3 +112,58 @@ def stream_interval_join(
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_micros"),
     )
     return _drain(joined, "append", "stream_ij")
+
+
+def stream_interval_join_outer(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    ``stream_interval_join``, but views with NO purchase in their
+    horizon also emit — null-padded, once the watermark passes the end
+    of their interval and the state store can prove no match is
+    coming. That proof requirement is the semantic difference from
+    batch: a view whose interval is still open when the stream ends
+    (l_ts + horizon > final watermark) stays in state and never emits,
+    so the batch oracle must carry the same cutoff.
+
+    100 TB: identical state bounds to the inner variant (both sides
+    buffered inside watermark + range); the outer emission adds no
+    state, only an eviction-time scan — late-epoch rows held back are
+    the price of correct no-match proofs."""
+    left = (
+        _events_stream(spark, events_path)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "1 hour")
+    )
+    right = (
+        _events_stream(spark, events_path)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") < F.col("l_ts") + F.expr(horizon)),
+        "leftOuter",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_micros"),
+    )
+    return _drain(joined, "append", "stream_ij_outer")
