@@ -130,3 +130,125 @@ def adc_topk(
         .orderBy("adc_dist_sq", id_col)
         .limit(k)
     )
+
+
+# ------------------------------------------------------------- IVFPQ
+
+
+def _lloyd_centroids(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse k-means centroids (smallest-id seeding, Lloyd loop) —
+    the same synchronization shape as llm/kmeans.kmeans, returning
+    the centroids themselves."""
+    dim = len(df.select(vec_col).first()[0])
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    centroids = seeds
+    assigned = assign_clusters(df, centroids, vec_col)
+    for _ in range(iters):
+        centroids = update_centroids(assigned, dim, vec_col)
+        assigned = assign_clusters(df, centroids, vec_col)
+    return centroids
+
+
+def ivfpq_index(
+    df: DataFrame,
+    kc: int = 4,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the composed IVF+PQ index (FAISS IndexIVFPQ shape):
+    coarse cells from k-means, then PQ codebooks trained on the
+    RESIDUALS (vector − cell centroid) — residual quantization is
+    what makes small codebooks accurate across a clustered space.
+    Returns (codes_df(id, cell, codes), coarse_centroids, codebooks).
+
+    100 TB: the index build is two bounded k-means loops plus one
+    encode pass; the stored index is the (id, cell, m-byte codes)
+    table — the embedding column is never read again at query time."""
+    cents = _lloyd_centroids(df, kc, iters, id_col, vec_col)
+    assigned = assign_clusters(df, cents, vec_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+    res = assigned.select(
+        id_col,
+        F.col("cluster").alias("cell"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        ).alias("residual"),
+    )
+    cbs = train_codebooks(
+        res, m=m, k=k, iters=iters, id_col=id_col, vec_col="residual"
+    )
+    codes = pq_encode(res, cbs, id_col=id_col, vec_col="residual")
+    codes = res.select(id_col, "cell").join(codes, id_col)
+    return codes, cents, cbs
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFPQ query: probe the ``n_probe`` nearest cells; within each,
+    ADC against a PER-CELL lookup table built from the query's
+    residual in that cell (q − cell centroid). The scan touches only
+    probed cells' code rows; distances dispatch through a small
+    when-chain on the cell id.
+
+    100 TB: candidate volume = probed share of the code table; cells
+    partition the codes, so the probe is partition pruning, and the
+    ADC projection is the only per-row work."""
+    cell_d = [
+        (sum((a - b) * (a - b) for a, b in zip(query, c)), i)
+        for i, c in enumerate(coarse)
+    ]
+    probed = [i for _, i in sorted(cell_d)[:n_probe]]
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+
+    def adc_for_cell(cell: int) -> F.Column:
+        qres = [q - c for q, c in zip(query, coarse[cell])]
+        terms = []
+        for j, cb in enumerate(codebooks):
+            qj = qres[j * subdim : (j + 1) * subdim]
+            lut = F.array(*[F.lit(_dist_to(qj, c)) for c in cb])
+            terms.append(
+                F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1)
+            )
+        d = terms[0]
+        for t in terms[1:]:
+            d = d + t
+        return d
+
+    dist = None
+    for cell in probed:
+        expr = adc_for_cell(cell)
+        dist = (
+            F.when(F.col("cell") == cell, expr)
+            if dist is None
+            else dist.when(F.col("cell") == cell, expr)
+        )
+    return (
+        codes_df.filter(F.col("cell").isin(probed))
+        .select(id_col, "cell", dist.alias("adc_dist_sq"))
+        .orderBy("adc_dist_sq", id_col)
+        .limit(k)
+    )

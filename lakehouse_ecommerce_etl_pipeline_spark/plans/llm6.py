@@ -43,3 +43,23 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     ]
     return adc_topk(codes, cbs, query, k=10)
+
+
+@register("q_ivfpq_topk")  # rows-only: iterative coarse+codebook training
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ (FAISS IndexIVFPQ shape): coarse cells prune
+    the scan, PQ codes over CELL RESIDUALS carry the distances; the
+    query probes 2 of 4 cells and ADC-scores only their code rows
+    with per-cell lookup tables."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.pq import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes, coarse, cbs = ivfpq_index(emb, kc=4, m=_M, k=_K, iters=2)
+    query = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return ivfpq_topk(codes, coarse, cbs, query, k=10, n_probe=2)

@@ -110,3 +110,41 @@ def test_adc_topk_contains_query_itself(spark):
     top = adc_topk(codes, cbs, q, k=10).collect()
     qid = emb.orderBy("vec_id").limit(1).collect()[0]["vec_id"]
     assert qid in {r["vec_id"] for r in top}
+
+
+def test_ivfpq_candidates_from_probed_cells_and_adc_identity(spark):
+    """IVFPQ: every result comes from a probed cell, the ADC value
+    equals the exact distance to (cell centroid + residual
+    reconstruction), and the query's own vector is retrieved."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.pq import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = _embeddings(spark)
+    codes, coarse, cbs = ivfpq_index(emb, kc=4, m=M, k=K, iters=2)
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()
+    }
+    qid = min(vecs)
+    q = vecs[qid]
+    out = ivfpq_topk(codes, coarse, cbs, q, k=10, n_probe=2).collect()
+    assert out
+    cell_d = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q, c)), i)
+        for i, c in enumerate(coarse)
+    )
+    probed = {i for _, i in cell_d[:2]}
+    assert {r["cell"] for r in out} <= probed
+    assert qid in {r["vec_id"] for r in out}
+    # ADC identity per cell
+    code_map = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in codes.collect()}
+    subdim = len(q) // M
+    for r in out:
+        cell, cs = code_map[r["vec_id"]]
+        recon = list(coarse[cell])
+        for j, c in enumerate(cs):
+            for t, v in enumerate(cbs[j][c]):
+                recon[j * subdim + t] += v
+        want = sum((a - b) ** 2 for a, b in zip(q, recon))
+        assert abs(r["adc_dist_sq"] - want) < 1e-9 * (1 + want)
