@@ -49,6 +49,16 @@ DEFAULT_QUERIES = [
     "q_grid_radius_join",
     "q_scd2_history",
     "q_higher_order_fns",
+    "q_market_basket",
+    "q_association_rules",
+    "q_allocation_largest_remainder",
+    "q_pointintime_scd2_join",
+    "q_attribution_linear",
+    "q_percent_of_parent",
+    "q_weighted_median",
+    "q_oov_rate",
+    "q_k_anonymity",
+    "q_gdpr_erasure_audit",
 ]
 
 
