@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    load,
+    order_part_pairs,
+)
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 # Same co-purchase graph as q_triangle_count / q_pagerank
@@ -82,19 +85,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key (both sides hash-partitioned once, zero per-round edge
     movement) and switch to large-star/small-star (Kiveris et al.)
     so the round count is O(log n) instead of O(diameter)."""
-    d = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    half = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    half = order_part_pairs(spark, sf_dir).select("src", "dst").distinct()
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -102,18 +93,27 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dst so every round's MIN-by-dst reuses the cached partitioning
     # (same discipline as q_pagerank)
     ed = edges.repartition("dst").persist()
-    lbl = ed.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("lbl")
+    lbl = (
+        ed.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+        .persist()
     )
+    lbl.count()
     for _ in range(_CC_ITERS):
         msgs = ed.join(F.broadcast(lbl), ed["src"] == lbl["node"]).select(
             F.col("dst").alias("node"), "lbl"
         )
-        lbl = (
+        nxt = (
             msgs.unionByName(lbl)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+            .persist()
         )
+        nxt.count()
+        lbl.unpersist()
+        lbl = nxt
+    ed.unpersist()
     return lbl.select("node", F.col("lbl").alias("component"))
 
 
