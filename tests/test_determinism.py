@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans import queries
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Partition-sensitivity canaries: every decision in these rides on
+# integer/decimal algebra or unique fixpoints, so the result multiset
+# must be BIT-identical under any shuffle partitioning. A regression
+# here means some float sum or non-total ordering snuck back in.
+CANARIES = [
+    "q_allocation_largest_remainder",  # int div/mod + remainder rank
+    "q_dedup_by_key",                  # window dedup w/ total order
+    "q_salted_aggregate",              # two-phase ≡ direct group-by
+    "q_attribution_linear",            # floor-scaled rational credits
+    "q_checksum_table",                # commutative 56-bit sum
+    "q_weighted_median",               # integer cumulative crossing
+]
+
+
+def _snap(spark, name):
+    df = queries()[name](spark, SF0001).toPandas()
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", CANARIES)
+def test_result_is_partitioning_invariant(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _snap(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _snap(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a.equals(b), f"{name} changed under a different partitioning"
