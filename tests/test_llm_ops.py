@@ -164,3 +164,21 @@ def test_connected_components_long_chain_converges(spark):
     comps = {r.node: r.component for r in connected_components(pairs).collect()}
     assert set(comps.values()) == {0}
     assert len(comps) == 12
+
+
+def test_temporal_pool_bounds_and_frame_counts(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm9 import (
+        q_multimodal_temporal_pool,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r for r in q_multimodal_temporal_pool(spark, sf).collect()}
+    docs = load(spark, sf, "documents").collect()
+    assert len(out) == len(docs)
+    for d in docs:
+        r = out[d["doc_id"]]
+        want_frames = max((len(d["text"]) + 63) // 64, 1)
+        assert r["n_frames"] == want_frames
+        for k in range(4):
+            assert 0 <= r[f"mean_f{k}"] <= r[f"max_f{k}"] <= 0xFFFF
