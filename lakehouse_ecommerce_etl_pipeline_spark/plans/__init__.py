@@ -61,5 +61,6 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import llm6  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm7  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm8  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm9  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm10  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402

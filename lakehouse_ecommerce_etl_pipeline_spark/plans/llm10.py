@@ -1,0 +1,206 @@
+"""LLM tier X: corpus geometry and per-source quality rollups.
+
+q_pairwise_distance_histogram profiles the distance distribution of
+the embedding space over a deterministic md5-sampled pair set — the
+diagnostic that calibrates every ANN threshold (LSH bands, IVF probe
+counts, dedup cosine cutoffs) before an index is built.
+q_dup_rate_by_source rolls the verified near-dup pair graph up to the
+per-source duplicate rate — the corpus-quality scorecard that decides
+which ingestion sources need dedup pressure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
+    _BANDS_UNION,
+    _NUM_HASHES,
+    _ROWS_PER_BAND,
+    _SIG_SELECT,
+    _tok_cte,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+_QUANT = "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)"
+_SAMPLE_MOD = 16  # keep ~1/16 of all pairs, hash-selected
+
+
+@register(
+    "q_pairwise_distance_histogram",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), {_QUANT}) AS z
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.z AS za, b.z AS zb
+      FROM qz a JOIN qz b ON a.vec_id < b.vec_id
+      WHERE CAST(CONCAT('0x',
+              substring(md5(CAST(a.vec_id AS VARCHAR) || ':' ||
+                            CAST(b.vec_id AS VARCHAR)), 1, 6))
+            AS BIGINT) % {_SAMPLE_MOD} = 0
+    ),
+    d AS (
+      SELECT CAST(list_sum(list_transform(list_zip(za, zb),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist_sq
+      FROM pairs
+    )
+    SELECT CAST(floor(log2(dist_sq + 1)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_pairs
+    FROM d GROUP BY 1
+    """,
+)
+def q_pairwise_distance_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distance-distribution profile of the embedding space: squared
+    euclidean distances between a deterministic 1/{_SAMPLE_MOD}
+    md5-sample of all pairs, bucketed by floor(log2) — the geometry
+    check run BEFORE building any ANN index (a bimodal histogram
+    means near-dup structure exists and LSH thresholds have a valley
+    to cut at; a unimodal one means cosine cutoffs must be chosen by
+    recall targets instead). Distances are integer (quantized
+    embeddings), so the histogram is engine-exact; the pair sample is
+    hash-selected, so it is reproducible anywhere.
+
+    100 TB: never enumerate all pairs — the hash-gate is applied to
+    bucket-local candidates (LSH buckets or IVF cells) and the
+    histogram is a {_SAMPLE_MOD}-fold-smaller map-side-combined
+    count; the sf-small exact twin here keeps the cross join only to
+    oracle the bucketing rule."""
+    z = F.expr(f"transform(embedding, {_QUANT})").alias("z")
+    qz = load(spark, sf_dir, "embeddings").select("vec_id", z)
+    a = qz.select(F.col("vec_id").alias("id_a"), F.col("z").alias("za"))
+    b = qz.select(F.col("vec_id").alias("id_b"), F.col("z").alias("zb"))
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("id_a").cast("string"),
+                        F.lit(":"),
+                        F.col("id_b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SAMPLE_MOD
+        == 0
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(gate)
+        .select(
+            F.expr(
+                "aggregate(zip_with(za, zb, (x, y) -> (x - y) * (x - y)), "
+                "0L, (s, x) -> s + x)"
+            ).alias("dist_sq")
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.log2(F.col("dist_sq") + 1))
+            .cast("bigint")
+            .alias("log2_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_THRESH = 0.5
+
+
+@register(
+    "q_dup_rate_by_source",
+    oracle=f"""
+    WITH {_tok_cte()},
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM tok GROUP BY doc_id),
+    bands AS (
+      {_BANDS_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dup AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+            >= {_THRESH}
+    ),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM dup
+        UNION ALL
+        SELECT id_b AS doc_id FROM dup
+      )
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE dd.doc_id IS NOT NULL) AS n_dup_docs,
+           CAST(COUNT(*) FILTER (WHERE dd.doc_id IS NOT NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-involvement rate: the share of each
+    ingestion source's documents that sit in at least one verified
+    near-dup pair (MinHash → LSH → exact-Jaccard ≥ {_THRESH}) — the
+    corpus-quality scorecard that tells you WHICH feed needs dedup
+    pressure, not just that duplicates exist. The rate is one IEEE
+    division of exact counts.
+
+    100 TB: the pair chain is LSH-bounded; the involved-doc set is a
+    distinct projection of the pair list, semi-joined back to the
+    corpus (broadcast when small). The per-source rollup rides the
+    corpus scan that ingestion accounting already pays."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+    dup = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
+        F.col("jaccard") >= _THRESH
+    )
+    dup_docs = (
+        dup.select(F.col("id_a").alias("doc_id"))
+        .unionByName(dup.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("is_dup").isNotNull()).alias("n_dup_docs"),
+            (
+                F.count_if(F.col("is_dup").isNotNull()).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+    )
