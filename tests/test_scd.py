@@ -34,3 +34,18 @@ def test_scd2_intervals_tile_without_overlap(spark):
             assert not a["is_current"]
             assert a["state"] != b["state"]  # no-op changes collapsed
         assert versions[-1]["effective_to"] is None
+
+
+def test_incremental_apply_equals_full_rebuild(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.scd import (
+        q_scd2_history,
+        q_scd2_incremental_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = q_scd2_history(spark, sf).toPandas()
+    inc = q_scd2_incremental_apply(spark, sf).toPandas()
+    cols = sorted(full.columns)
+    full = full[cols].sort_values(by=cols, ignore_index=True)
+    inc = inc[cols].sort_values(by=cols, ignore_index=True)
+    assert full.equals(inc)
