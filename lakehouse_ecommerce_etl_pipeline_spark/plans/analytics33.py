@@ -202,3 +202,56 @@ def q_above_p90_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("p90_threshold"))
         .select("c_custkey", "c_mktsegment", "c_acctbal", "p90_threshold")
     )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_date
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(o.o_orderdate AS DATE) AS day,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_orderdate = f.first_date
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN o.o_orderdate <> f.first_date
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+           CAST(SUM(CASE WHEN o.o_orderdate = f.first_date
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS new_share
+    FROM orders o JOIN first_order f USING (o_custkey)
+    GROUP BY 1
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily mix: each order labeled by whether it
+    falls on its customer's first-ever order date, rolled up to the
+    daily acquisition share — the growth-accounting split every
+    revenue dashboard leads with. The label is exact date equality
+    against a per-customer MIN; the share is one IEEE division of
+    exact counts.
+
+    100 TB: the first-order table is one map-side-combined aggregate
+    co-partitioned with the fact join on o_custkey (one exchange
+    serves both); the daily rollup collapses to the day domain.
+    Same-day multiple first orders all count as new — consistent on
+    both engines because the rule is date equality, not rank."""
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_date")
+    )
+    is_new = (F.col("o_orderdate") == F.col("first_date")).cast("int")
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(is_new).cast("bigint").alias("n_new"),
+            F.sum(1 - is_new).cast("bigint").alias("n_returning"),
+            (
+                F.sum(is_new).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("new_share"),
+        )
+    )

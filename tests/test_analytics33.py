@@ -66,3 +66,20 @@ def test_above_p90_selects_top_decile(spark):
     assert out.filter(
         F.col("c_acctbal") <= F.col("p90_threshold")
     ).count() == 0
+
+
+def test_new_vs_returning_partitions_orders(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics33 import (
+        q_new_vs_returning,
+    )
+
+    rows = q_new_vs_returning(spark, SF0001).collect()
+    o = load(spark, SF0001, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    for r in rows:
+        assert r["n_new"] + r["n_returning"] == r["n_orders"]
+        assert 0 <= r["new_share"] <= 1
+    # every customer contributes >=1 new order (their first date)
+    total_new = sum(r["n_new"] for r in rows)
+    n_cust = o.select("o_custkey").distinct().count()
+    assert total_new >= n_cust
