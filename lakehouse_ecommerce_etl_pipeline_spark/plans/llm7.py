@@ -192,3 +192,110 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_interval_join_outer(
         spark, events_parquet_path(spark, sf_dir)
     )
+
+
+@register(
+    "q_attribution_first_last",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT p.event_id, e.event_type AS channel, e.ts AS t_ts,
+             e.event_id AS t_id
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts < p.ts
+       AND e.ts >= p.ts - INTERVAL 24 HOUR
+       AND e.event_type <> 'purchase'
+    ),
+    ranked AS (
+      SELECT event_id, channel,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY t_ts, t_id) AS rk_first,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY t_ts DESC, t_id DESC) AS rk_last
+      FROM touch
+    ),
+    f AS (
+      SELECT channel, COUNT(*) AS n FROM ranked
+      WHERE rk_first = 1 GROUP BY channel
+    ),
+    l AS (
+      SELECT channel, COUNT(*) AS n FROM ranked
+      WHERE rk_last = 1 GROUP BY channel
+    ),
+    ch AS (
+      SELECT channel FROM f UNION SELECT channel FROM l
+    )
+    SELECT ch.channel,
+           CAST(COALESCE(f.n, 0) AS BIGINT) AS first_touch_credits,
+           CAST(COALESCE(l.n, 0) AS BIGINT) AS last_touch_credits
+    FROM ch
+    LEFT JOIN f ON f.channel = ch.channel
+    LEFT JOIN l ON l.channel = ch.channel
+    """,
+)
+def q_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution side by side: each
+    attributed purchase credits one unit to the channel of its
+    EARLIEST touch (first-touch) and one to its LATEST (last-touch)
+    within the 24 h lookback — the two positional models bracketing
+    q_attribution_linear's equal split; comparing the columns shows
+    which channels open journeys vs close them. Positions are picked
+    by row_number under the (ts, event_id) total order, so credits
+    are integer counts with no float anywhere.
+
+    100 TB: same bounded interval join as the linear model; the
+    positional picks are two window ranks over per-purchase touch
+    lists (small partitions by construction — the lookback caps
+    them)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    touch = p.join(
+        e,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("event_id", "channel", "t_ts", "t_id")
+    wf = Window.partitionBy("event_id").orderBy("t_ts", "t_id")
+    wl = Window.partitionBy("event_id").orderBy(
+        F.desc("t_ts"), F.desc("t_id")
+    )
+    ranked = touch.select(
+        "event_id",
+        "channel",
+        F.row_number().over(wf).alias("rk_first"),
+        F.row_number().over(wl).alias("rk_last"),
+    )
+    f = (
+        ranked.filter(F.col("rk_first") == 1)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("first_touch_credits"))
+    )
+    l = (
+        ranked.filter(F.col("rk_last") == 1)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("last_touch_credits"))
+    )
+    return (
+        f.join(l, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("first_touch_credits", F.lit(0))
+            .cast("bigint")
+            .alias("first_touch_credits"),
+            F.coalesce("last_touch_credits", F.lit(0))
+            .cast("bigint")
+            .alias("last_touch_credits"),
+        )
+    )

@@ -90,3 +90,33 @@ def test_outer_interval_join_null_rows_respect_watermark(spark):
     assert matched.filter(
         (F.col("lag_micros") < 0) | (F.col("lag_micros") >= 3_600_000_000)
     ).count() == 0
+
+
+def test_first_last_touch_conserve_attributed_purchases(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm7 import (
+        q_attribution_first_last,
+    )
+
+    rows = q_attribution_first_last(spark, SF0001).collect()
+    first_total = sum(r["first_touch_credits"] for r in rows)
+    last_total = sum(r["last_touch_credits"] for r in rows)
+    # both models assign exactly one credit per attributed purchase
+    assert first_total == last_total
+    ev = load(spark, SF0001, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("tts")
+    )
+    attributed = (
+        p.join(
+            t,
+            (F.col("tu") == F.col("pu"))
+            & (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+            "leftsemi",
+        )
+        .count()
+    )
+    assert first_total == attributed
