@@ -154,3 +154,81 @@ def q_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deltas.orderBy(
         F.abs(F.col("delta")).desc(), "l_partkey", "week"
     ).limit(_TOP_N)
+
+
+@register(
+    "q_supplier_hhi",
+    oracle=f"""
+    WITH sr AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             {sql_dsum("l.l_extendedprice", "supp_rev")}
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT s_nationkey,
+             CAST(SUM(CAST(supp_rev AS DECIMAL(30,8))) AS DOUBLE)
+               AS nation_rev,
+             COUNT(*) AS n_suppliers
+      FROM sr GROUP BY s_nationkey
+    ),
+    shares AS (
+      SELECT sr.s_nationkey, tot.n_suppliers,
+             sr.supp_rev / tot.nation_rev AS share
+      FROM sr JOIN tot USING (s_nationkey)
+    )
+    SELECT s_nationkey, n_suppliers,
+           CAST(CAST(SUM(CAST(floor(share * share * 1e12) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 1e12 AS hhi,
+           MAX(share) AS top_share
+    FROM shares
+    GROUP BY s_nationkey, n_suppliers
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation: the Herfindahl–Hirschman
+    index (Σ share²) plus the single largest share — the market-
+    concentration screen behind supply-risk reviews (HHI → 1 means
+    one supplier owns the nation's volume). Each share divides
+    identical decimal-exact revenues; each share² is floor-scaled to
+    an integer picounit BEFORE the sum (the q_attribution_linear
+    rule: double→decimal casts diverge at these magnitudes, floors of
+    identical IEEE products cannot), so the index is associative and
+    engine-exact. MAX picks among identical doubles.
+
+    100 TB: two map-side-combined aggregates (supplier-nation, then
+    nation) with a broadcast-sized supplier dimension join — the
+    whole report is dimension-scale after the first collapse."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sr = (
+        li.join(
+            F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(dsum("l_extendedprice", "supp_rev"))
+    )
+    tot = sr.groupBy("s_nationkey").agg(
+        F.sum(F.col("supp_rev").cast("decimal(30,8)"))
+        .cast("double")
+        .alias("nation_rev"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    shares = sr.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        (F.col("supp_rev") / F.col("nation_rev")).alias("share"),
+    )
+    return shares.groupBy("s_nationkey", "n_suppliers").agg(
+        (
+            F.sum(
+                F.floor(F.col("share") * F.col("share") * F.lit(1e12)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1e12)
+        ).alias("hhi"),
+        F.max("share").alias("top_share"),
+    )

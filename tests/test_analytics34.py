@@ -37,3 +37,19 @@ def test_top_movers_are_consecutive_weeks_and_sorted(spark):
         assert abs(r["delta"] - (r["revenue"] - r["prev_revenue"])) < 1e-9
         # consecutive calendar weeks only
         assert (r["week"].date() - r["week"].date()).days == 0  # sanity
+
+
+def test_supplier_hhi_bounds(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics34 import (
+        q_supplier_hhi,
+    )
+
+    rows = q_supplier_hhi(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        # HHI in (1/n, 1]; floor-scaling can undershoot by <= n*1e-12
+        assert 1 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0 + 1e-12
+        assert 0 < r["top_share"] <= 1.0
+        assert r["hhi"] <= r["top_share"] + 1.0  # trivial sanity
+        # top share alone contributes at least top_share^2
+        assert r["hhi"] >= r["top_share"] ** 2 - 1e-9
