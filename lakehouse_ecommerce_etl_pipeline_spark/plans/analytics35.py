@@ -1,0 +1,102 @@
+"""Analytics tier XXXV: returns and discount descriptives.
+
+q_return_rate_monthly tracks the returned-line share per month (the
+reverse-logistics KPI the l_returnflag column encodes);
+q_discount_depth profiles volume and revenue by discount band (the
+descriptive table behind any discount-effectiveness review —
+elasticity modeling starts from exactly this grid).
+
+Cross-engine exactness: bands are integer FLOOR of cent-scaled
+discounts; every share/mean is one IEEE division of exact integers or
+decimal-exact sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.operators.aggregates import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+
+@register(
+    "q_return_rate_monthly",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS month,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS return_rate
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return rate: the share of shipped lines flagged
+    returned ('R'), per ship month — the reverse-logistics KPI
+    l_returnflag exists to answer, reported as exact conditional
+    counts with one IEEE division per month.
+
+    100 TB: a single map-side-combined conditional aggregate over the
+    month domain; partition pruning makes the incremental refresh
+    one month's scan. Segment the same pass by part/supplier to
+    localize a rising rate."""
+    flag = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(flag).cast("bigint").alias("n_returned"),
+            (
+                F.sum(flag).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("return_rate"),
+        )
+    )
+
+
+@register(
+    "q_discount_depth",
+    oracle=f"""
+    SELECT CAST(FLOOR(l_discount * 100) AS BIGINT) AS discount_pct,
+           COUNT(*) AS n_lines,
+           {sql_dsum("l_quantity", "total_qty")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "net_revenue")}
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_discount_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth profile: line volume, quantity, and net revenue
+    per integer discount percent (FLOOR of the cent-scaled rate) —
+    the descriptive grid a discount-effectiveness review reads first
+    (does deeper discounting move more units?). Net revenue applies
+    the discount BEFORE quantization: the product of two stored
+    doubles is the same IEEE value on both engines, and the decimal
+    sum of those identical products is associative.
+
+    100 TB: one map-side-combined aggregate over ~11 bands; the
+    elasticity regression (q_groupwise_regression) consumes this grid
+    directly."""
+    band = F.floor(F.col("l_discount") * 100).cast("bigint")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(band.alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "total_qty"),
+            davg("l_quantity", "avg_qty"),
+            dsum(net, "net_revenue"),
+        )
+    )
