@@ -100,3 +100,34 @@ def q_discount_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(net, "net_revenue"),
         )
     )
+
+
+@register(
+    "q_aov_trend_monthly",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           {sql_davg("o_totalprice", "avg_order_value")}
+    FROM orders GROUP BY 1
+    """,
+)
+def q_aov_trend_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly average-order-value trend: order count, decimal-exact
+    revenue, and AOV (exact-sum / count) per month — the first line
+    of every revenue dashboard, here as the canonical
+    aggregate-then-divide shape (never avg() over raw doubles when
+    the oracle must match bit-for-bit).
+
+    100 TB: one map-side-combined aggregate over the month domain;
+    month partition pruning makes the incremental refresh one
+    partition's scan."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+            davg("o_totalprice", "avg_order_value"),
+        )
+    )

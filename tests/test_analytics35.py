@@ -34,3 +34,16 @@ def test_discount_depth_bands_partition_lines(spark):
         assert 0 <= r["discount_pct"] <= 100
         assert r["net_revenue"] > 0
         assert abs(r["avg_qty"] - r["total_qty"] / r["n_lines"]) < 1e-9
+
+
+def test_aov_trend_conserves_orders_and_revenue(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics35 import (
+        q_aov_trend_monthly,
+    )
+
+    rows = q_aov_trend_monthly(spark, SF0001).collect()
+    o = load(spark, SF0001, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    for r in rows:
+        assert abs(r["avg_order_value"] - r["revenue"] / r["n_orders"]) < 1e-9
+        assert r["revenue"] > 0
