@@ -296,8 +296,8 @@ def q_unpivot(spark, sf_dir):
     SELECT o_orderkey,
            round(o_totalprice, 1) AS rounded,
            abs(o_totalprice - 100000.0) AS abs_diff,
-           floor(o_totalprice) AS floored,
-           ceil(o_totalprice) AS ceiled,
+           CAST(floor(o_totalprice) AS BIGINT) AS floored,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
            sqrt(o_totalprice) AS sqrt_price
     FROM orders
     """,

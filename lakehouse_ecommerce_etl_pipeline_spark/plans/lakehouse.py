@@ -20,10 +20,8 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 from lakehouse_ecommerce_etl_pipeline_spark.sinks.merge import merge_frames, merge_upsert
 from lakehouse_ecommerce_etl_pipeline_spark.sources import table as managed
-from lakehouse_ecommerce_etl_pipeline_spark.sources.excel import (
-    read_workbooks,
-    write_fake_workbook,
-)
+from lakehouse_ecommerce_etl_pipeline_spark.sources.excel import read_workbooks
+from lakehouse_ecommerce_etl_pipeline_spark.sources.xlsx import write_xlsx
 
 _ORDER_COLS = [
     "o_orderkey",
@@ -109,11 +107,13 @@ def q_merge_upsert(spark, sf_dir):
     return merge_frames(target, _merge_source(spark, sf_dir), ["o_orderkey"])
 
 
-@register("q_merge_upsert_storage")  # rows-only: side-effecting sink
+@register("q_merge_upsert_storage", oracle=_MERGE_ORACLE)
 def q_merge_upsert_storage(spark, sf_dir):
     """K1 (storage) — the same MERGE applied to a managed table with
     snapshot publication, run twice to prove idempotency (second MERGE
-    of identical source is a no-op modulo updated values)."""
+    of identical source is a no-op modulo updated values). The
+    read-back snapshot must equal the pure relational merge result,
+    so it shares q_merge_upsert's full-outer-emulation oracle."""
     path = os.path.join(work_dir(sf_dir, "tables"), "orders_merge")
     import shutil
 
@@ -170,14 +170,30 @@ ORDERS_XL_SCHEMA = T.StructType(
 )
 
 
-@register("q_scan_excel")  # rows-only: workbook parse isn't ANSI SQL
+@register(
+    "q_scan_excel",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_custkey AS user_id,
+           o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS total_amount,
+           CAST(o_orderdate AS TIMESTAMP) AS order_timestamp
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
 def q_scan_excel(spark, sf_dir):
-    """S2 — distributed multi-sheet workbook scan (reference:
-    driver-side pandas, orders_etl.py:41-64 — redesigned as
-    binaryFile + mapInPandas; SURVEY.md §7 hard-part 1). Two good
-    sheets + one missing a required column (skipped, like
-    orders_etl.py:63-64), across two workbook files."""
+    """S2 — distributed multi-sheet workbook scan of GENUINE .xlsx
+    (reference: driver-side pandas, orders_etl.py:41-64 — redesigned
+    as binaryFile + mapInPandas over the engine's stdlib
+    SpreadsheetML reader; SURVEY.md §7 hard-part 1). Two good sheets
+    + one missing a required column (skipped, like
+    orders_etl.py:63-64), across two workbook files. Workbook content
+    derives deterministically from orders, so the scan oracles as an
+    ORDER BY/LIMIT projection."""
+    import shutil
+
     wdir = work_dir(sf_dir, "workbooks")
+    shutil.rmtree(wdir, ignore_errors=True)  # drop stale fixtures
+    os.makedirs(wdir, exist_ok=True)
     pdf = (
         load(spark, sf_dir, "orders")
         .orderBy("o_orderkey")
@@ -193,12 +209,12 @@ def q_scan_excel(spark, sf_dir):
     )
     half = len(pdf) // 2
     bad = pdf.head(5).drop(columns=["order_timestamp"])
-    write_fake_workbook(
-        os.path.join(wdir, "orders_apr_2025.bundle"),
+    write_xlsx(
+        os.path.join(wdir, "orders_apr_2025.xlsx"),
         {"Sheet1": pdf.iloc[:half], "bad_sheet": bad},
     )
-    write_fake_workbook(
-        os.path.join(wdir, "orders_may_2025.bundle"),
+    write_xlsx(
+        os.path.join(wdir, "orders_may_2025.xlsx"),
         {"Sheet1": pdf.iloc[half:]},
     )
     parsed = read_workbooks(

@@ -15,13 +15,13 @@ reference's exact skip-bad-sheet semantics preserved per sheet.
 Workbook formats (pluggable parser, auto-detected from the zip
 manifest):
 
-- real ``.xlsx`` via ``pandas.read_excel`` — gated on openpyxl, which
-  is NOT in this runtime; attempting it raises ImportError with a
-  clear message.
+- real ``.xlsx`` via the engine's own stdlib SpreadsheetML reader
+  (``sources/xlsx.py`` — zipfile + xml.etree; no openpyxl needed).
 - ``fake workbook``: a zip of ``<sheet>.csv`` members — a deterministic
-  stand-in with identical multi-sheet semantics so the distributed
-  plumbing (binaryFile scan, Arrow batching, per-sheet validation,
-  schema coercion) is real and tested end-to-end.
+  stand-in kept for fixtures that predate the real reader; identical
+  multi-sheet semantics through the same distributed plumbing
+  (binaryFile scan, Arrow batching, per-sheet validation, schema
+  coercion).
 
 100 TB: per-file tasks mean a 100k-workbook backlog fans out across
 the cluster; single giant workbooks remain single-task (xlsx is not
@@ -47,16 +47,14 @@ def parse_workbook_bytes(content: bytes) -> dict[str, pd.DataFrame]:
     with zipfile.ZipFile(buf) as zf:
         names = zf.namelist()
         if any(n == "[Content_Types].xml" for n in names):  # real xlsx
-            try:
-                import openpyxl  # noqa: F401
-            except ImportError as e:  # pragma: no cover - env without openpyxl
-                raise ImportError(
-                    "parsing real .xlsx needs openpyxl (not in this runtime); "
-                    "use the CSV-zip fake-workbook format for tests"
-                ) from e
-            buf.seek(0)
-            xl = pd.ExcelFile(buf)
-            return {s: xl.parse(s) for s in xl.sheet_names}
+            # stdlib SpreadsheetML reader (sources/xlsx.py) — no
+            # openpyxl needed; covers the subset the reference's
+            # pd.ExcelFile parse exercises (orders_etl.py:43-44)
+            from lakehouse_ecommerce_etl_pipeline_spark.sources.xlsx import (
+                read_xlsx_bytes,
+            )
+
+            return read_xlsx_bytes(content)
         out = {}
         for n in sorted(names):
             if n.endswith(".csv"):

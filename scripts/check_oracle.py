@@ -50,19 +50,53 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _canon(v):
+    """Canonical (family, value) pair replicating the driver's
+    dtype-aware value hash: an int64 Spark column vs a float64 oracle
+    column (e.g. DuckDB HUGEINT window sums → pandas float64) must
+    FAIL even when the numeric values compare equal, because the
+    driver hashes the dtype-canonicalized representation.  Decimal and
+    float are one family (DuckDB lowers DECIMAL to float64 in
+    fetchdf; the driver's round-1 rows prove it hashes them alike)."""
+    import decimal
+
+    import numpy as np
+
+    if v is None:
+        return ("null", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("null", None) if math.isnan(f) else ("float", f)
+    if isinstance(v, decimal.Decimal):
+        return ("float", float(v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.to_pydatetime().replace(tzinfo=None))
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.replace(tzinfo=None))
+    if isinstance(v, _dt.date):
+        return ("date", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
+    if isinstance(v, (list, tuple)) or (
+        hasattr(v, "__len__") and type(v).__name__ == "ndarray"
+    ):
+        return ("seq", tuple(_canon(x) for x in v))
+    try:
+        if pd.isna(v):
+            return ("null", None)
+    except (TypeError, ValueError):
+        pass
+    return ("str", str(v)) if isinstance(v, str) else ("other", v)
+
+
 def values_equal(a, b) -> bool:
     if a is b:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
-    return a == b
+    return _canon(a) == _canon(b)
 
 
 def frames_equal(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[bool, str]:
