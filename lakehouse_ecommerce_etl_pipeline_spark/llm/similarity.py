@@ -62,6 +62,121 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
+def cosine_near_dup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT near-dup pairs without the all-pairs crossJoin: IVF cell
+    decomposition + angular triangle-inequality cell-pair pruning.
+
+    Every vector is assigned to its nearest of ``n_cells`` centroids
+    (broadcast argmin — linear); each cell keeps its angular radius
+    r_i = max θ(member, centroid).  Geodesic angle on the unit sphere
+    is a metric, so a pair (a ∈ cell i, b ∈ cell j) can satisfy
+    θ(a,b) ≤ θ_t only if θ(c_i,c_j) ≤ r_i + r_j + θ_t — any cell pair
+    violating that bound is pruned BEFORE the join.  Admissible pairs
+    are verified with the same exact JVM cosine fold as the
+    brute-force baseline, so the result is identical to all-pairs
+    (the bound is conservative: ε-slack absorbs float error in the
+    radii/angles, and rounding slack widens θ_t to cover
+    round(c, round_to) ≥ threshold).
+
+    100 TB: candidates flow through equi-joins on cell ids (no
+    CartesianProduct); on clustered corpora — the actual near-dup
+    regime — far cell pairs prune the quadratic frontier away, and
+    cells partition the shuffle.  On adversarially uniform data the
+    admissible set degrades toward all cell pairs (exactness has no
+    free lunch there); the probabilistic LSH/MinHash path
+    (q_near_dup_clusters, q_hyperplane_lsh) is the recall-tunable
+    alternative.  At cluster scale, write vectors bucketed by cell id
+    so the per-cell joins co-locate, and train centroids with
+    llm/kmeans.py instead of the seed stand-in."""
+    import math
+
+    spark = vectors.sparkSession
+    cents = seed_centroids(vectors, n_cells, id_col, vec_col)
+    joined = vectors.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    scored = joined.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine(vec_col, "cvec").alias("csim"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("csim"), (-F.col("centroid_id")).alias("neg_cid"))
+        ).alias("b")
+    )
+    assigned = vectors.join(best, id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-F.col("b.neg_cid")).alias("cell"),
+        F.col("b.csim").alias("ccos"),
+    )
+
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("ccos")))
+    radii = {
+        r["cell"]: r["r"]
+        for r in assigned.groupBy("cell")
+        .agg(F.max(F.acos(clamped)).alias("r"))
+        .collect()  # O(n_cells) driver decision
+    }
+    cvecs = {r["centroid_id"]: r["cvec"] for r in cents.collect()}
+
+    def angle(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return math.acos(max(-1.0, min(1.0, d / (nu * nv))))
+
+    eps = 1e-6
+    theta_t = math.acos(
+        max(-1.0, min(1.0, threshold - 10.0 ** (-round_to)))
+    )
+    cells = sorted(radii)
+    admissible = [
+        (i, j)
+        for a_i, i in enumerate(cells)
+        for j in cells[a_i:]
+        if angle(cvecs[i], cvecs[j]) <= radii[i] + radii[j] + theta_t + eps
+    ]
+    pair_df = spark.createDataFrame(admissible, "cell_a int, cell_b int")
+
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("cell").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    cand = (
+        a.join(F.broadcast(pair_df), "cell_a")
+        .join(b, "cell_b")
+        .filter(
+            (F.col("cell_a") < F.col("cell_b"))
+            | (
+                (F.col("cell_a") == F.col("cell_b"))
+                & (F.col("id_a") < F.col("id_b"))
+            )
+        )
+    )
+    verified = cand.select(
+        F.least("id_a", "id_b").alias("lo"),
+        F.greatest("id_a", "id_b").alias("hi"),
+        F.round(cosine("va", "vb"), round_to).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+    return verified.select(
+        F.col("lo").alias("id_a"), F.col("hi").alias("id_b"), "cosine_sim"
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

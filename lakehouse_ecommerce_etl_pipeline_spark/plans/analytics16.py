@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, order_part_pairs
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    load,
+    order_part_pairs,
+    spill_final,
+)
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 
@@ -402,8 +406,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.count()
         ranks.unpersist()
         ranks = nxt
-    # the final generation is materialized — the edge cache is no
-    # longer needed by the returned (cached) plan; drop it so repeated
-    # bench/oracle invocations don't accumulate storage pressure
     ed.unpersist()
-    return ranks.select("node", F.col("r").alias("pagerank"))
+    out = spill_final(
+        ranks.select("node", F.col("r").alias("pagerank")), sf_dir, "pagerank"
+    )
+    ranks.unpersist()
+    return out

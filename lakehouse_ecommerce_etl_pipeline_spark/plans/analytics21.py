@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     load,
     order_part_pairs,
+    spill_final,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
@@ -114,7 +115,13 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         lbl.unpersist()
         lbl = nxt
     ed.unpersist()
-    return lbl.select("node", F.col("lbl").alias("component"))
+    out = spill_final(
+        lbl.select("node", F.col("lbl").alias("component")),
+        sf_dir,
+        "connected_components",
+    )
+    lbl.unpersist()
+    return out
 
 
 # ------------------------------------------------- Gini concentration

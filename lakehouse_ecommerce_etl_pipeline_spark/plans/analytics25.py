@@ -70,7 +70,7 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_batch_session_window",
     oracle="""
     WITH g AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id)
                        > INTERVAL 20 MINUTE
@@ -82,7 +82,7 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, ts, value,
              CAST(SUM(is_start) OVER (PARTITION BY user_id
-                                      ORDER BY ts
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING)
                   AS BIGINT) AS session_id
       FROM g

@@ -28,7 +28,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
 )
 from lakehouse_ecommerce_etl_pipeline_spark.llm.similarity import (
     brute_force_topk,
-    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_blocked,
     ivf_topk,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
@@ -422,8 +422,13 @@ def q_similarity_topk(spark, sf_dir):
     """,
 )
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.8)."""
-    return cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), 0.8)
+    """Embedding-cosine near-dup pairs (threshold 0.8) via the EXACT
+    blocked plan: IVF cells + angular triangle-inequality cell-pair
+    pruning + in-cell exact verify (llm/similarity.py
+    cosine_near_dup_pairs_blocked) — identical result to the all-pairs
+    crossJoin, which survives only as the oracle/pytest cross-check
+    (cosine_near_dup_pairs)."""
+    return cosine_near_dup_pairs_blocked(load(spark, sf_dir, "embeddings"), 0.8)
 
 
 @register("q_ann_ivf")  # rows-only: approximate by construction

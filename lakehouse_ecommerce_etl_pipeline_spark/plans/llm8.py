@@ -26,7 +26,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, spill_final
 from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
     _BANDS_UNION,
     _NUM_HASHES,
@@ -143,10 +143,27 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lbl.unpersist()
         lbl = nxt
         if changed == 0:
+            converged = True
             break
+    else:
+        converged = False
     ed.unpersist()
-    return lbl.select(
-        F.col("node").alias("doc_id"),
-        F.col("lbl").alias("cluster"),
-        (F.col("node") == F.col("lbl")).alias("is_representative"),
+    if not converged:
+        # an unconverged labeling would silently diverge from the
+        # recursive-CTE oracle on a graph with diameter > the cap
+        lbl.unpersist()
+        raise RuntimeError(
+            f"min-label propagation did not converge within "
+            f"{_MAX_ROUNDS} rounds (graph diameter exceeds the cap)"
+        )
+    out = spill_final(
+        lbl.select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").alias("cluster"),
+            (F.col("node") == F.col("lbl")).alias("is_representative"),
+        ),
+        sf_dir,
+        "near_dup_clusters",
     )
+    lbl.unpersist()
+    return out

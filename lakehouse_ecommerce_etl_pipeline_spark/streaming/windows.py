@@ -193,10 +193,19 @@ def sliding_agg_stream(
     one before it) — stream/batch parity over the OVERLAPPING
     assignment is what distinguishes this from the tumbling twin.
 
-    100 TB: state is one row per (open window × key); overlap
-    multiplies state by window/slide — watermark eviction is what
-    keeps that product bounded, and a larger slide ratio is the first
-    lever when the store grows.
+    NOTE on modes: this harness runs outputMode('complete') so the
+    memory sink holds every window — in complete mode Spark never
+    evicts window state, and the withWatermark call does NOT bound
+    the store (it exists so the same plan is append-ready). The
+    bounded-state claim applies to the append-mode PRODUCTION shape:
+    there, watermark eviction caps state at one row per (open window
+    × key) times the window/slide overlap, and a larger slide ratio
+    is the first lever when the store grows. Complete mode is chosen
+    here deliberately: with availableNow draining a finite directory
+    (often a single micro-batch), the watermark only advances between
+    micro-batches, so append mode would withhold most or all windows
+    from the sink — stream/batch parity over ALL windows is exactly
+    what the oracle checks.
     """
     schema = spark.read.parquet(parquet_path).schema
     stream = (
