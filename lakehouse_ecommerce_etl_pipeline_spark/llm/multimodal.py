@@ -1,12 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched pandas over ``mapInPandas``.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this runtime —
-the decode kernels are stubbed per the build contract: the Spark-side
-plumbing (schema, partitioning, Arrow batch shape, UDF signature) is
-real and tested; ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic header-derived fake
-(dimensions from the first bytes) stands in.
+REAL decode kernels (pure stdlib + NumPy, no PIL/opencv needed):
+
+- **PPM/PGM** (P6/P5): header parse incl. comments, raw 8-bit samples.
+- **BMP**: BITMAPINFOHEADER, 24 bpp uncompressed, bottom-up or
+  top-down rows, 4-byte row padding, BGR→RGB swap.
+- **PNG**: non-interlaced 8-bit RGB/RGBA — zlib inflate (stdlib) +
+  per-row unfiltering (None/Sub/Up/Average/Paeth).
+
+Compressed formats whose codecs genuinely need external libraries
+(JPEG/webp/video) stay honestly gated behind NotImplementedError;
+``fake=True`` keeps the deterministic header-derived test double for
+plumbing-only tests.
 
 100 TB: binary payloads dominate row size — keep them OUT of shuffles:
 extract metadata first (narrow mapInPandas, no shuffle), then
@@ -39,23 +45,212 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+def decode_ppm(payload: bytes):
+    """P6 (RGB) / P5 (gray) netpbm → uint8 ndarray (H, W, C).
+    Handles header comments; 16-bit samples are out of scope."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    idx, vals = 2, []
+    while len(vals) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":
+            while payload[idx : idx + 1] not in (b"\n", b""):
+                idx += 1
+            continue
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        vals.append(int(payload[start:idx]))
+    idx += 1  # exactly one whitespace byte separates maxval from data
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm samples not supported")
+    ch = 3 if magic == b"P6" else 1
+    return np.frombuffer(payload, np.uint8, count=w * h * ch, offset=idx).reshape(
+        h, w, ch
+    )
+
+
+def decode_bmp(payload: bytes):
+    """BMP (BITMAPINFOHEADER, 24 bpp, BI_RGB) → uint8 ndarray (H, W, 3)
+    in RGB order. Bottom-up (positive height) and top-down rows, 4-byte
+    row stride padding."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24bpp uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) // 4 * 4
+    out = np.empty((h, w, 3), np.uint8)
+    for i in range(h):
+        src_y = i if top_down else h - 1 - i
+        line = np.frombuffer(
+            payload, np.uint8, count=row_bytes, offset=offset + src_y * stride
+        ).reshape(w, 3)
+        out[i] = line[:, ::-1]  # stored BGR → RGB
+    return out
+
+
+def decode_png(payload: bytes):
+    """Non-interlaced 8-bit RGB/RGBA PNG → uint8 ndarray (H, W, C).
+    stdlib zlib inflate + per-row unfilter (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit RGB/RGBA PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.empty((h, stride), np.uint16)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.uint16)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            recon = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = int(recon[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def encode_ppm(arr) -> bytes:
+    """uint8 ndarray (H, W, 3) → binary P6 payload."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def encode_bmp(arr) -> bytes:
+    """uint8 ndarray (H, W, 3) RGB → 24bpp bottom-up BMP payload."""
+    import struct
+
+    h, w = arr.shape[:2]
+    pad = (-(w * 3)) % 4
+    bgr = arr[:, :, ::-1]
+    data = b"".join(
+        bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data
+
+
+def encode_png(arr) -> bytes:
+    """uint8 ndarray (H, W, 3|4) → PNG payload (filter 0 rows)."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    color_type = 2 if ch == 3 else 6
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_array(payload: bytes):
+    """(ndarray (H, W, C), format) — real decode, dispatched on magic
+    bytes. JPEG/webp/video stay honestly gated (their codecs need
+    external libraries)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload), "ppm"
+    if payload[:2] == b"BM":
+        return decode_bmp(payload), "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload), "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode requires libjpeg (not in runtime)")
+    raise ValueError(f"unrecognized image magic: {payload[:8]!r}")
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
     """(width, height, format) of an image payload.
 
-    STUB: real decoding needs an image library not present in this
-    runtime. ``fake=True`` derives deterministic pseudo-dimensions from
-    a content digest — exercising the full distributed plumbing.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this runtime); "
-            "pass fake=True for the deterministic test double"
-        )
-    digest = hashlib.sha256(payload).digest()
-    width = 64 + digest[0] % 192
-    height = 64 + digest[1] % 192
-    fmt = ["png", "jpeg", "webp"][digest[2] % 3]
-    return width, height, fmt
+    Real path: full decode via ``decode_image_array`` (PPM/BMP/PNG).
+    ``fake=True`` keeps the deterministic digest-derived double for
+    plumbing tests whose payloads aren't valid images."""
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        width = 64 + digest[0] % 192
+        height = 64 + digest[1] % 192
+        fmt = ["png", "jpeg", "webp"][digest[2] % 3]
+        return width, height, fmt
+    arr, fmt = decode_image_array(payload)
+    return arr.shape[1], arr.shape[0], fmt
 
 
 def extract_image_metadata(
@@ -95,20 +290,134 @@ def extract_image_metadata(
     )
 
 
-def resize_stub(
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def extract_image_stats(
+    blobs: DataFrame,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL decode over mapInPandas: dimensions + exact per-channel
+    pixel sums (int64 — engine-portable, order-free). Narrow, no
+    shuffle; Arrow moves the binary batches."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr, fmt = decode_image_array(bytes(payload))
+                sums = arr.reshape(-1, arr.shape[2]).sum(
+                    axis=0, dtype=np.int64
+                )
+                r = int(sums[0])
+                g = int(sums[1]) if arr.shape[2] > 1 else r
+                b = int(sums[2]) if arr.shape[2] > 2 else r
+                rows.append(
+                    (int(cid), arr.shape[1], arr.shape[0], fmt, r, g, b)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields]
+            )
+
+    return blobs.select(id_col, payload_col).mapInPandas(
+        extract, schema=IMAGE_STATS_SCHEMA
+    )
+
+
+def resize_images(
     blobs: DataFrame,
     width: int,
     height: int,
     id_col: str = "content_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize kernel placeholder: real implementation is a mapInPandas
-    over payload batches exactly like ``extract_image_metadata``; the
-    transform itself needs an image library."""
-    raise NotImplementedError(
-        "resize requires an image library (not in this runtime); the "
-        "distributed shape is identical to extract_image_metadata"
+    """Nearest-neighbor resize, re-encoded as PPM — a REAL transform
+    kernel in the same mapInPandas shape as metadata extraction
+    (decode → numpy index-sample → encode). Output: (id, payload,
+    width, height)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
     )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr, _fmt = decode_image_array(bytes(payload))
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                ys = (np.arange(height) * arr.shape[0]) // height
+                xs = (np.arange(width) * arr.shape[1]) // width
+                resized = arr[ys][:, xs, :3]
+                rows.append(
+                    (int(cid), encode_ppm(np.ascontiguousarray(resized)),
+                     width, height)
+                )
+            yield pd.DataFrame(
+                rows, columns=["content_id", "payload", "width", "height"]
+            )
+
+    return blobs.select(id_col, payload_col).mapInPandas(
+        resize, schema=out_schema
+    )
+
+
+def synthetic_images(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image payloads generated deterministically from ids —
+    format rotates ppm/bmp/png by id % 3; dimensions and constant
+    channel colors are closed-form functions of the id, so decoded
+    stats are SQL-derivable for the DuckDB oracle:
+
+        width  = 4 + id % 13          height = 3 + id % 7
+        r = id % 256   g = (7·id) % 256   b = (13·id) % 256
+        sum_c  = width · height · c
+
+    The constant-channel fill still exercises the decoders' byte
+    layout: BMP's BGR order and row padding, PNG's filtering, PPM's
+    header — a wrong deinterleave or stride shows up in the sums."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                arr = np.empty((h, w, 3), np.uint8)
+                arr[:, :] = (did % 256, (7 * did) % 256, (13 * did) % 256)
+                enc = [encode_ppm, encode_bmp, encode_png][did % 3]
+                rows.append((did, enc(arr)))
+            yield pd.DataFrame(rows, columns=["content_id", "payload"])
+
+    return docs.select(id_col).mapInPandas(gen, schema=out_schema)
 
 
 def frame_sample_stub(

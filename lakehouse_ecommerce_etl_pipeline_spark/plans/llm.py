@@ -23,8 +23,8 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     simhash,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
-    extract_image_metadata,
-    synthetic_blobs,
+    extract_image_stats,
+    synthetic_images,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.llm.similarity import (
     brute_force_topk,
@@ -441,9 +441,30 @@ def q_ann_ivf(spark, sf_dir):
 
 # ------------------------------------------------------ multimodal
 
-@register("q_multimodal_meta")  # rows-only: binary plumbing, no SQL twin
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS content_id,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(3 + doc_id % 7 AS INTEGER) AS height,
+           CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                ELSE 'png' END AS format,
+           (4 + doc_id % 13) * (3 + doc_id % 7) * (doc_id % 256) AS sum_r,
+           (4 + doc_id % 13) * (3 + doc_id % 7) * ((7 * doc_id) % 256)
+             AS sum_g,
+           (4 + doc_id % 13) * (3 + doc_id % 7) * ((13 * doc_id) % 256)
+             AS sum_b
+    FROM documents
+    """,
+)
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-column metadata extraction via Arrow-batched mapInPandas
-    (decode kernel stubbed per runtime constraints — llm/multimodal.py)."""
-    blobs = synthetic_blobs(load(spark, sf_dir, "documents"))
-    return extract_image_metadata(blobs, fake=True)
+    """REAL image decode over binary columns: deterministic PPM/BMP/PNG
+    payloads are generated from doc ids (llm/multimodal.synthetic_images
+    — real encoders), then fully decoded in the Arrow mapInPandas path
+    (header parse, BMP BGR+row-padding, PNG zlib inflate + unfilter)
+    to dimensions + exact per-channel pixel sums. The closed-form
+    id→(dims, color) construction makes the decoded stats
+    SQL-derivable, so this is a VALUE oracle over a genuine decode
+    kernel — no stub, no fake."""
+    imgs = synthetic_images(load(spark, sf_dir, "documents"))
+    return extract_image_stats(imgs)

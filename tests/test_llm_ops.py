@@ -15,7 +15,6 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
 from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
     decode_image,
     extract_image_metadata,
-    resize_stub,
     synthetic_blobs,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.llm.similarity import (
@@ -103,10 +102,11 @@ def test_multimodal_stub_contract(spark):
     assert meta.n_bytes == len(b"hello world")
     assert 64 <= meta.width < 256 and 64 <= meta.height < 256
     assert meta.format in {"png", "jpeg", "webp"}
+    # real path: JPEG stays honestly gated, junk is rejected
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG", fake=False)
-    with pytest.raises(NotImplementedError):
-        resize_stub(None, 10, 10)
+        decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg", fake=False)
+    with pytest.raises(ValueError):
+        decode_image(b"not an image", fake=False)
 
 
 def test_lsh_max_bucket_prunes_degenerate_buckets(spark):
