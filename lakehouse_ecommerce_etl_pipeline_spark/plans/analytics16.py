@@ -29,8 +29,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    copurchase_graph,
     load,
-    order_part_pairs,
+    order_part_edges,
     spill_final,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
@@ -275,7 +276,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes fan out only to higher ids; the classic refinement orients
     by (degree, id) to cap it at O(sqrt(|E|))). Two shuffles on edge
     endpoints; the closing join is a semi-probe of the edge set."""
-    e = order_part_pairs(spark, sf_dir).select("src", "dst").distinct()
+    e = order_part_edges(spark, sf_dir)
     e1 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tb"))
     e2 = e.select(F.col("src").alias("tb"), F.col("dst").alias("tc"))
     e3 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tc"))
@@ -353,10 +354,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     none of those). Double→decimal quantization is tie-safe.
 
     100 TB: one shuffle per iteration (group incoming contributions
-    by dst); the edge list with degrees is the reused build side —
-    cache it, placed by dst so the per-iteration aggregate reuses the
-    cached partitioning, with outdeg annotated by a window over src
-    (one shuffle; the groupBy-then-rejoin variant pays two). Each
+    by dst); the degree-annotated symmetric edge list is the SHARED
+    graph artifact (``copurchase_graph``: degrees map-side combined to
+    |nodes| rows, broadcast back onto the edges — the edge table never
+    shuffles or sorts for the annotation, unlike the window-over-src
+    variant this replaced), materialized once per scale factor and
+    here just scanned, placed by dst (cache partitioning reused by
+    every iteration's aggregate), and cached. The node set falls out
+    of the degree table for free. Each
     iteration materializes eagerly (persist + count, prior generation
     unpersisted) — the standard iterative-dataflow discipline: lineage
     stays one step deep, the broadcast build reads a cached table
@@ -364,24 +369,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor replays one iteration, not the whole fixpoint. The
     symmetric graph has no dangling-mass term (every node has
     out-edges by construction)."""
-    half = order_part_pairs(spark, sf_dir).select("src", "dst").distinct()
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    ed = (
-        edges.select(
-            "src",
-            "dst",
-            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("outdeg"),
-        )
-        .repartition("dst")
-        .persist()
-    )
-    nodes = ed.select("src").distinct()
-    n_nodes = nodes.count()
+    graph, deg = copurchase_graph(spark, sf_dir)
+    n_nodes = deg.count()
+    # place the cached edges by dst so every iteration's contribution
+    # aggregate reuses the cached partitioning (no per-iteration edge
+    # shuffle); the cache fills lazily inside iteration 0's job
+    ed = graph.repartition("dst").persist()
 
-    ranks = nodes.select(
-        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+    ranks = deg.select(
+        F.col("node"), F.lit(1.0 / n_nodes).alias("r")
     ).persist()
     ranks.count()
     for _ in range(_PR_ITERS):

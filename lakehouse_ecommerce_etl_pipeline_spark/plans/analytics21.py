@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     load,
-    order_part_pairs,
+    order_part_edges,
     spill_final,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
@@ -86,7 +86,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key (both sides hash-partitioned once, zero per-round edge
     movement) and switch to large-star/small-star (Kiveris et al.)
     so the round count is O(log n) instead of O(diameter)."""
-    half = order_part_pairs(spark, sf_dir).select("src", "dst").distinct()
+    half = order_part_edges(spark, sf_dir)
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     load,
-    order_part_pairs,
+    order_part_edges,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
@@ -196,7 +196,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: reuses the shared basket-pair build; degrees are one
     map-side-combined count over edge endpoints, and the histogram
     collapses to |distinct degrees| rows."""
-    half = order_part_pairs(spark, sf_dir).select("src", "dst").distinct()
+    half = order_part_edges(spark, sf_dir)
     ends = half.select(F.col("src").alias("node")).unionAll(
         half.select(F.col("dst").alias("node"))
     )
