@@ -59,6 +59,15 @@ DEFAULT_QUERIES = [
     "q_oov_rate",
     "q_k_anonymity",
     "q_gdpr_erasure_audit",
+    "q_interval_overlap_join",
+    "q_containment_pairs",
+    "q_partition_pruned_scan",
+    "q_schema_merge_scan",
+    "q_feature_hashing",
+    "q_pmi_collocations",
+    "q_temporal_split_leakage_safe",
+    "q_late_arriving_dim",
+    "q_embedding_near_dup",
 ]
 
 
