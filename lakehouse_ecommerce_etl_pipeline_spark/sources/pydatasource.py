@@ -19,8 +19,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -101,3 +103,95 @@ class SyntheticRowsStreamReader(SimpleDataSourceStreamReader):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration of the custom source."""
     spark.dataSource.register(SyntheticRowsDataSource)
+
+
+# ---------------------------------------------------------------- writer
+
+
+class JsonLinesCommit(WriterCommitMessage):
+    """Per-task commit message: which file the task produced and how
+    many rows it holds (picklable dataclass-style record)."""
+
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonLinesDataSource(DataSource):
+    """Python-implemented batch SINK (Spark 4 DataSourceWriter API):
+    newline-delimited JSON part files under ``path``.  The write face
+    of the custom-connector story — per-task write() produces a part
+    file and a commit message; the driver-side commit() publishes a
+    manifest only after every task reported success, which is the
+    all-or-nothing contract a bespoke sink (queue, REST batch ingest,
+    tensor-shard writer) must implement.
+
+    100 TB: write() streams each partition's iterator straight to its
+    own file — no driver collection, no cross-task coordination until
+    the O(#tasks) commit-message reduce; task retries overwrite their
+    own part file (idempotent per partition), and abort() removes the
+    partial output so failed jobs leave no torn state."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(self.options, schema, overwrite)
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        import os
+        import shutil
+
+        self.path = options["path"]
+        self.cols = schema.fieldNames()
+        if overwrite and os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> JsonLinesCommit:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part = os.path.join(self.path, f"part-{pid:05d}.json")
+        tmp = part + ".inprogress"
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        dict(zip(self.cols, row)), default=str
+                    )
+                )
+                f.write("\n")
+                n += 1
+        os.replace(tmp, part)  # atomic per-task publish
+        return JsonLinesCommit(part, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def register_jsonl_sink(spark) -> None:
+    """Idempotent registration of the custom Python sink."""
+    spark.dataSource.register(JsonLinesDataSource)
