@@ -420,6 +420,54 @@ def synthetic_images(
     return docs.select(id_col).mapInPandas(gen, schema=out_schema)
 
 
+def synthetic_gradient_images(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image payloads with NON-constant content: pixel channels
+    are closed-form functions of (id, x, y) with a bilinear xy term so
+    block statistics differ across the frame (the constant-fill
+    variant makes every perceptual block identical):
+
+        r = (id + 3x + 5y + 11xy) % 256
+        g = (7id + 2x + y + 3xy) % 256
+        b = (13id + x + 4y + 5xy) % 256
+
+    Dimensions and format rotation follow ``synthetic_images``; the
+    formula keeps every decoded pixel SQL-derivable so downstream
+    transforms (resize sampling, block signatures) get full value
+    oracles."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                arr = np.stack(
+                    [
+                        (did + 3 * xs + 5 * ys + 11 * xs * ys) % 256,
+                        (7 * did + 2 * xs + ys + 3 * xs * ys) % 256,
+                        (13 * did + xs + 4 * ys + 5 * xs * ys) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                enc = [encode_ppm, encode_bmp, encode_png][did % 3]
+                rows.append((did, enc(arr)))
+            yield pd.DataFrame(rows, columns=["content_id", "payload"])
+
+    return docs.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
 def frame_sample_stub(
     videos: DataFrame, every_n_seconds: float, id_col: str = "content_id"
 ) -> DataFrame:
