@@ -22,6 +22,10 @@ CANARIES = [
     "q_attribution_linear",            # floor-scaled rational credits
     "q_checksum_table",                # commutative 56-bit sum
     "q_weighted_median",               # integer cumulative crossing
+    "q_capped_running_balance",        # all-int sequential scan per group
+    "q_multimodal_blockhash_neardup",  # int cross-multiplied block bits
+    "q_shard_assignment_balanced",     # rank arithmetic under total order
+    "q_feature_hashing",               # signed integer hash counts
 ]
 
 
