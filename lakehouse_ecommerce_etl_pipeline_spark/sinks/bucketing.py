@@ -13,9 +13,27 @@ in the catalog, not the files); the session's in-memory catalog +
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_stale_location(spark: SparkSession, table_name: str) -> None:
+    """The session catalog is in-memory: a fresh session forgets every
+    table while the warehouse directory persists, so a re-create hits
+    LOCATION_ALREADY_EXISTS.  Drop the catalog entry if any, then
+    remove an orphaned location."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    loc = os.path.join(warehouse, table_name.lower())
+    if warehouse and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -26,6 +44,8 @@ def write_bucketed(
     sort_by: Sequence[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
+    if mode == "overwrite":
+        _clear_stale_location(df.sparkSession, table_name)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
