@@ -373,30 +373,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = deg.count()
     # place the cached edges by dst so every iteration's contribution
     # aggregate reuses the cached partitioning (no per-iteration edge
-    # shuffle); the cache fills lazily inside iteration 0's job
-    ed = graph.repartition("dst").persist()
+    # shuffle); the cache fills lazily inside iteration 0's job.
+    # Only (src, dst) is cached — the degree annotation lives on the
+    # |nodes|-sized broadcast side, not on every edge row
+    ed = graph.select("src", "dst").repartition("dst").persist()
 
     ranks = deg.select(
-        F.col("node"), F.lit(1.0 / n_nodes).alias("r")
+        F.col("node"), F.lit(1.0 / n_nodes).alias("r"), "outdeg"
     ).persist()
     ranks.count()
     for _ in range(_PR_ITERS):
         # ranks is |nodes| rows — broadcast it so the (much larger)
         # edge table never shuffles for the join; the only per-
-        # iteration shuffle is the contribution aggregation on dst
+        # iteration shuffle is the contribution aggregation on dst.
+        # The r/outdeg division AND the decimal quantization happen
+        # HERE, on |nodes| rows before the broadcast — each edge row
+        # then only hash-probes and adds a ready decimal, instead of
+        # re-dividing/casting per edge (|edges| >> |nodes|)
+        contrib = ranks.select(
+            "node",
+            (F.col("r") / F.col("outdeg")).cast("decimal(25,15)").alias("c"),
+        )
         nxt = (
-            ed.join(F.broadcast(ranks), ed["src"] == ranks["node"])
+            ed.join(F.broadcast(contrib), ed["src"] == contrib["node"])
             .groupBy(F.col("dst"))
             .agg(
                 (
                     F.lit(0.15 / n_nodes)
-                    + F.lit(_DAMP)
-                    * F.sum(
-                        (F.col("r") / F.col("outdeg")).cast("decimal(25,15)")
-                    ).cast("double")
+                    + F.lit(_DAMP) * F.sum("c").cast("double")
                 ).alias("r")
             )
             .select(F.col("dst").alias("node"), "r")
+            .join(F.broadcast(deg), "node")
             .persist()
         )
         nxt.count()
