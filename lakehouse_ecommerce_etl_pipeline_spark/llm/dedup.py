@@ -165,6 +165,67 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_band(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Explode a signature table into its (id, band_idx, band_hash)
+    band rows — the physical layout of a persisted LSH INDEX."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(bands).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_hash")
+
+
+def lsh_probe_pairs(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Probe an existing corpus's band index with a NEW batch's bands:
+    distinct (id_a = new id, id_b = indexed id) candidate pairs that
+    share any band value — the incremental face of
+    ``lsh_candidate_pairs`` (which self-joins one set).  The index
+    side is what a production pipeline PERSISTS between batches; each
+    arriving batch only ever equi-joins its own bands against it, so
+    incremental dedup cost scales with the batch, not the corpus."""
+    a = lsh_band(new_sigs, id_col, num_hashes, rows_per_band).alias("a")
+    b = lsh_band(index_sigs, id_col, num_hashes, rows_per_band).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -71,6 +71,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics43  # noqa: F4
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics44  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics45  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics46  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics47  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm3  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm4  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm5  # noqa: F401,E402
@@ -80,6 +81,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import llm8  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm9  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm10  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm11  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm12  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
 
