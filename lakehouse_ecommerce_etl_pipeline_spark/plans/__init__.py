@@ -82,6 +82,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import llm9  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm10  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm11  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm12  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm13  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
 

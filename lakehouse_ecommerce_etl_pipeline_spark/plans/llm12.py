@@ -18,6 +18,8 @@ is one oracled query.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,7 +28,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     lsh_probe_pairs,
     minhash_signatures,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, work_dir
 from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
     _BANDS_UNION,
     _NUM_HASHES,
@@ -137,4 +139,112 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_dups", F.lit(0)) > 0).alias("is_dup"),
             "first_match",
         )
+    )
+
+
+_B = 3  # deterministic arrival batches: doc_id % 3
+
+
+@register(
+    "q_stream_incremental_dedup",
+    oracle=f"""
+    WITH {_tok_cte()},
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM tok GROUP BY doc_id),
+    bands AS (
+      {_BANDS_UNION}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    cross_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id % {_B} > b.doc_id % {_B}
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cross_cand c
+      JOIN (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.tok = b.tok
+        WHERE a.doc_id % {_B} > b.doc_id % {_B}
+        GROUP BY a.doc_id, b.doc_id
+      ) inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+            >= {_THRESH}
+    ),
+    s0 AS (SELECT doc_id FROM documents WHERE doc_id % {_B} = 0),
+    s1 AS (
+      SELECT doc_id FROM documents d WHERE doc_id % {_B} = 1
+      AND NOT EXISTS (
+        SELECT 1 FROM ver v JOIN s0 ON s0.doc_id = v.id_b
+        WHERE v.id_a = d.doc_id
+      )
+    ),
+    s2 AS (
+      SELECT doc_id FROM documents d WHERE doc_id % {_B} = 2
+      AND NOT EXISTS (
+        SELECT 1 FROM ver v
+        WHERE v.id_a = d.doc_id
+          AND (v.id_b IN (SELECT doc_id FROM s0)
+               OR v.id_b IN (SELECT doc_id FROM s1))
+      )
+    )
+    SELECT doc_id, CAST(0 AS INT) AS arrival_batch FROM s0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT) AS arrival_batch FROM s1
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT) AS arrival_batch FROM s2
+    """,
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup run as a REAL Structured Streaming
+    pipeline (streaming/incremental_dedup.py): the corpus arrives as
+    {_B} files (arrival batch = doc_id % {_B}, staged with strictly
+    increasing mtimes so the file source's order is pinned), each
+    micro-batch is screened against the persisted survivor band index
+    built by the batches before it, and survivors are appended.  The
+    oracle unrolls the same sequential semantics batch-by-batch in
+    SQL (survivors of batch k = docs with no LSH-verified near-dup
+    among survivors of batches < k) — a FULL value oracle for a
+    stateful streaming pipeline, which works because arrival order is
+    deterministic and per-batch decisions depend only on prior
+    survivor state.
+
+    100 TB: the checkpoint holds only source-discovery state; dedup
+    state is two append-only parquet tables that grow with survivors
+    — per-batch cost is the batch-vs-index band equi-join, never a
+    corpus rescan (see module docstring)."""
+    import uuid
+
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.incremental_dedup import (
+        run_incremental_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = work_dir(sf_dir, "stream_inc_dedup")
+    run_id = uuid.uuid4().hex[:8]
+    raw = os.path.join(base, run_id, "raw")
+    state = os.path.join(base, run_id, "state")
+    ckpt = os.path.join(base, run_id, "ckpt")
+    os.makedirs(raw, exist_ok=True)
+    for b in range(_B):
+        stage = os.path.join(base, run_id, f"stage_{b}")
+        docs.filter(F.col("doc_id") % _B == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        )
+        dst = os.path.join(raw, f"batch_{b}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        # pin arrival order for the file source (sorts by mtime)
+        os.utime(dst, (1000 * (b + 1), 1000 * (b + 1)))
+    run_incremental_dedup(
+        spark, raw, state, ckpt, docs.schema, max_files_per_trigger=1
+    )
+    surv = spark.read.parquet(os.path.join(state, "survivors"))
+    return surv.select(
+        "doc_id", (F.col("doc_id") % _B).cast("int").alias("arrival_batch")
     )
