@@ -73,6 +73,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics45  # noqa: F4
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics46  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics47  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics48  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics49  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm3  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm4  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm5  # noqa: F401,E402
@@ -84,6 +85,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import llm10  # noqa: F401,E40
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm11  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm12  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm13  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm14  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
 
