@@ -74,6 +74,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics46  # noqa: F4
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics47  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics48  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics49  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics50  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm3  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm4  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm5  # noqa: F401,E402
