@@ -68,6 +68,18 @@ DEFAULT_QUERIES = [
     "q_temporal_split_leakage_safe",
     "q_late_arriving_dim",
     "q_embedding_near_dup",
+    "q_rank_auc",
+    "q_hits_scores",
+    "q_tvd_drift_weekly",
+    "q_gapfill_interpolate",
+    "q_dedup_incremental",
+    "q_random_projection",
+    "q_null_skew_join",
+    "q_clustering_coefficient",
+    "q_cusum_control",
+    "q_tree_rollup",
+    "q_interval_union_length",
+    "q_nearest_view_join",
 ]
 
 
