@@ -26,6 +26,15 @@ CANARIES = [
     "q_multimodal_blockhash_neardup",  # int cross-multiplied block bits
     "q_shard_assignment_balanced",     # rank arithmetic under total order
     "q_feature_hashing",               # signed integer hash counts
+    # tiers XLIV-L
+    "q_rank_auc",                      # integer rank sums, one division
+    "q_tvd_drift_weekly",              # cross-multiplied integer TVD
+    "q_hits_scores",                   # unnormalized integer fixpoint
+    "q_cusum_control",                 # n-scaled BIGINT deviations
+    "q_dedup_incremental",             # band equi-join + exact Jaccard
+    "q_random_projection",             # fixed-order per-row float chain
+    "q_tree_rollup",                   # integer ancestor closure
+    "q_interval_union_length",         # integer epoch sweep-line
 ]
 
 
