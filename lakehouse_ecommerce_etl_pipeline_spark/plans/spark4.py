@@ -152,3 +152,61 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         """
     ).select("l_returnflag", "n_lines", "revenue")
+
+
+@register(
+    "q_python_datasource_stream_write",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def q_python_datasource_stream_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom Python STREAMING sink (Spark 4 DataSourceStreamWriter):
+    the events table arrives as a file-source stream and is drained
+    availableNow through the pure-Python JSONL sink — per-task part
+    files keyed by (batchId, partitionId), per-batch manifest lines
+    committed only after every task succeeds, idempotent on batch
+    replay (sources/pydatasource.py JsonLinesStreamWriter).  The
+    written artifact is scanned back and value-checked against the
+    source table, closing the Spark-4 Python connector matrix: batch
+    read, batch write, stream read, and now stream write.
+
+    100 TB: executors append straight to the sink (no driver funnel);
+    restart safety needs no sink-side log because file names are a
+    pure function of (batch, partition) — the same recipe any bespoke
+    streaming sink (queue producer, feature-store ingest) should
+    follow."""
+    import uuid
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        events_parquet_path,
+    )
+
+    register_jsonl_sink(spark)
+    src_path = events_parquet_path(spark, sf_dir)
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(work_dir(sf_dir, "pyds_stream_write"), run, "events")
+    ckpt = os.path.join(work_dir(sf_dir, "pyds_stream_write"), run, "ckpt")
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+        _as_stream_dir,
+    )
+
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_as_stream_dir(src_path))
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("pyjsonl")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string"
+    ).json(out)

@@ -17,6 +17,7 @@ The driver never materializes rows; generators stream per task.
 from __future__ import annotations
 
 from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
     DataSource,
     DataSourceReader,
     DataSourceWriter,
@@ -139,6 +140,9 @@ class JsonLinesDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
         return JsonLinesWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonLinesStreamWriter":
+        return JsonLinesStreamWriter(self.options, schema)
+
 
 class JsonLinesWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool) -> None:
@@ -185,6 +189,83 @@ class JsonLinesWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Python-implemented STREAMING sink (Spark 4 DataSourceStreamWriter
+    API) — the streaming face of the JSONL sink.  Each micro-batch's
+    tasks write part files keyed by (batchId, partitionId); the
+    driver-side commit(messages, batchId) appends a per-batch manifest
+    line only after every task reported success.  Exactly-once falls
+    out of idempotent file names: a replayed batch (restart between
+    write and checkpoint advance) rewrites the SAME part files and
+    re-publishes the same manifest line, so the artifact converges no
+    matter where the stream was interrupted.
+
+    100 TB: identical executor-direct write path as the batch writer —
+    no driver funnel, O(#tasks) commit messages per batch; the
+    checkpoint holds only source offsets, the sink's own state is the
+    manifest."""
+
+    def __init__(self, options, schema) -> None:
+        import os
+
+        self.path = options["path"]
+        self.cols = schema.fieldNames()
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> JsonLinesCommit:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # streaming tasks expose the batch id via the task-local
+        # property set by the micro-batch execution
+        batch_id = ctx.getLocalProperty("streaming.sql.batchId")
+        tag = batch_id if batch_id is not None else "na"
+        part = os.path.join(self.path, f"part-{tag}-{pid:05d}.json")
+        tmp = part + ".inprogress"
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.cols, row)), default=str))
+                f.write("\n")
+                n += 1
+        os.replace(tmp, part)
+        return JsonLinesCommit(part, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        line = {
+            "batch": batchId,
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        manifest = os.path.join(self.path, "_STREAM_MANIFEST.jsonl")
+        # idempotent append: drop any previous line for this batch id
+        lines = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                lines = [
+                    ln
+                    for ln in f.read().splitlines()
+                    if ln and json.loads(ln)["batch"] != batchId
+                ]
+        lines.append(json.dumps(line))
+        with open(manifest, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:
