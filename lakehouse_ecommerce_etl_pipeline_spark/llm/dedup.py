@@ -288,20 +288,35 @@ def jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """SimHash fingerprint: per-token xxhash64, signed bit votes,
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash fingerprint: per-token hash, signed bit votes,
     majority per bit → packed integer. (id, simhash).
 
     Shuffle-free like the MinHash path: per-token ±1 bit-vote arrays
     are summed with an ``aggregate`` fold over the token array and
-    packed in the same projection — zero exchanges. xxhash64 keeps it
-    JVM-fast; not oracle-expressible (DuckDB has no xxhash64) →
-    registered rows-only.
+    packed in the same projection — zero exchanges. The default
+    hasher is xxhash64 (JVM-fast; not oracle-expressible, DuckDB has
+    no xxhash64 → registered rows-only). ``portable=True`` swaps in
+    an md5-derived 32-bit hash that DuckDB reproduces exactly, so the
+    portable variant carries a full value oracle (plans/llm16.py
+    q_simhash_md5) — the cross-engine witness for the whole
+    vote-and-pack path.
     """
     ta = token_array(df, id_col, text_col)
+    if portable:
+        ta = ta.filter(F.size("toks") > 0)
 
     def vote_array(t):
-        h = F.xxhash64(t)
+        if portable:
+            h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        else:
+            h = F.xxhash64(t)
         return F.array(
             *[
                 F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
