@@ -45,28 +45,31 @@ def table_changes(
     # as a difference against a non-NULL one (IS DISTINCT FROM)
     changed = old_present & new_present & ~F.col("__old").eqNullSafe(F.col("__new"))
 
-    # classify on the joined frame, then emit the matching image side
-    pre = joined.filter(changed).select(
-        *[F.col(f"__k_{k}").alias(k) for k in keys],
-        *[F.col(f"__old.{c}").alias(c) for c in payload],
-        F.lit("update_preimage").alias(CHANGE_COL),
+    # classify and emit in ONE pass over the joined frame: each row
+    # yields 0 (unchanged), 1 (insert/delete) or 2 (update pre+post)
+    # tagged image structs, exploded to change rows.  A filter+union
+    # formulation would re-execute the full-outer join once per
+    # branch — 4 scans of both snapshots instead of one.
+    tag = lambda img, t: F.struct(  # noqa: E731
+        F.col(img).alias("img"), F.lit(t).alias("t")
     )
-    post = joined.filter(changed).select(
-        *[F.col(f"__nk_{k}").alias(k) for k in keys],
-        *[F.col(f"__new.{c}").alias(c) for c in payload],
-        F.lit("update_postimage").alias(CHANGE_COL),
+    emitted = F.when(
+        changed,
+        F.array(
+            tag("__old", "update_preimage"), tag("__new", "update_postimage")
+        ),
+    ).when(
+        new_present & ~old_present, F.array(tag("__new", "insert"))
+    ).when(old_present & ~new_present, F.array(tag("__old", "delete")))
+    # rows matching no branch (unchanged) get NULL → explode drops them
+    return joined.select(
+        *[F.coalesce(f"__k_{k}", f"__nk_{k}").alias(k) for k in keys],
+        F.explode(emitted).alias("__e"),
+    ).select(
+        *keys,
+        *[F.col(f"__e.img.{c}").alias(c) for c in payload],
+        F.col("__e.t").alias(CHANGE_COL),
     )
-    ins = joined.filter(new_present & ~old_present).select(
-        *[F.col(f"__nk_{k}").alias(k) for k in keys],
-        *[F.col(f"__new.{c}").alias(c) for c in payload],
-        F.lit("insert").alias(CHANGE_COL),
-    )
-    dels = joined.filter(old_present & ~new_present).select(
-        *[F.col(f"__k_{k}").alias(k) for k in keys],
-        *[F.col(f"__old.{c}").alias(c) for c in payload],
-        F.lit("delete").alias(CHANGE_COL),
-    )
-    return ins.unionByName(dels).unionByName(pre).unionByName(post)
 
 
 def read_changes(
