@@ -1,0 +1,261 @@
+"""Spark 4 surface, part 3: SQL session variables, Arrow-native UDFs
+(mapInArrow / applyInArrow), and the streaming state-store reader.
+
+Rounds out the Spark-4-specific API coverage beyond VARIANT / Python
+DataSource / dynamic UDTF / pipe SQL (plans/spark4.py):
+
+* ``q_sql_session_variables`` — DECLARE/SET VARIABLE driving a
+  parameterized query: the session variable folds to a literal at
+  plan time, so predicate pushdown still reaches the scan (the
+  governed alternative to f-string SQL injection).
+* ``q_map_in_arrow_derive`` — mapInArrow: batch-level Arrow transform
+  with zero pandas materialization; the Arrow RecordBatch flows
+  straight from the JVM into pyarrow.compute and back.
+* ``q_grouped_arrow_stats`` — applyInArrow: grouped-map over Arrow
+  tables (the Arrow-native sibling of applyInPandas).
+* ``q_statestore_read`` — ``spark.read.format("statestore")``: read a
+  streaming aggregation's state store out of its checkpoint as a
+  DataFrame — the state-debugging / observability face Spark 4 added;
+  checked against the batch aggregate of the same input.
+
+Cross-engine exactness: money flows as ROUND(x*100) integer cents
+(pyarrow round_mode='half_towards_infinity' ≡ DuckDB/Spark ROUND on
+positive doubles); the state-store counts are exact LONGs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    artifact_fresh,
+    load,
+    work_dir,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+_MIN_CENTS = 1_500_000  # $15,000 threshold for the variable demo
+
+
+@register(
+    "q_sql_session_variables",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= {_MIN_CENTS}
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL via Spark 4 session variables: DECLARE a
+    typed variable, SET it, reference it in the query text. The
+    variable is resolved at analysis time and folds to a literal, so
+    the threshold still pushes down to the parquet scan — unlike a
+    real runtime parameter, and unlike string interpolation it is
+    typed and injection-proof.
+
+    100 TB: zero plan cost — after constant folding the plan is
+    byte-identical to the literal query; the value is operational
+    (one governed place to re-point a threshold across a notebook /
+    job chain)."""
+    spark.sql("DECLARE OR REPLACE VARIABLE min_cents BIGINT DEFAULT 0")
+    spark.sql(f"SET VARIABLE min_cents = {_MIN_CENTS}")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders_v4
+        WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= min_cents
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_map_in_arrow_derive",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    WHERE l_discount >= 0.05
+    """,
+)
+def q_map_in_arrow_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the discount-band filter + revenue derivation runs
+    as pyarrow.compute kernels on the raw Arrow batches — no pandas
+    conversion, no per-row Python. This is the UDF face for payloads
+    where pandas materialization is the bottleneck (binary/vector
+    columns ride through zero-copy).
+
+    100 TB: embarrassingly parallel batch transform, no shuffle; the
+    cost over built-in expressions is one JVM↔Python Arrow IPC hop —
+    use built-ins when expressible (this query is; it exists as the
+    API witness), mapInArrow when the kernel isn't (custom decoders,
+    tokenizers, vector ops)."""
+
+    def derive(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            keep = pc.greater_equal(b.column("l_discount"), 0.05)
+            t = pa.Table.from_batches([b]).filter(keep)
+            rev = pc.cast(
+                pc.round(
+                    pc.multiply(
+                        pc.multiply(
+                            t.column("l_extendedprice"),
+                            pc.subtract(1.0, t.column("l_discount")),
+                        ),
+                        100.0,
+                    ),
+                    0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            # declared output schema is all int64 — cast explicitly
+            # (testdata l_linenumber is int32; a silent type mismatch
+            # fails JVM-side vector access, not Python-side)
+            out = pa.table(
+                {
+                    "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                    "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int64()),
+                    "revenue_cents": rev,
+                }
+            )
+            yield from out.to_batches()
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        derive, "l_orderkey long, l_linenumber long, revenue_cents long"
+    )
+
+
+@register(
+    "q_grouped_arrow_stats",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM (
+      SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ) GROUP BY o_custkey
+    """,
+)
+def q_grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow: per-customer order stats computed by pyarrow
+    aggregation kernels on each group's Arrow table — the Arrow-native
+    sibling of applyInPandas (no pandas object allocation per group).
+
+    100 TB: grouped-map materializes EACH GROUP in executor memory —
+    safe on natural high-cardinality keys like customer (groups are
+    tiny), catastrophic on low-cardinality keys; and everything this
+    particular kernel does is expressible as built-in aggregates
+    (it exists as the API witness) — reach for applyInArrow only when
+    the per-group logic genuinely isn't (sequential scans, model
+    fits)."""
+
+    def stats(table: "pa.Table") -> "pa.Table":  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = table.column("cents")
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    [table.column("o_custkey")[0].as_py()], pa.int64()
+                ),
+                "n_orders": pa.array([table.num_rows], pa.int64()),
+                "total_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return o.groupBy("o_custkey").applyInArrow(
+        stats,
+        "o_custkey long, n_orders long, total_cents long, "
+        "min_cents long, max_cents long",
+    )
+
+
+@register(
+    "q_statestore_read",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state observability: run a checkpointed streaming
+    count-by-type over events (availableNow drain), then read the
+    aggregation's STATE STORE back out of the checkpoint with Spark
+    4's ``statestore`` reader — key/value structs straight from the
+    HDFS-backed state files, no query re-execution. The state of a
+    fully drained complete-mode count must equal the batch aggregate
+    — which is exactly what the oracle checks.
+
+    The checkpoint is mtime-guarded per SF: subsequent calls skip the
+    stream and read state directly — state inspection without the
+    owning query, the debugging workflow this reader exists for.
+
+    100 TB: the reader parallelizes over state-store partitions (one
+    task per shuffle partition of the owning query) and never touches
+    the input data — state size is O(distinct keys), so inspecting a
+    TB-scale pipeline's state reads MBs, not TBs."""
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+        _as_stream_dir,
+    )
+
+    events_path = f"{sf_dir}/events.parquet"
+    ck = os.path.join(work_dir(sf_dir, "statestore_agg"), "ckpt")
+    marker = ck + ".done"
+    if not artifact_fresh(events_path, marker):
+        shutil.rmtree(ck, ignore_errors=True)
+        schema = spark.read.parquet(events_path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(_as_stream_dir(events_path))
+        )
+        agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        name = f"statestore_drain_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write("drained\n")
+    st = spark.read.format("statestore").load(ck)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )
