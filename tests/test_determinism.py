@@ -35,6 +35,11 @@ CANARIES = [
     "q_random_projection",             # fixed-order per-row float chain
     "q_tree_rollup",                   # integer ancestor closure
     "q_interval_union_length",         # integer epoch sweep-line
+    # tier LI / LLM XVI / Spark 4 part 3
+    "q_cdc_agg_maintenance",           # signed integer deltas on cents
+    "q_lm_score_docs",                 # BIGINT-division quantized probs
+    "q_simhash_md5",                   # md5 bit votes, in-row fold
+    "q_grouped_arrow_stats",           # per-group int64 Arrow kernels
 ]
 
 
