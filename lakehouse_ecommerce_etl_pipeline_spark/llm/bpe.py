@@ -124,3 +124,50 @@ def merge_table_df(
         rows,
         schema="step int, left string, right string, merged string, pair_count bigint",
     ).select("step", "left", "right", "merged", "pair_count")
+
+
+def encode_corpus(
+    spark: SparkSession, docs: DataFrame, merges: list[dict]
+) -> DataFrame:
+    """Apply a trained merge table to every document — the tokenizer
+    APPLY step that turns the trained merges into corpus token counts.
+
+    Scale design: the merge rules are inlined as plan literals (the
+    merge table is tiny — it is the *model*), and encoding runs once
+    per DISTINCT word, not once per occurrence: vocabulary-sized work
+    joined back to the (doc, word) occurrence stream — the same
+    factorization a production tokenizer service uses, because corpus
+    word frequency is Zipfian. Each merge is one JVM array fold
+    (_merge_pair, greedy left-to-right); n_merges folds chain inside a
+    single whole-stage-codegen'd projection — no Python, no shuffle in
+    the encode itself. Returns (doc_id, n_tokens, n_chars, n_multi):
+    token count, character conservation check, multi-char token count.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+
+    vocab = words.select("word").distinct()
+    sym = F.col("s")
+    enc = vocab.withColumn("s", _chars("word"))
+    for m in merges:
+        enc = enc.withColumn("s", _merge_pair(sym, m["left"], m["right"]))
+    enc = enc.select(
+        "word",
+        F.size("s").cast("long").alias("w_tokens"),
+        F.aggregate(
+            F.col("s"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("w_chars"),
+        F.size(F.filter(F.col("s"), lambda x: F.length(x) > 1))
+        .cast("long")
+        .alias("w_multi"),
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_tokens").alias("n_tokens"),
+            F.sum("w_chars").alias("n_chars"),
+            F.sum("w_multi").alias("n_multi"),
+        )
+    )

@@ -28,3 +28,23 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_table_df(
         spark, load(spark, sf_dir, "documents"), _N_MERGES
     )
+
+
+@register("q_bpe_encode_corpus")  # rows-only: encoder of an iteratively
+# trained model — no SQL twin; exact-match parity with a pure-Python
+# reference encoder lives in tests/test_bpe.py
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges, then ENCODE the whole corpus with them:
+    per-doc token counts after merging, with character conservation
+    (n_chars is invariant under merging — the built-in self-check) and
+    the multi-char token count that measures how much the trained
+    merges actually compress this corpus. Distinct-word factorization
+    + literal-inlined merge rules keep the encode one codegen'd
+    projection over the vocabulary (llm/bpe.py encode_corpus)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.bpe import (
+        encode_corpus,
+        train_bpe,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return encode_corpus(spark, docs, train_bpe(spark, docs, _N_MERGES))
