@@ -38,21 +38,11 @@ def ensure_session_defaults(spark: SparkSession) -> None:
         pass
 
 
-def normalize_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) columns arrive as long (session sets
-    ``nanosAsLong`` — Spark has no nanosecond timestamp type); convert
-    to microsecond timestamps with integer division (no double
-    round-trip: nano epochs exceed 2^53). Micros-encoded files read by a
-    session that still infers TIMESTAMP_NTZ are coerced to session-UTC
-    TIMESTAMP for the same reason (time-arithmetic functions require it)."""
-    for c in cols:
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-        elif c in df.columns and isinstance(
-            df.schema[c].dataType, T.TimestampNTZType
-        ):
-            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
-    return df
+# re-exported from the dependency-free functions module so streaming
+# code can import it without triggering the plans package init
+from lakehouse_ecommerce_etl_pipeline_spark.functions.timestamps import (  # noqa: F401,E402
+    normalize_nanos_timestamps,
+)
 
 
 def _events_micros_copy(sf_dir: str) -> str:

@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+from lakehouse_ecommerce_etl_pipeline_spark.functions.timestamps import (
     normalize_nanos_timestamps,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import _as_stream_dir
