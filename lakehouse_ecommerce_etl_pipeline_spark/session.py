@@ -70,7 +70,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene); SPARK_GRAFT_UI=true flips it
+        # on for the measured shuffle audit (scripts/shuffle_audit.py
+        # reads stage metrics over the REST API)
+        .config(
+            "spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false")
+        )
         # bucketed tables need a catalog warehouse; keep it off the repo
         .config(
             "spark.sql.warehouse.dir",
