@@ -124,3 +124,95 @@ def q_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     permissive.unpersist()
     return out
+
+
+_N_BAD_J = 5
+
+
+def _dirty_json(spark: SparkSession, sf_dir: str) -> str:
+    """orders rendered to NDJSON with two corruption kinds interleaved:
+    lines that are not JSON at all (truncated upload) and lines that
+    ARE JSON but carry a wrong-typed key field (producer schema bug) —
+    the failure mode CSV cannot represent."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    base = work_dir(sf_dir, "dirty_json")
+    path = os.path.join(base, "orders_dirty.json")
+    if not artifact_fresh(src, path):
+        rows = (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .sort("o_orderkey")
+            .collect()
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for i, r in enumerate(rows):
+                if i % 3000 == 0 and i // 3000 < _N_BAD_J:
+                    if (i // 3000) % 2 == 0:
+                        f.write('{"o_orderkey": truncated\n')  # not JSON
+                    else:
+                        f.write(
+                            '{"o_orderkey": "not_a_number", '
+                            '"o_custkey": 1, "o_totalprice": 1.0}\n'
+                        )  # JSON, wrong type
+                f.write(
+                    f'{{"o_orderkey": {r[0]}, "o_custkey": {r[1]}, '
+                    f'"o_totalprice": {r[2]!r}}}\n'
+                )
+            emitted = min(_N_BAD_J, (len(rows) + 2999) // 3000)
+            for j in range(_N_BAD_J - emitted):
+                f.write('{"o_orderkey": also truncated\n')
+        os.replace(tmp, path)
+    return path
+
+
+@register(
+    "q_json_corrupt_recovery",
+    oracle=f"""
+    SELECT CAST(COUNT(*) + {_N_BAD_J} AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST({_N_BAD_J} AS BIGINT) AS n_corrupt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             AS sum_good_price
+    FROM orders
+    """,
+)
+def q_json_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record accounting for NDJSON — the q_csv_corrupt_
+    recovery sibling with the JSON-specific twist: a row can be
+    *valid JSON with a wrong-typed field* (producer schema bug), which
+    PERMISSIVE mode treats exactly like unparseable garbage — column
+    nulled, raw line captured in the corrupt-record column — so both
+    corruption kinds land in one quarantine stream with evidence.
+    The reconciliation row proves good + corrupt = total and the
+    good-row sum equals the clean source.
+
+    100 TB: same scan-local economics as the CSV case (no shuffle, no
+    second pass); JSON adds per-row parse cost, which is why immutable
+    zones re-encode to parquet at ingest (q_write_partitioned) and
+    keep the raw NDJSON only as the replayable source of truth."""
+    path = _dirty_json(spark, sf_dir)
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,"
+        " _corrupt_record STRING"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull())
+    n_corrupt = parsed.filter(F.col("_corrupt_record").isNotNull()).count()
+    out = good.agg(
+        (F.count(F.lit(1)) + F.lit(n_corrupt)).cast("bigint").alias("n_lines"),
+        F.count(F.lit(1)).cast("bigint").alias("n_good"),
+        F.lit(n_corrupt).cast("bigint").alias("n_corrupt"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .cast("double")
+        .alias("sum_good_price"),
+    )
+    out = out.localCheckpoint(eager=True)
+    parsed.unpersist()
+    return out
