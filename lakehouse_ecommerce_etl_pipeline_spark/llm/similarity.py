@@ -243,3 +243,89 @@ def ivf_topk(
     )
     candidates = assigned.join(F.broadcast(probe), "centroid_id")
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, round_to)
+
+
+def topk_multi(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k for MANY queries at once: broadcast the query set
+    (qid, qvec), score every (vector, query) pair, keep the per-query
+    top-k with a rank window — WindowGroupLimit prunes each partition
+    to k rows per query BEFORE the exchange, so the shuffled volume is
+    O(partitions x queries x k), not O(n x queries). Self-matches
+    (same id) are excluded. Returns (qid, vec_id, cosine_sim, rnk)."""
+    scored = (
+        vectors.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine(vec_col, "qvec"), round_to).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def ivf_topk_multi(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k for MANY queries: assign vectors to
+    coarse cells once, pick each query's ``n_probe`` nearest cells,
+    and run the exact ranking only inside the probed cells — the scan
+    shrinks by ~n_probe/n_centroids while the per-query plan shape
+    stays identical to ``topk_multi``. With n_probe == n_centroids
+    the probe filter passes everything, so IVF degenerates to the
+    exact ranking — the identity tests/test_ann_recall.py pins."""
+    cents = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(vectors, cents, id_col, vec_col)
+    probe = (
+        cents.crossJoin(F.broadcast(queries))
+        .select(
+            "qid",
+            "centroid_id",
+            cosine("cvec", "qvec").alias("csim"),
+        )
+        .withColumn(
+            "prnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("csim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("prnk") <= n_probe)
+        .select("qid", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .join(F.broadcast(queries), "qid")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine(vec_col, "qvec"), round_to).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

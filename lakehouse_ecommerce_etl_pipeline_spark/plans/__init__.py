@@ -93,6 +93,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import llm16  # noqa: F401,E40
 from lakehouse_ecommerce_etl_pipeline_spark.plans import spark4b  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics52  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm17  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm18  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
 
