@@ -154,7 +154,10 @@ _FIRST_WINDOW = [
     "q_asof_join",
     "q_range_join",
     "q_percentile",
-    "q_sliding_window_agg",
+    # the end-to-end curation pipeline transitively value-pins the
+    # MinHash→LSH→Jaccard→fixpoint→quality→split chain in ONE driver
+    # row — the strongest single correctness witness in the corpus
+    "q_corpus_pipeline_e2e",
     "q_near_dup_clusters",
     "q_multimodal_meta",
 ]
