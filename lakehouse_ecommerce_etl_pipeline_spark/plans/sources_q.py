@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -102,4 +103,93 @@ def q_grouped_pandas_norm(spark, sf_dir):
     return li.groupBy("l_returnflag").applyInPandas(
         norm,
         schema="l_orderkey long, l_linenumber int, l_returnflag string, q_norm double",
+    )
+
+
+@register(
+    "q_pandas_udaf_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pandas_udaf_agg(spark, sf_dir):
+    """GROUPED_AGG pandas_udf — the custom-UDAF face of the Python
+    surface (scalar pandas_udf, applyInPandas, mapInPandas, mapInArrow,
+    applyInArrow, UDTF are covered elsewhere): an Arrow-batched
+    aggregation usable directly inside ``.agg()``. Integer cents sum
+    per priority; int64 pandas sum is exact, so the oracle is a plain
+    SQL aggregate.
+
+    100 TB caveat (why built-ins win when expressible): a pandas
+    GROUPED_AGG receives each group's column WHOLE — there is no
+    partial aggregation / map-side combine, so every raw row shuffles
+    to its group's reducer. The identical built-in SUM ships one
+    partial row per partition. Use this face only for aggregations
+    Spark lacks (e.g. a model fit per group), never for sums."""
+
+    @F.pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # pandas UDAFs cannot mix with non-pandas aggregates in one
+        # agg() (INVALID_PANDAS_UDF_PLACEMENT) — so the count is a
+        # pandas UDAF too
+        return len(v)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        cents_sum("cents").alias("total_cents"),
+        n_rows("cents").alias("n_orders"),
+    )
+
+
+@register(
+    "q_pandas_udaf_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_cents
+    FROM orders
+    """,
+)
+def q_pandas_udaf_window(spark, sf_dir):
+    """The same GROUPED_AGG pandas_udf evaluated OVER A WINDOW — the
+    least-known face of the pandas UDF surface: Spark re-evaluates the
+    UDAF per frame (here a running unbounded-preceding frame per
+    customer), so a custom aggregation composes with ordered frames
+    exactly like a built-in. Running integer-cents balance per
+    customer ≡ the SQL running SUM.
+
+    100 TB: per-frame re-evaluation makes this O(rows × frame) Python
+    work in the worst case — bounded frames or built-ins (which use
+    incremental frame processors JVM-side) are the scale path; the
+    query exists to pin the semantics, and the docstring to warn."""
+
+    @F.pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", cents_sum("cents").over(w).alias("running_cents")
     )
