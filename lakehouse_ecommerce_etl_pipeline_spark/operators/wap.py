@@ -26,9 +26,28 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_ecommerce_etl_pipeline_spark.operators.rules import Rule, apply_rules
+from lakehouse_ecommerce_etl_pipeline_spark.session import delta_available
 from lakehouse_ecommerce_etl_pipeline_spark.sources import table as managed
 
 _STAGE = "__staged__"
+
+
+def _published_version(path: str) -> int:
+    """Version of the just-published snapshot, for both storage layers.
+
+    The parquet fallback lists ``_v=N`` dirs; under Delta those don't
+    exist — the commit version is the highest ``N.json`` entry in
+    ``_delta_log`` (reading the log, not DESCRIBE HISTORY, keeps this
+    a metadata-only filesystem listing)."""
+    if delta_available():
+        log = os.path.join(path, "_delta_log")
+        versions = [
+            int(f.split(".", 1)[0])
+            for f in os.listdir(log)
+            if f.endswith(".json") and f.split(".", 1)[0].isdigit()
+        ]
+        return max(versions)
+    return managed.history(path)[-1]
 
 
 class AuditFailed(RuntimeError):
@@ -61,7 +80,9 @@ def write_audit_publish(
     all-or-nothing per batch — a poisoned batch never partially
     publishes, which is what makes re-runs idempotent at batch level.
     """
-    staging = os.path.join(path, _STAGE)
+    # sibling dir, NOT inside the table root: under Delta the root is
+    # the table itself and foreign subdirs corrupt file listings
+    staging = os.path.normpath(path) + _STAGE
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
 
@@ -87,6 +108,6 @@ def write_audit_publish(
 
     managed.write(spark, staged, path, partition_by=partition_by)
     shutil.rmtree(staging, ignore_errors=True)
-    report["published_version"] = managed.history(path)[-1]
+    report["published_version"] = _published_version(path)
     report["staging_dir"] = None
     return report

@@ -2,11 +2,65 @@
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextlib.contextmanager
+def artifact_lock(artifact: str):
+    """Inter-process exclusive lock serializing BUILDERS of a shared
+    scratch artifact (concurrent pytest + check_oracle runs previously
+    raced two writers into the same path → FileFormatWriter collision).
+
+    Usage — take the lock, THEN re-check freshness (double-checked
+    locking: the loser of the race finds the artifact already built):
+
+        with artifact_lock(path):
+            if not artifact_fresh(src, path):
+                ...build into path...
+
+    The lock file lives NEXT TO the artifact (never inside it — builds
+    rmtree/overwrite the artifact itself) and is advisory flock, so
+    readers pay nothing."""
+    import fcntl
+
+    parent = os.path.dirname(os.path.normpath(artifact)) or "."
+    os.makedirs(parent, exist_ok=True)
+    lock_path = os.path.join(
+        parent, "." + os.path.basename(os.path.normpath(artifact)) + ".lock"
+    )
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def write_session_marker(spark: SparkSession, marker: str) -> None:
+    """Record a scratch artifact as built, stamped with THIS session's
+    applicationId — for artifacts whose readability is session-scoped
+    (streaming state checkpoints: the statestore reader needs the
+    StateStoreCoordinator RPC endpoint, which exists only after a
+    streaming query has run in the reading session)."""
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(spark.sparkContext.applicationId + "\n")
+    os.replace(tmp, marker)
+
+
+def session_marker_ok(spark: SparkSession, marker: str) -> bool:
+    """True iff the marker exists AND was written by THIS session."""
+    try:
+        with open(marker) as fh:
+            return fh.read().strip() == spark.sparkContext.applicationId
+    except OSError:
+        return False
 
 
 def ensure_session_defaults(spark: SparkSession) -> None:
@@ -52,20 +106,21 @@ def _events_micros_copy(sf_dir: str) -> str:
     src = f"{sf_dir}/events.parquet"
     out_dir = work_dir(sf_dir, "events_us")
     out = os.path.join(out_dir, "events.parquet")
-    if not artifact_fresh(src, out):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    with artifact_lock(out):
+        if not artifact_fresh(src, out):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-        t = pq.read_table(src)
-        fields = [
-            pa.field(f.name, pa.timestamp("us"))
-            if pa.types.is_timestamp(f.type)
-            else f
-            for f in t.schema
-        ]
-        tmp = out + ".tmp"
-        pq.write_table(t.cast(pa.schema(fields)), tmp)
-        os.replace(tmp, out)
+            t = pq.read_table(src)
+            fields = [
+                pa.field(f.name, pa.timestamp("us"))
+                if pa.types.is_timestamp(f.type)
+                else f
+                for f in t.schema
+            ]
+            tmp = out + ".tmp"
+            pq.write_table(t.cast(pa.schema(fields)), tmp)
+            os.replace(tmp, out)
     return out
 
 
@@ -109,10 +164,11 @@ def order_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every reuse is a parquet scan with column pruning."""
     src = os.path.join(sf_dir, "lineitem.parquet")
     path = os.path.join(work_dir(sf_dir, "shared"), "order_part_pairs")
-    if not artifact_fresh(src, path):
-        _order_part_pairs_build(spark, sf_dir).write.mode(
-            "overwrite"
-        ).parquet(path)
+    with artifact_lock(path):
+        if not artifact_fresh(src, path):
+            _order_part_pairs_build(spark, sf_dir).write.mode(
+                "overwrite"
+            ).parquet(path)
     return spark.read.parquet(path)
 
 
@@ -123,10 +179,11 @@ def order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale factor so the distinct shuffle is also paid once."""
     src = os.path.join(sf_dir, "lineitem.parquet")
     path = os.path.join(work_dir(sf_dir, "shared"), "order_part_edges")
-    if not artifact_fresh(src, path):
-        order_part_pairs(spark, sf_dir).select(
-            "src", "dst"
-        ).distinct().write.mode("overwrite").parquet(path)
+    with artifact_lock(path):
+        if not artifact_fresh(src, path):
+            order_part_pairs(spark, sf_dir).select(
+                "src", "dst"
+            ).distinct().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -143,6 +200,14 @@ def copurchase_graph(
     src = os.path.join(sf_dir, "lineitem.parquet")
     gpath = os.path.join(work_dir(sf_dir, "shared"), "copurchase_graph")
     dpath = os.path.join(work_dir(sf_dir, "shared"), "copurchase_degrees")
+    with artifact_lock(gpath):
+        _copurchase_build(spark, sf_dir, src, gpath, dpath)
+    return spark.read.parquet(gpath), spark.read.parquet(dpath)
+
+
+def _copurchase_build(
+    spark: SparkSession, sf_dir: str, src: str, gpath: str, dpath: str
+) -> None:
     if not (artifact_fresh(src, gpath) and artifact_fresh(src, dpath)):
         half = order_part_edges(spark, sf_dir)
         deg = (
@@ -161,7 +226,6 @@ def copurchase_graph(
         ).select("src", "dst", "outdeg").write.mode("overwrite").parquet(
             gpath
         )
-    return spark.read.parquet(gpath), spark.read.parquet(dpath)
 
 
 def _order_part_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,10 +261,14 @@ def _order_part_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def artifact_fresh(src: str, artifact: str) -> bool:
     """True iff a scratch artifact exists AND is newer than its source
     file — derived copies must be rebuilt when the driver regenerates
-    the testdata in place (same paths, new bytes/types)."""
+    the testdata in place (same paths, new bytes/types). An EMPTY
+    directory never counts as fresh: ``work_dir`` mkdirs its whole
+    path, so a pre-created leaf must read as absent, not built."""
     if not os.path.exists(artifact):
         return False
     try:
+        if os.path.isdir(artifact) and not os.listdir(artifact):
+            return False
         return os.path.getmtime(artifact) >= os.path.getmtime(src)
     except OSError:
         return False
@@ -218,7 +286,12 @@ def spill_final(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     generation right after this returns. Bounded at the result's own
     row count — exactly what a production run would publish anyway."""
     spark = df.sparkSession
-    path = os.path.join(work_dir(sf_dir, "iterative"), name)
+    # keyed by applicationId: spills are session-private intermediates,
+    # so concurrent processes (pytest + check_oracle) never write the
+    # same path — the collision the shared-scratch layout used to hit
+    path = os.path.join(
+        work_dir(sf_dir, "iterative", spark.sparkContext.applicationId), name
+    )
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     artifact_fresh,
+    artifact_lock,
     load,
     work_dir,
 )
@@ -231,16 +232,17 @@ def _schema_evo_batches(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     base = work_dir(sf_dir, "schema_evo")
     b1 = os.path.join(base, "batch1")
     b2 = os.path.join(base, "batch2")
-    if not (artifact_fresh(src, b1) and artifact_fresh(src, b2)):
-        orders = load(spark, sf_dir, "orders")
-        early = orders.filter(F.col("o_orderdate") < F.lit(_EVO_CUTOFF))
-        late = orders.filter(F.col("o_orderdate") >= F.lit(_EVO_CUTOFF))
-        early.select("o_orderkey", "o_custkey", "o_totalprice").write.mode(
-            "overwrite"
-        ).parquet(b1)
-        late.select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
-        ).write.mode("overwrite").parquet(b2)
+    with artifact_lock(b1):
+        if not (artifact_fresh(src, b1) and artifact_fresh(src, b2)):
+            orders = load(spark, sf_dir, "orders")
+            early = orders.filter(F.col("o_orderdate") < F.lit(_EVO_CUTOFF))
+            late = orders.filter(F.col("o_orderdate") >= F.lit(_EVO_CUTOFF))
+            early.select("o_orderkey", "o_custkey", "o_totalprice").write.mode(
+                "overwrite"
+            ).parquet(b1)
+            late.select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+            ).write.mode("overwrite").parquet(b2)
     return b1, b2
 
 
@@ -427,10 +429,11 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     file listing itself becomes the bottleneck."""
     src = os.path.join(sf_dir, "events.parquet")
     path = os.path.join(work_dir(sf_dir, "events_by_type"), "t")
-    if not artifact_fresh(src, path):
-        load(spark, sf_dir, "events").write.partitionBy(
-            "event_type"
-        ).mode("overwrite").parquet(path)
+    with artifact_lock(path):
+        if not artifact_fresh(src, path):
+            load(spark, sf_dir, "events").write.partitionBy(
+                "event_type"
+            ).mode("overwrite").parquet(path)
     return (
         spark.read.parquet(path)
         .filter(F.col("event_type") == "purchase")

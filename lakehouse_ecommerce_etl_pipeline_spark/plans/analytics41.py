@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     artifact_fresh,
+    artifact_lock,
     load,
     work_dir,
 )
@@ -41,31 +42,32 @@ def nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-scoped query runs."""
     src = os.path.join(sf_dir, "lineitem.parquet")
     path = os.path.join(work_dir(sf_dir, "shared"), "nested_orders")
-    if not artifact_fresh(src, path):
-        items = (
-            load(spark, sf_dir, "lineitem")
-            .select(
-                "l_orderkey",
-                F.struct(
-                    F.col("l_linenumber").alias("linenumber"),
-                    F.col("l_partkey").alias("partkey"),
-                    F.col("l_quantity").alias("quantity"),
-                    F.col("l_extendedprice").alias("price"),
-                ).alias("item"),
+    with artifact_lock(path):
+        if not artifact_fresh(src, path):
+            items = (
+                load(spark, sf_dir, "lineitem")
+                .select(
+                    "l_orderkey",
+                    F.struct(
+                        F.col("l_linenumber").alias("linenumber"),
+                        F.col("l_partkey").alias("partkey"),
+                        F.col("l_quantity").alias("quantity"),
+                        F.col("l_extendedprice").alias("price"),
+                    ).alias("item"),
+                )
+                .groupBy("l_orderkey")
+                .agg(
+                    F.array_sort(F.collect_list("item")).alias("items")
+                )
             )
-            .groupBy("l_orderkey")
-            .agg(
-                F.array_sort(F.collect_list("item")).alias("items")
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
             )
-        )
-        orders = load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-        )
-        orders.join(
-            items, orders["o_orderkey"] == items["l_orderkey"], "left"
-        ).select(
-            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "items"
-        ).write.mode("overwrite").parquet(path)
+            orders.join(
+                items, orders["o_orderkey"] == items["l_orderkey"], "left"
+            ).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "items"
+            ).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 

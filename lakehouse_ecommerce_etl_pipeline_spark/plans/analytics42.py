@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     artifact_fresh,
+    artifact_lock,
     load,
     work_dir,
 )
@@ -36,6 +37,12 @@ def _dirty_csv(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     base = work_dir(sf_dir, "dirty_csv")
     path = os.path.join(base, "orders_dirty.csv")
+    with artifact_lock(path):
+        _build_dirty_csv(spark, sf_dir, src, path)
+    return path
+
+
+def _build_dirty_csv(spark, sf_dir, src, path):
     if not artifact_fresh(src, path):
         rows = (
             load(spark, sf_dir, "orders")
@@ -137,6 +144,12 @@ def _dirty_json(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     base = work_dir(sf_dir, "dirty_json")
     path = os.path.join(base, "orders_dirty.json")
+    with artifact_lock(path):
+        _build_dirty_json(spark, sf_dir, src, path)
+    return path
+
+
+def _build_dirty_json(spark, sf_dir, src, path):
     if not artifact_fresh(src, path):
         rows = (
             load(spark, sf_dir, "orders")

@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     artifact_fresh,
+    artifact_lock,
     load,
     work_dir,
 )
@@ -42,7 +43,10 @@ def q_scan_table(spark, sf_dir):
     order_items_etl.py:45,53-55). Writes orders as a managed table,
     scans the published snapshot back."""
     path = os.path.join(work_dir(sf_dir, "tables"), "orders_managed")
-    managed.write(spark, load(spark, sf_dir, "orders"), path)
+    src = os.path.join(sf_dir, "orders.parquet")
+    with artifact_lock(path):
+        if not (managed.exists(path) and artifact_fresh(src, path)):
+            managed.write(spark, load(spark, sf_dir, "orders"), path)
     return managed.read(spark, path)
 
 
@@ -58,8 +62,9 @@ def q_scan_delta(spark, sf_dir):
     either way."""
     path = os.path.join(work_dir(sf_dir, "tables"), "orders_delta_scan")
     src = os.path.join(sf_dir, "orders.parquet")
-    if not (managed.exists(path) and artifact_fresh(src, path)):
-        managed.write(spark, load(spark, sf_dir, "orders"), path)
+    with artifact_lock(path):
+        if not (managed.exists(path) and artifact_fresh(src, path)):
+            managed.write(spark, load(spark, sf_dir, "orders"), path)
     return managed.read(spark, path)
 
 
@@ -114,7 +119,12 @@ def q_merge_upsert_storage(spark, sf_dir):
     of identical source is a no-op modulo updated values). The
     read-back snapshot must equal the pure relational merge result,
     so it shares q_merge_upsert's full-outer-emulation oracle."""
-    path = os.path.join(work_dir(sf_dir, "tables"), "orders_merge")
+    # session-keyed: the table is torn down and rebuilt per call (the
+    # idempotency demo), so concurrent processes must not share it
+    path = os.path.join(
+        work_dir(sf_dir, "tables", spark.sparkContext.applicationId),
+        "orders_merge",
+    )
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
@@ -144,7 +154,12 @@ def q_write_partitioned(spark, sf_dir):
     yields one file per partition instead of files × input-tasks.
     Partition values round-trip through directory names (partition-type
     inference reads them back as DATE)."""
-    out = os.path.join(work_dir(sf_dir, "tables"), "orders_partitioned")
+    # session-keyed: K2 is a WRITE demonstration (re-executed per call),
+    # so concurrent processes each get a private target
+    out = os.path.join(
+        work_dir(sf_dir, "tables", spark.sparkContext.applicationId),
+        "orders_partitioned",
+    )
     df = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",

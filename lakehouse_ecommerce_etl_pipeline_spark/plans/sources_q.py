@@ -12,7 +12,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, work_dir
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    artifact_fresh,
+    artifact_lock,
+    load,
+    work_dir,
+)
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 
@@ -20,8 +25,11 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 def q_scan_orc(spark, sf_dir):
     """ORC source roundtrip — same columnar pushdown/pruning machinery
     as parquet (Spark-native reader)."""
+    src = os.path.join(sf_dir, "orders.parquet")
     out = os.path.join(work_dir(sf_dir, "orc"), "orders")
-    load(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    with artifact_lock(out):
+        if not artifact_fresh(src, out):
+            load(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
 
@@ -41,10 +49,13 @@ JSON_SCHEMA = T.StructType(
 def q_scan_json(spark, sf_dir):
     """JSON-lines source with declared schema (no inference pass).
     Doubles survive exactly: Spark writes shortest-roundtrip reprs."""
+    src = os.path.join(sf_dir, "orders.parquet")
     out = os.path.join(work_dir(sf_dir, "json"), "orders")
-    load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    ).write.mode("overwrite").json(out)
+    with artifact_lock(out):
+        if not artifact_fresh(src, out):
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ).write.mode("overwrite").json(out)
     return spark.read.schema(JSON_SCHEMA).json(out)
 
 

@@ -45,7 +45,11 @@ def q_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomically replaces its own part file, so speculative execution
     and retries stay exactly-once at the file level."""
     register_jsonl_sink(spark)
-    path = os.path.join(work_dir(sf_dir, "pyds_write"), "orders_jsonl")
+    # session-keyed: a write-path demonstration re-executed per call
+    path = os.path.join(
+        work_dir(sf_dir, "pyds_write", spark.sparkContext.applicationId),
+        "orders_jsonl",
+    )
     (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")

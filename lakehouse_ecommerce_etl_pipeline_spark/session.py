@@ -74,7 +74,11 @@ def get_spark(
         # on for the measured shuffle audit (scripts/shuffle_audit.py
         # reads stage metrics over the REST API)
         .config(
-            "spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false")
+            "spark.ui.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").lower()
+            in ("true", "1", "yes", "on")
+            else "false",
         )
         # bucketed tables need a catalog warehouse; keep it off the repo
         .config(

@@ -27,8 +27,8 @@ def test_wap_publishes_clean_batch(spark, tmp_path):
     assert report["rejected_rows"] == 0
     assert report["published_version"] == 1
     assert managed.read(spark, path).count() == 2
-    # staging dir cleaned after publish
-    assert not os.path.exists(os.path.join(path, "__staged__"))
+    # staging dir (sibling of the table root) cleaned after publish
+    assert not os.path.exists(path + "__staged__")
 
 
 def test_wap_bad_batch_publishes_nothing(spark, tmp_path):
@@ -47,7 +47,7 @@ def test_wap_bad_batch_publishes_nothing(spark, tmp_path):
     assert managed.history(path) == [1]
     assert [r.k for r in managed.read(spark, path).collect()] == [1]
     # staged batch kept for forensics
-    assert os.path.exists(os.path.join(path, "__staged__"))
+    assert os.path.exists(path + "__staged__")
 
 
 # ------------------------------------------------------- BPE encoder
