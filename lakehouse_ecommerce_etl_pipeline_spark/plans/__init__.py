@@ -94,19 +94,25 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import spark4b  # noqa: F401,E
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics52  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm17  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm18  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm19  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
 
 # ------------------------------------------------------------------
 # The external driver truncates its correctness gate at the first 50
-# registry entries in insertion order.  Curate that window so the hard
-# per-value signal spans the full breadth of the engine: the SURVEY §2
-# reference-parity surface PLUS the highest-value extension tiers
-# (TPC-H star shape, the MinHash→LSH→verify→cluster LLM dedup chain,
-# the real-decode multimodal kernel).  Everything else stays
-# registered and is checked by the local full-sweep harness
+# registry entries in insertion order.  Curation policy (VERDICT r2
+# "rotate the window"): the ~26 SURVEY §2 reference-parity rows stay
+# FIXED every round; the remaining ~24 slots ROTATE each round to
+# queries the driver has never value-checked, so the hard per-value
+# signal accumulates across the registry over rounds instead of
+# re-proving the same extension rows.  Round-3 rotation: the LLM dedup
+# chain, text-quality tier, multimodal decode, the TPC-H tail, and the
+# two queries hardened this round (statestore, file provenance).
+# Rows rotated OUT were driver-green in r1+r2 (CORRECTNESS_r0{1,2});
+# everything stays registered and full-swept locally
 # (scripts/check_oracle.py).
 _FIRST_WINDOW = [
+    # --- fixed §2 parity rows (driver-green r1+r2, keep forever) ---
     "q_scan_csv",
     "q_scan_parquet",
     "q_project",
@@ -121,6 +127,7 @@ _FIRST_WINDOW = [
     "q_join_leftanti",
     "q_except",
     "q_union_all",
+    "q_intersect",
     "q_fn_cast_timestamp",
     "q_fn_to_date",
     "q_fn_string_split",
@@ -132,34 +139,41 @@ _FIRST_WINDOW = [
     "q_merge_upsert_storage",
     "q_write_partitioned",
     "q_scan_excel",
-    "q_groupby_agg",
-    "q_star_join",
-    "q_tpch_q3_shipping_priority",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_count_distinct",
-    "q_pivot",
-    "q_topk",
-    "q_sort_limit",
-    "q_window_rank",
-    "q_window_lag",
-    "q_window_frame",
-    "q_sessionize",
-    "q_json_extract",
-    "q_events_window_agg",
-    "q_join_left",
-    "q_join_full",
-    "q_intersect",
-    "q_asof_join",
-    "q_range_join",
-    "q_percentile",
-    # the end-to-end curation pipeline transitively value-pins the
-    # MinHash→LSH→Jaccard→fixpoint→quality→split chain in ONE driver
-    # row — the strongest single correctness witness in the corpus
-    "q_corpus_pipeline_e2e",
-    "q_near_dup_clusters",
-    "q_multimodal_meta",
+    # --- round-3 rotation: never driver-checked before ---
+    # this round's hardened queries
+    "q_statestore_read",
+    "q_file_provenance",
+    # LLM dedup chain, stage by stage (signatures → LSH → verify →
+    # clusters → incremental)
+    "q_dedup_exact",
+    "q_minhash_signatures",
+    "q_lsh_candidates",
+    "q_near_dup_pairs",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    # similarity / embeddings (q_embedding_near_dup deliberately NOT
+    # here: it returns 0 rows at the driver's sf0.01 — a hollow value
+    # witness; it stays full-sweep-checked locally)
+    "q_similarity_topk",
+    "q_vector_norms",
+    "q_embedding_clusters",
+    # text-quality tier
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_id",
+    "q_bpe_token_count",
+    "q_lm_score_docs",
+    "q_corpus_keep_list",
+    # multimodal decode (value-oracled pixel/PCM math), incl. the new
+    # baseline JPEG codec
+    "q_multimodal_resize",
+    "q_multimodal_audio_stats",
+    "q_multimodal_jpeg",
+    # TPC-H tail (star joins, correlated subqueries, group-wise tops)
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q21_sole_late_supplier",
 ]
 
 
