@@ -241,7 +241,14 @@ def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events_path = f"{sf_dir}/events.parquet"
-    ck = os.path.join(work_dir(sf_dir, "statestore_agg"), "ckpt")
+    # session-keyed: a state checkpoint is only readable by the session
+    # that drained it (StateStoreCoordinator), so sharing it across
+    # processes invites exactly the stale-checkpoint failure this
+    # query once had — each session pays one cheap drain instead
+    ck = os.path.join(
+        work_dir(sf_dir, "statestore_agg", spark.sparkContext.applicationId),
+        "ckpt",
+    )
     marker = ck + ".done"
 
     def drain() -> None:

@@ -50,10 +50,17 @@ def _statestore_rows(spark):
     return {r["event_type"]: r["n_events"] for r in df.collect()}
 
 
+def _ck_path(spark) -> str:
+    return os.path.join(
+        work_dir(SF, "statestore_agg", spark.sparkContext.applicationId),
+        "ckpt",
+    )
+
+
 def test_statestore_foreign_marker_redrains(spark):
     """A marker written by a DIFFERENT session must not be trusted —
     the exact cross-session failure the round-2 judge reproduced."""
-    ck = os.path.join(work_dir(SF, "statestore_agg"), "ckpt")
+    ck = _ck_path(spark)
     marker = ck + ".done"
     # simulate a checkpoint left by another process: foreign app id,
     # fresh mtime (the old mtime-only guard would skip the drain)
@@ -69,7 +76,7 @@ def test_statestore_foreign_marker_redrains(spark):
 def test_statestore_poisoned_checkpoint_self_heals(spark):
     """Marker fresh and session-local, but the checkpoint bytes are
     garbage → the eager validation must catch it and rebuild once."""
-    ck = os.path.join(work_dir(SF, "statestore_agg"), "ckpt")
+    ck = _ck_path(spark)
     marker = ck + ".done"
     assert _statestore_rows(spark) == _expected_counts(spark)
     # poison: wipe the state dir but keep commits/offsets + the marker
