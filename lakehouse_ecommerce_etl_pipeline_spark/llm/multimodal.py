@@ -477,10 +477,15 @@ def synthetic_gradient_images(
 def frame_sample_stub(
     videos: DataFrame, every_n_seconds: float, id_col: str = "content_id"
 ) -> DataFrame:
-    """Video frame-sampling placeholder (needs ffmpeg). One input row →
-    many output rows: implement with mapInPandas yielding exploded
-    frames, partitioned by content_id to bound memory per task."""
-    raise NotImplementedError("frame sampling requires ffmpeg (not in this runtime)")
+    """Frame-sampling gate for INTER-FRAME codecs (H.264/VP9/…), which
+    genuinely need ffmpeg. Intra-frame video is REAL: MJPEG-in-AVI
+    decodes end-to-end via ``llm/video.py`` (RIFF walk +
+    ``frame_sample_stats``) — use that path; this stub remains only
+    for codecs whose decoders can't exist in this runtime."""
+    raise NotImplementedError(
+        "inter-frame codecs require ffmpeg (not in this runtime); "
+        "MJPEG-AVI is supported via llm/video.frame_sample_stats"
+    )
 
 
 def synthetic_blobs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

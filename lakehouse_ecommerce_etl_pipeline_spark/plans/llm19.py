@@ -101,6 +101,78 @@ def jpeg_tile_corpus_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     return docs.select(id_col).mapInPandas(gen, schema=_JPEG_STATS_SCHEMA)
 
 
+def mjpeg_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One deterministic MJPEG-AVI per document id: 2 + id%3 frames of
+    16×8 grayscale constant-tile JPEG, tile v(tx, f) =
+    (7·id + 13·tx + 97·f) mod 256 — exact decode by the same DC-only
+    argument as the still-image query."""
+    import numpy as np
+
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.jpeg import encode_jpeg
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.video import (
+        encode_avi_mjpeg,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames = []
+                for f in range(2 + did % 3):
+                    tiles = np.array(
+                        [[(7 * did + 13 * tx + 97 * f) % 256 for tx in range(2)]]
+                    )
+                    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1).astype(
+                        np.uint8
+                    )
+                    frames.append(encode_jpeg(img))
+                rows.append((did, encode_avi_mjpeg(frames, 16, 8, fps=25)))
+            yield pd.DataFrame(rows, columns=["content_id", "payload"])
+
+    return docs.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
+@register(
+    "q_multimodal_video_frames",
+    oracle="""
+    SELECT d.doc_id AS content_id,
+           CAST(f.f AS INTEGER) AS frame_idx,
+           CAST(16 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(64 * (((7 * d.doc_id + 97 * f.f) % 256)
+                    + ((7 * d.doc_id + 13 + 97 * f.f) % 256))
+                AS BIGINT) AS sum_px
+    FROM documents d
+    CROSS JOIN (SELECT range AS f FROM range(0, 4)) f
+    WHERE f.f < 2 + d.doc_id % 3 AND f.f % 2 = 0
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling — MJPEG-in-AVI, no ffmpeg: build a
+    deterministic AVI per document (RIFF writer), walk the container
+    back (word-aligned chunk parse, avih metadata, '00dc' frames),
+    sample every 2nd frame, decode each sampled frame through the
+    baseline JPEG path, and emit exact per-frame pixel sums that
+    DuckDB recomputes in closed form. One mapInPandas pass; only stat
+    rows leave the stage (llm/video.py docstring for the 100 TB
+    contract). Inter-frame codecs (H.264 …) stay honestly gated."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.video import (
+        frame_sample_stats,
+    )
+
+    return frame_sample_stats(
+        mjpeg_corpus(load(spark, sf_dir, "documents")), every_n=2
+    )
+
+
 @register(
     "q_multimodal_jpeg",
     oracle="""
