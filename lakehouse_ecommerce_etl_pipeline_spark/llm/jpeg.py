@@ -449,16 +449,69 @@ def _size_of(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def _plane_coefs(p: np.ndarray, q: np.ndarray):
+    """Padded plane → per-block quantized zigzag coefficients
+    (bh, bw, 64): DCT → zigzag → quantize."""
+    ph, pw = p.shape
+    bh_, bw_ = ph // 8, pw // 8
+    blocks = p.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
+    f = np.einsum("ux,bcxy,yv->bcuv", _D, blocks, _D.T)
+    zz = f.reshape(bh_, bw_, 64)[:, :, _ZIGZAG]
+    return np.round(zz / q[None, None, :]).astype(np.int64)
+
+
+def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = p.shape
+    pp = np.empty((ph, pw), np.float64)
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1 : h, :w]
+    pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def _write_block(writer, dc_codes, ac_codes, block, pred, ci) -> None:
+    diff = int(block[0]) - pred[ci]
+    pred[ci] = int(block[0])
+    s = _size_of(diff)
+    _encode_value(writer, dc_codes, s, diff, s)
+    run = 0
+    last_nz = np.nonzero(block[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(block[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _encode_value(writer, ac_codes, 0xF0, 0, 0)
+            run -= 16
+        s = _size_of(v)
+        _encode_value(writer, ac_codes, (run << 4) | s, v, s)
+        run = 0
+    if last < 63:
+        _encode_value(writer, ac_codes, 0x00, 0, 0)  # EOB
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
     """uint8 ndarray (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB →
-    baseline JPEG bytes (4:4:4, tables embedded). ``quant`` is a
-    64-entry zigzag-order table; default all-ones (near-lossless —
-    constant 8×8 tiles round-trip exactly)."""
+    baseline JPEG bytes (tables embedded). ``quant`` is a 64-entry
+    zigzag-order table; default all-ones (near-lossless — constant
+    8×8 tiles round-trip exactly). ``subsampling`` ∈ {"444", "420"}
+    for color: 420 averages chroma 2×2 (the ubiquitous camera/web
+    layout — exercises the decoder's multi-block-MCU interleave and
+    upsampling paths)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
     if nc not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = nc == 3 and subsampling == "420"
     q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64)
 
     if nc == 3:
@@ -470,18 +523,32 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     else:
         planes = [arr[:, :, 0].astype(np.float64)]
 
-    # pad to multiples of 8 by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = []
-    for p in planes:
-        pp = np.empty((ph, pw), np.float64)
-        pp[:h, :w] = p
-        pp[h:, :w] = p[-1:, :]
-        pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp)
-
     dc_codes = _build_codes(_DC_BITS, _DC_VALS)
     ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+
+    # sampling factors + per-component padded planes and coefficients
+    if sub420:
+        hv = [(2, 2), (1, 1), (1, 1)]
+        mcu_w, mcu_h = 16, 16
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        ypad = _pad_replicate(planes[0], ph, pw)
+        # chroma: average 2x2 neighborhoods AFTER padding (dims even)
+        sub = [
+            np.round(
+                _pad_replicate(p, ph, pw)
+                .reshape(ph // 2, 2, pw // 2, 2)
+                .mean(axis=(1, 3))
+            )
+            for p in planes[1:]
+        ]
+        padded = [ypad] + sub
+    else:
+        hv = [(1, 1)] * nc
+        mcu_w = mcu_h = 8
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        padded = [_pad_replicate(p, ph, pw) for p in planes]
+
+    coefs = [_plane_coefs(p, q) for p in padded]
 
     # headers
     out = bytearray(b"\xff\xd8")
@@ -493,7 +560,7 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     segment(0xDB, bytes([0x00]) + bytes(int(v) for v in q))  # DQT id 0
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
-        sof += struct.pack(">BBB", i + 1, 0x11, 0)  # 4:4:4, qtable 0
+        sof += struct.pack(">BBB", i + 1, (hv[i][0] << 4) | hv[i][1], 0)
     segment(0xC0, sof)
     dht = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
@@ -504,42 +571,17 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     sos += bytes([0, 63, 0])
     segment(0xDA, sos)
 
-    # entropy: interleaved 4:4:4 → one block per component per MCU
+    # entropy: interleaved MCUs — h×v blocks per component per MCU
     writer = _BitWriter()
     pred = [0] * nc
-    bw_, bh_ = pw // 8, ph // 8
-    # precompute all coefficient blocks per component
-    coefs = []
-    for p in padded:
-        blocks = p.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
-        f = np.einsum("ux,bcxy,yv->bcuv", _D, blocks, _D.T)
-        zz = np.round(f).astype(np.int64).reshape(bh_, bw_, 64)[:, :, _ZIGZAG]
-        qz = np.round(zz / q[None, None, :]).astype(np.int64)
-        coefs.append(qz)
-    for by in range(bh_):
-        for bx in range(bw_):
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
             for ci in range(nc):
-                block = coefs[ci][by, bx]
-                diff = int(block[0]) - pred[ci]
-                pred[ci] = int(block[0])
-                s = _size_of(diff)
-                _encode_value(writer, dc_codes, s, diff, s)
-                run = 0
-                last_nz = np.nonzero(block[1:])[0]
-                last = last_nz[-1] + 1 if len(last_nz) else 0
-                for k in range(1, last + 1):
-                    v = int(block[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        _encode_value(writer, ac_codes, 0xF0, 0, 0)
-                        run -= 16
-                    s = _size_of(v)
-                    _encode_value(writer, ac_codes, (run << 4) | s, v, s)
-                    run = 0
-                if last < 63:
-                    _encode_value(writer, ac_codes, 0x00, 0, 0)  # EOB
+                ch, cv = hv[ci]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        block = coefs[ci][my * cv + vy, mx * ch + vx]
+                        _write_block(writer, dc_codes, ac_codes, block, pred, ci)
     out.extend(writer.flush())
     out.extend(b"\xff\xd9")
     return bytes(out)

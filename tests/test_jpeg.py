@@ -93,6 +93,46 @@ def test_quantization_actually_quantizes():
     assert 0 < err <= 40
 
 
+def test_420_gray_tiles_exact_proves_mcu_block_order():
+    """4:2:0 with R=G=B 8×8 tiles: chroma is flat 128 (averaging is
+    lossless), every Y block is constant — so the decode must be EXACT.
+    Any error here means the 2×2-Y + Cb + Cr in-MCU block order or the
+    upsampling geometry is wrong."""
+    rng = np.random.default_rng(9)
+    tiles = rng.integers(0, 256, (4, 6))
+    img = _tile_image(tiles)
+    rgb = np.stack([img, img, img], axis=2)
+    dec = decode_jpeg(encode_jpeg(rgb, subsampling="420"))
+    assert np.array_equal(dec, rgb)
+
+
+def test_420_constant_macrotiles_exact():
+    rng = np.random.default_rng(5)
+    mt = rng.integers(0, 256, (2, 2))
+    img = np.repeat(np.repeat(mt, 16, 0), 16, 1).astype(np.uint8)
+    rgb = np.stack([img, img, img], axis=2)
+    dec = decode_jpeg(encode_jpeg(rgb, subsampling="420"))
+    assert np.array_equal(dec, rgb)
+
+
+def test_420_luma_near_exact_in_gamut():
+    """Full-resolution Y must survive 4:2:0 almost exactly when the
+    colors stay in gamut (no RGB clipping confound)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(96, 160, (33, 41, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    y_in = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    y_out = 0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2]
+    assert float(np.abs(y_in - y_out).max()) <= 2.5
+
+
+def test_420_odd_dims_pad_and_crop():
+    rng = np.random.default_rng(2)
+    img = rng.integers(96, 160, (19, 27, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert dec.shape == (19, 27, 3)
+
+
 def test_magic_dispatch_routes_jpeg():
     tiles = np.array([[7, 200], [99, 150]])
     payload = encode_jpeg(_tile_image(tiles))
