@@ -101,6 +101,80 @@ def jpeg_tile_corpus_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     return docs.select(id_col).mapInPandas(gen, schema=_JPEG_STATS_SCHEMA)
 
 
+@register(
+    "q_multimodal_jpeg420",
+    oracle="""
+    SELECT d.doc_id AS content_id,
+           CAST(8 * (2 + d.doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + d.doc_id % 2) AS INTEGER) AS height,
+           'jpeg' AS format,
+           CAST(3 AS INTEGER) AS n_channels,
+           CAST(3 * 64
+                * SUM((7 * d.doc_id + 13 * t.tx + 31 * u.ty) % 256)
+                AS BIGINT) AS sum_px
+    FROM documents d
+    CROSS JOIN (SELECT range AS tx FROM range(0, 4)) t
+    CROSS JOIN (SELECT range AS ty FROM range(0, 2)) u
+    WHERE t.tx < 2 + d.doc_id % 3 AND u.ty < 1 + d.doc_id % 2
+    GROUP BY d.doc_id
+    """,
+)
+def q_multimodal_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG decode, value-oracled: the same
+    tile construction as q_multimodal_jpeg but every image is R=G=B
+    color encoded with 2×2-averaged chroma (16×16 MCUs, the standard
+    4Y+Cb+Cr interleave — the ubiquitous camera/web layout). Gray
+    tiles make the chroma planes flat 128, so subsampling is lossless
+    and the decode stays EXACT through the multi-block-MCU path —
+    same closed-form oracle, ×3 channels."""
+    import numpy as np
+
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tiles_x, tiles_y = 2 + did % 3, 1 + did % 2
+                xs = np.arange(tiles_x, dtype=np.int64)[None, :]
+                ys = np.arange(tiles_y, dtype=np.int64)[:, None]
+                tiles = (7 * did + 13 * xs + 31 * ys) % 256
+                img = np.repeat(np.repeat(tiles, 8, 0), 8, 1).astype(np.uint8)
+                rgb = np.stack([img, img, img], axis=2)
+                arr = decode_jpeg(encode_jpeg(rgb, subsampling="420"))
+                rows.append(
+                    (
+                        did,
+                        arr.shape[1],
+                        arr.shape[0],
+                        "jpeg",
+                        arr.shape[2],
+                        int(arr.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "content_id",
+                    "width",
+                    "height",
+                    "format",
+                    "n_channels",
+                    "sum_px",
+                ],
+            )
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema=_JPEG_STATS_SCHEMA)
+    )
+
+
 def mjpeg_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One deterministic MJPEG-AVI per document id: 2 + id%3 frames of
     16×8 grayscale constant-tile JPEG, tile v(tx, f) =
