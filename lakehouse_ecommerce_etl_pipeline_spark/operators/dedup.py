@@ -45,3 +45,29 @@ def dedup_deterministic(
     return (
         df.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) == 1).drop(_RN)
     )
+
+
+def dedup_minby(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]
+) -> DataFrame:
+    """First row per key under ``order_by`` as an AGGREGATION:
+    ``min_by(struct(all columns), struct(order))``.
+
+    Same result as ``dedup_deterministic`` (when ``order_by`` is a
+    total order per group) but a fundamentally better 100 TB plan for
+    high-duplication keys: min_by is partial-aggregable, so each map
+    task pre-reduces its rows to ONE survivor candidate per key before
+    the exchange — shuffle volume is O(distinct keys × map tasks)
+    instead of O(all rows). The window form must shuffle every row to
+    its key's partition and sort; this shuffles only per-task winners
+    and never sorts. (Struct comparison is lexicographic by field —
+    exactly the multi-column ORDER BY semantics.)"""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order_key = F.struct(
+        *[F.col(c) if isinstance(c, str) else c for c in order_by]
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.min_by(payload, order_key).alias("__row"))
+        .select([F.col(f"__row.{c}").alias(c) for c in df.columns])
+    )

@@ -68,3 +68,22 @@ def test_incremental_merge_equals_recompute(spark):
     )
     merged = q_incremental_agg_merge(spark, SF0001).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
+
+
+def test_dedup_minby_equals_window_form(spark):
+    """The aggregation dedup and the window dedup must agree row-for-row
+    under a total order (the scale-path equivalence analytics53 rests
+    on)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.dedup import (
+        dedup_deterministic,
+        dedup_minby,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    a = dedup_minby(o, ["o_custkey"], ["o_totalprice", "o_orderkey"])
+    b = dedup_deterministic(o, ["o_custkey"], ["o_totalprice", "o_orderkey"])
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == o.select("o_custkey").distinct().count()
