@@ -102,9 +102,13 @@ def test_multimodal_stub_contract(spark):
     assert meta.n_bytes == len(b"hello world")
     assert 64 <= meta.width < 256 and 64 <= meta.height < 256
     assert meta.format in {"png", "jpeg", "webp"}
-    # real path: JPEG stays honestly gated, junk is rejected
-    with pytest.raises(NotImplementedError):
+    # real path: JPEG now decodes (llm/jpeg.py) — a truncated payload
+    # is a parse error, not a capability gate; webp stays honestly
+    # gated; junk is rejected
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg", fake=False)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", fake=False)
     with pytest.raises(ValueError):
         decode_image(b"not an image", fake=False)
 
