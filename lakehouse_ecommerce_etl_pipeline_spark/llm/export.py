@@ -117,3 +117,40 @@ def read_tar_shard(blob: bytes) -> list[tuple[str, bytes]]:
         for m in tf.getmembers():
             out.append((m.name, tf.extractfile(m).read()))
     return out
+
+
+TAR_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_path", T.StringType()),
+        T.StructField("member_name", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def scan_tar_shards(spark, shards_dir: str) -> DataFrame:
+    """Tar shards → one row per member (the WebDataset INGEST side):
+    ``binaryFile`` distributes whole-shard bytes (one task per shard —
+    the natural parallelism unit; tar is not splittable), and a
+    ``mapInPandas`` untar explodes members. Payloads go straight into
+    a binary column, so the downstream contract is identical to the
+    parquet-native multimodal tables (metadata first, blob column
+    pruned until touched)."""
+
+    def untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                for name, payload in read_tar_shard(bytes(blob)):
+                    rows.append((path, name, payload))
+            yield pd.DataFrame(
+                rows, columns=["shard_path", "member_name", "payload"]
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(shards_dir)
+        .select("path", "content")
+    )
+    return files.mapInPandas(untar, schema=TAR_MEMBER_SCHEMA)

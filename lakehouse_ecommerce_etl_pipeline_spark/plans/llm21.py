@@ -11,10 +11,21 @@ determinism contract (pinned metadata ⇒ byte-identical re-exports).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
 
-from lakehouse_ecommerce_etl_pipeline_spark.llm.export import export_tar_shards
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.llm.export import (
+    export_tar_shards,
+    scan_tar_shards,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    artifact_fresh,
+    artifact_lock,
+    load,
+    work_dir,
+)
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 
@@ -46,4 +57,38 @@ def q_export_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced (the oracle recomputes it in closed form)."""
     return export_tar_shards(
         load(spark, sf_dir, "documents").select("doc_id", "text"), n_shards=8
+    )
+
+
+@register(
+    "q_scan_tar_shards",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def q_scan_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST side: materialize the corpus as tar shards once
+    (mtime-guarded scratch), scan them back distributedly (binaryFile
+    → untar mapInPandas), and prove the export→import identity — every
+    document comes back byte-for-byte (id from the member name, size
+    and md5 from the payload, oracle recomputed from the ORIGINAL
+    table)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = os.path.join(work_dir(sf_dir, "tar_shards"), "shards")
+    with artifact_lock(out):
+        if not artifact_fresh(src, out):
+            export_tar_shards(
+                load(spark, sf_dir, "documents").select("doc_id", "text"),
+                n_shards=8,
+                out_dir=out,
+            ).collect()  # 8 stat rows — the action that writes shards
+    members = scan_tar_shards(spark, out)
+    return members.select(
+        F.regexp_extract("member_name", r"doc_(\d+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.col("payload").cast("string")).alias("content_hash"),
     )
