@@ -15,8 +15,15 @@ Non-key columns are copied verbatim per replica, so value
 distributions (dates, prices, event types, text, embeddings) are
 identical to the source sf — only cardinalities grow.
 
-Usage:  python scripts/gen_scaled_testdata.py [k] [out_dir]
+Usage:  python scripts/gen_scaled_testdata.py [k] [out_dir] [--skew]
         (defaults: k=10 → sf1-equivalent, out=/tmp/testdata_sf1)
+
+``--skew`` additionally redirects HALF of every replica's orders and
+lineitems to replica-0's key space on the FK side (o_custkey /
+l_suppkey keep their base-replica values), concentrating ~55% of the
+fact rows on 10% of the dimension keys — the hot-key shape that
+triggers AQE skew-join splitting and that salting exists for.
+Per-key PK uniqueness is preserved (only FKs are skewed).
 """
 
 from __future__ import annotations
@@ -60,9 +67,16 @@ STRIDE_OF = {
 COPY = ["region", "nation"]
 
 
+# FK columns whose shift is SKIPPED on even row indices under --skew
+# (those rows keep pointing at replica-0 dimension keys)
+_SKEW_FKS = {"o_custkey", "l_suppkey"}
+
+
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata_sf1"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    k = int(args[0]) if len(args) > 0 else 10
+    out_dir = args[1] if len(args) > 1 else "/tmp/testdata_sf1"
     os.makedirs(out_dir, exist_ok=True)
 
     # stride = next power of ten above the max of every column sharing it
@@ -92,10 +106,18 @@ def main() -> int:
             t = src
             for col in cols:
                 shift = i * strides[STRIDE_OF[col]]
-                if shift:
-                    idx = t.schema.get_field_index(col)
-                    shifted = pc.add(t[col], pa.scalar(shift, t[col].type))
-                    t = t.set_column(idx, t.schema.field(col), shifted)
+                if not shift:
+                    continue
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t[col], pa.scalar(shift, t[col].type))
+                if skew and col in _SKEW_FKS:
+                    # half of each replica's rows keep replica-0 FKs →
+                    # hot dimension keys carrying ~(k+1)/2k of the facts
+                    import numpy as np
+
+                    mask = pa.array(np.arange(t.num_rows) % 2 == 0)
+                    shifted = pc.if_else(mask, t[col], shifted)
+                t = t.set_column(idx, t.schema.field(col), shifted)
             replicas.append(t)
         big = pa.concat_tables(replicas)
         pq.write_table(
