@@ -496,6 +496,7 @@ def encode_jpeg(
     arr: np.ndarray,
     quant: np.ndarray | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 ndarray (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB →
     baseline JPEG bytes (tables embedded). ``quant`` is a 64-entry
@@ -503,7 +504,10 @@ def encode_jpeg(
     8×8 tiles round-trip exactly). ``subsampling`` ∈ {"444", "420"}
     for color: 420 averages chroma 2×2 (the ubiquitous camera/web
     layout — exercises the decoder's multi-block-MCU interleave and
-    upsampling paths)."""
+    upsampling paths). ``restart_interval`` > 0 emits a DRI segment
+    and RSTn markers every N MCUs (what real encoders do for error
+    resilience / parallel decode; resets DC prediction at each
+    marker)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -565,23 +569,41 @@ def encode_jpeg(
     dht = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     segment(0xC4, dht)
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
     sos += bytes([0, 63, 0])
     segment(0xDA, sos)
 
-    # entropy: interleaved MCUs — h×v blocks per component per MCU
+    # entropy: interleaved MCUs — h×v blocks per component per MCU;
+    # RSTn every restart_interval MCUs (not after the last)
     writer = _BitWriter()
     pred = [0] * nc
-    for my in range(ph // mcu_h):
-        for mx in range(pw // mcu_w):
+    mcus_y, mcus_x = ph // mcu_h, pw // mcu_w
+    total_mcus = mcus_y * mcus_x
+    mcu_n = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for ci in range(nc):
                 ch, cv = hv[ci]
                 for vy in range(cv):
                     for vx in range(ch):
                         block = coefs[ci][my * cv + vy, mx * ch + vx]
                         _write_block(writer, dc_codes, ac_codes, block, pred, ci)
+            mcu_n += 1
+            if (
+                restart_interval
+                and mcu_n % restart_interval == 0
+                and mcu_n < total_mcus
+            ):
+                out.extend(writer.flush())
+                writer = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                pred = [0] * nc
     out.extend(writer.flush())
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -133,6 +133,31 @@ def test_420_odd_dims_pad_and_crop():
     assert dec.shape == (19, 27, 3)
 
 
+def test_restart_markers_roundtrip_exact():
+    """DRI + RSTn every N MCUs: DC prediction resets at each marker and
+    the decoder re-syncs at byte boundaries — exact on constant tiles
+    for several intervals, gray and 4:2:0 color."""
+    rng = np.random.default_rng(3)
+    tiles = rng.integers(0, 256, (3, 7))
+    img = _tile_image(tiles)
+    for ri in (1, 2, 5):
+        payload = encode_jpeg(img, restart_interval=ri)
+        assert b"\xff\xdd" in payload
+        assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+        assert np.array_equal(decode_jpeg(payload)[:, :, 0], img)
+    rgb = np.stack([img, img, img], axis=2)
+    payload = encode_jpeg(rgb, subsampling="420", restart_interval=2)
+    assert np.array_equal(decode_jpeg(payload), rgb)
+
+
+def test_restart_markers_gradient_near_lossless():
+    arr = (
+        (np.arange(40)[:, None] * 3 + np.arange(64)[None, :] * 7) % 256
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(arr, restart_interval=3))[:, :, 0]
+    assert int(np.abs(dec.astype(int) - arr.astype(int)).max()) <= 1
+
+
 def test_magic_dispatch_routes_jpeg():
     tiles = np.array([[7, 200], [99, 150]])
     payload = encode_jpeg(_tile_image(tiles))
