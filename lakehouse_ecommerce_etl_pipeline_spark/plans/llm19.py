@@ -27,6 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
@@ -99,6 +100,142 @@ def jpeg_tile_corpus_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
 
     assert decode_jpeg is not None  # keep the direct import exercised
     return docs.select(id_col).mapInPandas(gen, schema=_JPEG_STATS_SCHEMA)
+
+
+def _seeded_image_corpus(docs: DataFrame, modulus: int = 97) -> DataFrame:
+    """(doc_id, payload): payload generated from seed = doc_id % modulus
+    (constant fill, ppm/bmp/png rotation — synthetic_images' formulas
+    on the SEED), so ~modulus distinct contents each shared by several
+    documents: the duplicate structure the e2e pipeline needs."""
+    import numpy as np
+
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = did % modulus
+                w, h = 4 + s % 13, 3 + s % 7
+                arr = np.zeros((h, w, 3), np.uint8)
+                arr[:, :, 0] = s % 256
+                arr[:, :, 1] = (7 * s) % 256
+                arr[:, :, 2] = (13 * s) % 256
+                enc = [encode_ppm, encode_bmp, encode_png][s % 3]
+                rows.append((did, enc(arr)))
+            yield pd.DataFrame(rows, columns=["content_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(gen, schema=out_schema)
+
+
+@register(
+    "q_multimodal_pipeline_e2e",
+    oracle="""
+    WITH membership AS (
+      SELECT doc_id % 97 AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(doc_id) AS rep_id
+      FROM documents GROUP BY 1
+    ),
+    groups AS (
+      SELECT s, n_members, rep_id,
+             4 + s % 13 AS w, 3 + s % 7 AS h,
+             s % 256 AS r, (7 * s) % 256 AS g, (13 * s) % 256 AS b,
+             CASE s % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                  ELSE 'png' END AS format
+      FROM membership
+    ),
+    kept AS (
+      SELECT *,
+             CASE WHEN md5('split:' || CAST(rep_id AS VARCHAR)) < '4'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM groups
+      WHERE w * h >= 20
+        AND (299 * r + 587 * g + 114 * b) // 1000 BETWEEN 16 AND 239
+    )
+    SELECT split, format,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_members) AS BIGINT) AS dup_mass,
+           CAST(SUM(CAST(w AS BIGINT) * h * n_members) AS BIGINT)
+             AS total_pixels
+    FROM kept GROUP BY split, format
+    ORDER BY split, format
+    """,
+)
+def q_multimodal_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal curation chain END-TO-END as one value-oracled
+    query (the image twin of q_corpus_pipeline_e2e): seeded corpus →
+    REAL decode (ppm/bmp/png byte layouts) → content-key dedup (group
+    by decoded dims + per-channel fill recovered from exact pixel
+    sums) → luma/size quality gate → deterministic md5 split by
+    representative → per-(split, format) dataset card. The oracle
+    replays the ENTIRE chain from the id formulas, so stage
+    COMPOSITION over decoded values is pinned, not just each stage.
+
+    100 TB: decode + stats is the only payload-touching pass (narrow
+    mapInPandas); everything after runs on the tiny per-image stats
+    table — group-by on the content key, gate, split, card are
+    partial-aggregated exchanges over |images| rows, payloads never
+    shuffle."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
+        extract_image_stats,
+    )
+
+    imgs = _seeded_image_corpus(load(spark, sf_dir, "documents"))
+    stats = extract_image_stats(imgs)
+    npx = F.col("width").cast("long") * F.col("height")
+    content = stats.select(
+        "content_id",
+        "width",
+        "height",
+        "format",
+        F.expr("sum_r div (CAST(width AS BIGINT) * height)").alias("r"),
+        F.expr("sum_g div (CAST(width AS BIGINT) * height)").alias("g"),
+        F.expr("sum_b div (CAST(width AS BIGINT) * height)").alias("b"),
+        npx.alias("n_pixels"),
+    )
+    groups = content.groupBy(
+        "width", "height", "format", "r", "g", "b", "n_pixels"
+    ).agg(
+        F.min("content_id").alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    kept = groups.filter(
+        (F.col("n_pixels") >= 20)
+        & F.expr(
+            "(299 * r + 587 * g + 114 * b) div 1000 BETWEEN 16 AND 239"
+        )
+    ).withColumn(
+        "split",
+        F.when(
+            F.md5(F.concat(F.lit("split:"), F.col("rep_id").cast("string")))
+            < "4",
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
+    )
+    return (
+        kept.groupBy("split", "format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_members").cast("long").alias("dup_mass"),
+            F.sum(F.col("n_pixels") * F.col("n_members"))
+            .cast("long")
+            .alias("total_pixels"),
+        )
+        .orderBy("split", "format")
+    )
 
 
 @register(
