@@ -52,10 +52,7 @@ def jpeg_tile_corpus_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     channel count, and the exact all-channel pixel sum."""
     import numpy as np
 
-    from lakehouse_ecommerce_etl_pipeline_spark.llm.jpeg import (
-        decode_jpeg,
-        encode_jpeg,
-    )
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.jpeg import encode_jpeg
     from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
         decode_image_array,
     )
@@ -98,7 +95,6 @@ def jpeg_tile_corpus_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                 ],
             )
 
-    assert decode_jpeg is not None  # keep the direct import exercised
     return docs.select(id_col).mapInPandas(gen, schema=_JPEG_STATS_SCHEMA)
 
 
