@@ -17,6 +17,7 @@ are plain BIGINT arithmetic (products < 2^63 by construction —
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     MINHASH_A,
@@ -35,6 +36,81 @@ _SIG_SELECT = ",\n           ".join(
     f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS sig_{i}"
     for i in range(8)
 )
+
+
+_UNIV_SIG_CTE = f"""
+    tok0 AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    tok AS (SELECT DISTINCT doc_id, tok FROM tok0 WHERE tok <> ''),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id, {{sig_select}}
+      FROM hashed GROUP BY doc_id
+    )
+    """
+
+_UNIV_BANDS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(CAST(sig_{2 * b} AS VARCHAR) || '|' || "
+    f"CAST(sig_{2 * b + 1} AS VARCHAR)) AS band_hash FROM sig"
+    for b in range(4)
+)
+
+
+@register(
+    "q_near_dup_pairs_universal",
+    oracle=f"""
+    WITH {_UNIV_SIG_CTE.format(sig_select=_SIG_SELECT)},
+    bands AS (
+      {_UNIV_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6)
+             AS jaccard
+    FROM cand c
+    JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    """,
+)
+def q_near_dup_pairs_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production dedup chain on the universal-hash family:
+    universal MinHash → 4×2 banded LSH → candidate equi-join → exact
+    Jaccard ≥ 0.5 verification. Same composition as q_near_dup_pairs
+    but with the permutation family that survives 64-128 hashes at
+    100 TB — this query is the dress rehearsal for swapping the whole
+    LSH pipeline to universal hashing (band layout, banding hash, and
+    verification are family-agnostic; only the signature stage
+    changes)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures_universal(docs, "doc_id", "text", 8)
+    cand = lsh_candidate_pairs(sigs, "doc_id", 8, 2)
+    jac = jaccard_pairs(docs, "doc_id", "text", pairs=cand)
+    return jac.filter(F.col("jaccard") >= 0.5)
 
 
 @register(
