@@ -4,7 +4,7 @@
 over the same parquet tables; compare row count, column names, and
 order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--window]\n(--window = exactly the driver's 50-entry gate)
 """
 
 from __future__ import annotations
@@ -114,8 +114,15 @@ def frames_equal(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if "--window" in sys.argv[1:]:
+        # simulate the driver gate exactly: the FIRST 50 registry
+        # entries in insertion order (and nothing else)
+        from lakehouse_ecommerce_etl_pipeline_spark.plans import REGISTRY
+
+        only = set(list(REGISTRY)[:50])
 
     import __spark_entry__ as entrymod
     from lakehouse_ecommerce_etl_pipeline_spark.session import get_spark
