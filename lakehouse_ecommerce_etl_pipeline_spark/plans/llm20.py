@@ -113,6 +113,82 @@ def q_near_dup_pairs_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= 0.5)
 
 
+_UNIV_ND_PAIRS_CTE = f"""
+    {_UNIV_SIG_CTE.format(sig_select=_SIG_SELECT)},
+    bands AS (
+      {_UNIV_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    nd_pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    )
+"""
+
+
+@register(
+    "q_dedup_clusters_universal",
+    oracle=f"""
+    WITH RECURSIVE {_UNIV_ND_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM nd_pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM nd_pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+    )
+    SELECT doc_id,
+           COALESCE(component, doc_id) AS component,
+           doc_id = COALESCE(component, doc_id) AS keep
+    FROM documents LEFT JOIN comp ON doc_id = node
+    """,
+)
+def q_dedup_clusters_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME on the universal-hash family: universal sigs
+    → banded LSH → Jaccard-verified pairs → min-label connected
+    components → survivor election. With q_near_dup_pairs_universal
+    this completes the swap rehearsal: every stage of the production
+    chain is proven family-agnostic, value-pinned by a recursive-CTE
+    transitive closure running a DIFFERENT algorithm than Spark's
+    iterative label propagation."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        dedup_keep_list,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures_universal(docs, "doc_id", "text", 8)
+    cand = lsh_candidate_pairs(sigs, "doc_id", 8, 2)
+    pairs = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup_keep_list(docs, pairs.select("id_a", "id_b"), "doc_id")
+
+
 @register(
     "q_minhash_universal",
     oracle=f"""
