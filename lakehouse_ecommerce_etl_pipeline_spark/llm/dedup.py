@@ -17,11 +17,16 @@ dedup path.
 - verification: exact Jaccard only on LSH candidates — the candidate
   set is tiny relative to n², so the token-set join is cheap.
 
-Cross-engine note: hashes use md5 (lexicographic MIN over hex strings
-acts as the random permutation), which both Spark and DuckDB
-implement identically — so even the MinHash pipeline is
-oracle-checkable. Swap ``xxhash64`` in for md5 at production scale
-(4-8x faster, no crypto needed); plumbing is identical.
+Cross-engine note: both permutation families are DuckDB-exact, so
+even the MinHash pipeline is oracle-checkable. The production family
+(round 4 onward) is ``minhash_signatures_universal``: one md5 per
+token → int48, then affine (a·h+b) mod P permutations — one
+cryptographic hash plus num_hashes multiply-adds per token, the only
+layout that survives the 64-128 permutations real dedup uses. The
+md5-per-permutation family (``minhash_signatures``) is retained as
+the cross-family witness (plans/llm20.py). Swap ``xxhash64`` in for
+md5 at production scale (4-8x faster, no crypto needed); plumbing is
+identical.
 """
 
 from __future__ import annotations
@@ -76,7 +81,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """(id, sig_0..sig_{n-1}): sig_i = MIN(md5(i || '|' || token)).
+    """(id, sig_0..sig_{n-1}): sig_i = MIN(md5(i || '|' || token)) —
+    the LEGACY md5-per-permutation family; production consumers use
+    ``minhash_signatures_universal`` (one hash per token, round 4).
 
     Shuffle-free: the per-doc token set is an array column, each
     signature is ``array_min(transform(toks, t -> md5(i|t)))`` — one

@@ -166,8 +166,8 @@ def q_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree — an unbiased estimator of J) next to the exact token-set
     Jaccard. Run it before scaling a dedup: the est-vs-true spread
     tells you whether 8 permutations and a 0.5 threshold hold, or you
-    need 16/32. All comparisons are md5-string equalities and integer
-    ratios — exact on both engines.
+    need 16/32. All comparisons are BIGINT signature equalities and
+    integer ratios — exact on both engines.
 
     100 TB: estimates are free (signatures already exist for LSH);
     exact Jaccard runs only on the candidate pairs, which is the
@@ -176,12 +176,12 @@ def q_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_jaccard_pairs."""
     from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_universal,
         tokens,
     )
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
 
     a = sigs.select(

@@ -3,11 +3,20 @@ similarity search, text analysis, multimodal plumbing — over the
 ``documents`` / ``embeddings`` tables.
 
 Oracle strategy: even the MinHash/LSH pipeline is oracle-checked —
-md5-based permutations are computable in DuckDB (lexicographic MIN over
-hex digests), so the full signature → banding → candidate-pair chain
+the universal-hash permutation family (one md5 per token → int48 →
+affine (a·h+b) mod P maps) is computable in DuckDB exactly
+(``CAST('0x'||substr(md5(tok),1,12) AS BIGINT)`` + BIGINT
+arithmetic), so the full signature → banding → candidate-pair chain
 has ANSI SQL twins, generated programmatically below to guarantee the
 formulas match. xxhash64-based ops (SimHash) and IVF internals are
 rows-only by design.
+
+Family note (round 4): the production chain runs on
+``minhash_signatures_universal`` — one cryptographic hash per token
+plus ``num_hashes`` multiply-adds, the only layout that survives the
+64-128 permutations real dedup uses at 100 TB (measured 2.5× faster
+already at 8). The md5-per-permutation family it replaced survives as
+the cross-family witness in ``plans/llm20.py`` (q_*_md5).
 """
 
 from __future__ import annotations
@@ -16,10 +25,13 @@ from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.functions import text as txt
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_universal,
     simhash,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
@@ -96,13 +108,20 @@ def _tok_cte(where: str = "") -> str:
 _NUM_HASHES = 8
 _ROWS_PER_BAND = 2
 
+# universal-hash signatures (llm/dedup.py minhash_signatures_universal):
+# sig_i = MIN((a_i · int48(md5(tok)) + b_i) mod P) — BIGINT in both engines
 _SIG_SELECT = ",\n           ".join(
-    f"MIN(md5('{i}|' || tok)) AS sig_{i}" for i in range(_NUM_HASHES)
+    f"MIN((CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT)"
+    f" * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS sig_{i}"
+    for i in range(_NUM_HASHES)
 )
 
+# Spark bands via md5(concat_ws('|', sig…)) — concat_ws stringifies the
+# BIGINT sigs exactly like CAST(sig AS VARCHAR)
 _BANDS_UNION = "\n      UNION ALL\n      ".join(
     f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(sig_{b * _ROWS_PER_BAND} || '|' || sig_{b * _ROWS_PER_BAND + 1}) "
+    f"md5(CAST(sig_{b * _ROWS_PER_BAND} AS VARCHAR) || '|' || "
+    f"CAST(sig_{b * _ROWS_PER_BAND + 1} AS VARCHAR)) "
     f"AS band_hash FROM sig"
     for b in range(_NUM_HASHES // _ROWS_PER_BAND)
 )
@@ -208,9 +227,12 @@ def q_dedup_exact(spark, sf_dir):
     """,
 )
 def q_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (8 md5 permutations, lexicographic MIN) —
-    one explode + one partial-aggregable hash aggregate."""
-    return minhash_signatures(
+    """MinHash signatures on the universal-hash family: one md5 per
+    token → int48, then 8 affine permutations (a·h+b) mod P — one
+    cryptographic hash plus 8 multiply-adds per token, shuffle-free
+    (token array → narrow projection). The layout that survives the
+    64-128 permutations production dedup runs at 100 TB."""
+    return minhash_signatures_universal(
         load(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
     )
 
@@ -232,7 +254,7 @@ def q_minhash_signatures(spark, sf_dir):
 def q_lsh_candidates(spark, sf_dir):
     """LSH banding (4 bands × 2 rows): candidate pairs via equi-join on
     (band_idx, band_hash) — the quadratic-to-linear trick."""
-    sigs = minhash_signatures(
+    sigs = minhash_signatures_universal(
         load(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
     )
     return lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
@@ -294,10 +316,10 @@ def q_jaccard_pairs(spark, sf_dir):
     """,
 )
 def q_near_dup_pairs(spark, sf_dir):
-    """Full near-dup pipeline: MinHash → LSH candidates → exact
-    Jaccard verification ≥ 0.5 — the production dedup chain."""
+    """Full near-dup pipeline: universal-hash MinHash → LSH candidates
+    → exact Jaccard verification ≥ 0.5 — the production dedup chain."""
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     jac = jaccard_pairs(docs, "doc_id", "text", pairs=cand)
     return jac.filter(F.col("jaccard") >= 0.5)
@@ -365,7 +387,7 @@ def q_dedup_clusters(spark, sf_dir):
     from lakehouse_ecommerce_etl_pipeline_spark.llm.components import dedup_keep_list
 
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     pairs = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= 0.5

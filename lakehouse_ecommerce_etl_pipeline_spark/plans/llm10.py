@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_universal,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
 from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
@@ -181,7 +181,7 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (broadcast when small). The per-source rollup rides the
     corpus scan that ingestion accounting already pays."""
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     dup = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= _THRESH

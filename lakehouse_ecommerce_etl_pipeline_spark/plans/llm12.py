@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     jaccard_pairs,
     lsh_probe_pairs,
-    minhash_signatures,
+    minhash_signatures_universal,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, work_dir
 from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
@@ -113,8 +113,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % _NEW_MOD == 0)
     old = docs.filter(F.col("doc_id") % _NEW_MOD != 0)
-    sig_new = minhash_signatures(new, "doc_id", "text", _NUM_HASHES)
-    sig_old = minhash_signatures(old, "doc_id", "text", _NUM_HASHES)
+    sig_new = minhash_signatures_universal(new, "doc_id", "text", _NUM_HASHES)
+    sig_old = minhash_signatures_universal(old, "doc_id", "text", _NUM_HASHES)
     cand = lsh_probe_pairs(
         sig_new, sig_old, "doc_id", _NUM_HASHES, _ROWS_PER_BAND
     )

@@ -1,17 +1,22 @@
-"""LLM tier XX: universal-hash MinHash — the high-permutation-count
-scale path.
+"""LLM tier XX: md5-per-permutation MinHash — the legacy family kept
+as the cross-family witness.
 
-The production md5-per-permutation signatures (``q_minhash_signatures``)
-pay ``num_hashes`` cryptographic hashes per token. Fine at 8
-permutations; untenable at the 64-128 a real dedup deployment uses.
-The classic fix (Broder '97 min-wise family): hash each token ONCE,
-then generate every permutation as an affine map (a_i·h + b_i) mod P
-over the 48-bit token hash — measured 2.5× faster at 8 permutations
+Round 4 swapped the production dedup chain (``plans/llm.py`` and every
+downstream consumer) to the universal-hash family: one md5 per token
+→ int48, then ``num_hashes`` affine permutations (a_i·h + b_i) mod P
+(Broder '97 min-wise family) — measured 2.5× faster at 8 permutations
 (5.1 s → 2.0 s, 50k docs) with the gap growing linearly in
-num_hashes. Cross-engine exact: DuckDB reproduces int48(md5) with
-``CAST('0x'||substr(md5(tok),1,12) AS BIGINT)`` and the affine maps
-are plain BIGINT arithmetic (products < 2^63 by construction —
-``llm/dedup.py`` MINHASH_* constants).
+num_hashes; at the 64-128 permutations real dedup deployments use,
+md5-per-permutation would dominate the whole pipeline.
+
+This module retains the md5-per-permutation family end-to-end
+(signatures → banded LSH → Jaccard verify → clusters) as the
+CROSS-FAMILY witness: two independently-oracled permutation families
+running through the identical band layout / verification /
+clustering stages. Band layout, banding hash, verification, and
+clustering are family-agnostic — only the signature stage differs —
+so agreement of both chains with their own DuckDB twins pins the
+shared stages twice over.
 """
 
 from __future__ import annotations
@@ -20,10 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
-    MINHASH_A,
-    MINHASH_B,
-    MINHASH_P,
-    minhash_signatures_universal,
+    minhash_signatures,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
@@ -32,43 +34,37 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 # normalize_text): lowercase, collapse whitespace, trim
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-_SIG_SELECT = ",\n           ".join(
-    f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS sig_{i}"
-    for i in range(8)
+# the md5-per-permutation signature: sig_i = MIN(md5(i || '|' || tok))
+# — lexicographic MIN over hex digests acts as the random permutation
+_MD5_SIG_SELECT = ",\n           ".join(
+    f"MIN(md5('{i}|' || tok)) AS sig_{i}" for i in range(8)
 )
 
-
-_UNIV_SIG_CTE = f"""
+_MD5_SIG_CTE = f"""
     tok0 AS (
       SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
       FROM documents
     ),
     tok AS (SELECT DISTINCT doc_id, tok FROM tok0 WHERE tok <> ''),
-    hashed AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
-      FROM tok
-    ),
     sig AS (
-      SELECT doc_id, {{sig_select}}
-      FROM hashed GROUP BY doc_id
+      SELECT doc_id, {_MD5_SIG_SELECT}
+      FROM tok GROUP BY doc_id
     )
     """
 
-_UNIV_BANDS = "\n      UNION ALL\n      ".join(
+_MD5_BANDS = "\n      UNION ALL\n      ".join(
     f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(CAST(sig_{2 * b} AS VARCHAR) || '|' || "
-    f"CAST(sig_{2 * b + 1} AS VARCHAR)) AS band_hash FROM sig"
+    f"md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS band_hash FROM sig"
     for b in range(4)
 )
 
 
 @register(
-    "q_near_dup_pairs_universal",
+    "q_near_dup_pairs_md5",
     oracle=f"""
-    WITH {_UNIV_SIG_CTE.format(sig_select=_SIG_SELECT)},
+    WITH {_MD5_SIG_CTE},
     bands AS (
-      {_UNIV_BANDS}
+      {_MD5_BANDS}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -92,31 +88,29 @@ _UNIV_BANDS = "\n      UNION ALL\n      ".join(
     WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
     """,
 )
-def q_near_dup_pairs_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL production dedup chain on the universal-hash family:
-    universal MinHash → 4×2 banded LSH → candidate equi-join → exact
-    Jaccard ≥ 0.5 verification. Same composition as q_near_dup_pairs
-    but with the permutation family that survives 64-128 hashes at
-    100 TB — this query is the dress rehearsal for swapping the whole
-    LSH pipeline to universal hashing (band layout, banding hash, and
-    verification are family-agnostic; only the signature stage
-    changes)."""
+def q_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup chain on the LEGACY md5-per-permutation family:
+    md5 MinHash → 4×2 banded LSH → candidate equi-join → exact
+    Jaccard ≥ 0.5 verification. Same composition as the production
+    q_near_dup_pairs (universal family since round 4) — the
+    cross-family witness that the band/verify stages are
+    family-agnostic."""
     from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures_universal(docs, "doc_id", "text", 8)
+    sigs = minhash_signatures(docs, "doc_id", "text", 8)
     cand = lsh_candidate_pairs(sigs, "doc_id", 8, 2)
     jac = jaccard_pairs(docs, "doc_id", "text", pairs=cand)
     return jac.filter(F.col("jaccard") >= 0.5)
 
 
-_UNIV_ND_PAIRS_CTE = f"""
-    {_UNIV_SIG_CTE.format(sig_select=_SIG_SELECT)},
+_MD5_ND_PAIRS_CTE = f"""
+    {_MD5_SIG_CTE},
     bands AS (
-      {_UNIV_BANDS}
+      {_MD5_BANDS}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -142,9 +136,9 @@ _UNIV_ND_PAIRS_CTE = f"""
 
 
 @register(
-    "q_dedup_clusters_universal",
+    "q_dedup_clusters_md5",
     oracle=f"""
-    WITH RECURSIVE {_UNIV_ND_PAIRS_CTE},
+    WITH RECURSIVE {_MD5_ND_PAIRS_CTE},
     edges AS (
       SELECT id_a AS s, id_b AS d FROM nd_pairs
       UNION
@@ -164,14 +158,13 @@ _UNIV_ND_PAIRS_CTE = f"""
     FROM documents LEFT JOIN comp ON doc_id = node
     """,
 )
-def q_dedup_clusters_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup ENDGAME on the universal-hash family: universal sigs
-    → banded LSH → Jaccard-verified pairs → min-label connected
-    components → survivor election. With q_near_dup_pairs_universal
-    this completes the swap rehearsal: every stage of the production
-    chain is proven family-agnostic, value-pinned by a recursive-CTE
-    transitive closure running a DIFFERENT algorithm than Spark's
-    iterative label propagation."""
+def q_dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame on the legacy md5 family: md5 sigs → banded
+    LSH → Jaccard-verified pairs → min-label connected components →
+    survivor election, value-pinned by a recursive-CTE transitive
+    closure running a DIFFERENT algorithm than Spark's iterative
+    label propagation. With q_near_dup_pairs_md5 this keeps the whole
+    chain independently proven on BOTH permutation families."""
     from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
         dedup_keep_list,
     )
@@ -181,7 +174,7 @@ def q_dedup_clusters_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures_universal(docs, "doc_id", "text", 8)
+    sigs = minhash_signatures(docs, "doc_id", "text", 8)
     cand = lsh_candidate_pairs(sigs, "doc_id", 8, 2)
     pairs = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= 0.5
@@ -190,26 +183,22 @@ def q_dedup_clusters_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_minhash_universal",
+    "q_minhash_md5",
     oracle=f"""
     WITH tok0 AS (
       SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
       FROM documents
     ),
-    tok AS (SELECT DISTINCT doc_id, tok FROM tok0 WHERE tok <> ''),
-    hashed AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
-      FROM tok
-    )
-    SELECT doc_id, {_SIG_SELECT}
-    FROM hashed GROUP BY doc_id
+    tok AS (SELECT DISTINCT doc_id, tok FROM tok0 WHERE tok <> '')
+    SELECT doc_id, {_MD5_SIG_SELECT}
+    FROM tok GROUP BY doc_id
     """,
 )
-def q_minhash_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Universal-hash MinHash signatures: one md5 per token + affine
-    permutations (see module docstring; 2.5× measured speedup, the
-    layout that survives 64-128 permutations at 100 TB)."""
-    return minhash_signatures_universal(
+def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy md5-per-permutation MinHash signatures: 8 independent
+    md5 digests per token, lexicographic MIN per slot. Retained as
+    the cross-family witness for the production universal-hash family
+    (see module docstring; 2.5× slower already at 8 permutations)."""
+    return minhash_signatures(
         load(spark, sf_dir, "documents"), "doc_id", "text", 8
     )

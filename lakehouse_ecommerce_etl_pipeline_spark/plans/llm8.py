@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_universal,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, spill_final
 from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
@@ -103,7 +103,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keep-list application is then a broadcast anti-join of the
     non-representatives against the corpus."""
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", _NUM_HASHES)
+    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     dup = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= _THRESH

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     jaccard_pairs,
     lsh_band,
-    minhash_signatures,
+    minhash_signatures_universal,
 )
 
 _NUM_HASHES = 8
@@ -52,7 +52,7 @@ def dedup_batch_against_index(
     arrives), matching sequential-arrival semantics."""
     if survivors is None or bands is None:
         return batch
-    sig = minhash_signatures(batch, "doc_id", "text", _NUM_HASHES)
+    sig = minhash_signatures_universal(batch, "doc_id", "text", _NUM_HASHES)
     probe = lsh_band(sig, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     cand = (
         probe.alias("a")
@@ -109,7 +109,7 @@ def run_incremental_dedup(
             keep.select("doc_id", "text").write.mode("append").parquet(
                 surv_path
             )
-            sig = minhash_signatures(keep, "doc_id", "text", _NUM_HASHES)
+            sig = minhash_signatures_universal(keep, "doc_id", "text", _NUM_HASHES)
             lsh_band(sig, "doc_id", _NUM_HASHES, _ROWS_PER_BAND).write.mode(
                 "append"
             ).parquet(bands_path)

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_universal,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
 from lakehouse_ecommerce_etl_pipeline_spark.plans.llm8 import (
@@ -30,7 +30,7 @@ def test_clusters_cover_corpus_and_respect_edges(spark):
         assert r["cluster"] <= d
         assert r["is_representative"] == (r["cluster"] == d)
     # each verified near-dup pair ended in the same cluster
-    sigs = minhash_signatures(docs, "doc_id", "text", 8)
+    sigs = minhash_signatures_universal(docs, "doc_id", "text", 8)
     cand = lsh_candidate_pairs(sigs, "doc_id", 8, 2)
     dup = (
         jaccard_pairs(docs, "doc_id", "text", pairs=cand)
