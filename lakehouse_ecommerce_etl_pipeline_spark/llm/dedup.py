@@ -110,10 +110,17 @@ def minhash_signatures(
 
 
 # universal-hash minhash constants: prime just below 2^48 and small
-# odd multipliers — products stay under 2^63 (h < 2^48, a < 2^15)
+# odd multipliers — products stay under 2^63 (h < 2^48, a < 2^15).
+# The first 8 (a, b) pairs are frozen (the 8-permutation oracles bake
+# them in); slots 8..63 extend the family for the production-recall
+# 64-permutation layout via a fixed odd-multiplier recurrence — both
+# engines read the SAME Python lists, so the SQL twins cannot drift.
 MINHASH_P = 281474976710597
 MINHASH_A = [31415, 27182, 14142, 17320, 22360, 26457, 30011, 12347]
 MINHASH_B = [97, 89, 83, 79, 73, 71, 67, 61]
+while len(MINHASH_A) < 64:
+    MINHASH_A.append(((MINHASH_A[-1] * 5 + 12289) % 32749) | 1)
+    MINHASH_B.append(((MINHASH_B[-1] * 7 + 101) % 32749) | 1)
 
 
 def minhash_signatures_universal(
