@@ -129,6 +129,22 @@ def boilerplate_stats(
     )
 
 
+def main_text_col(html: Column) -> Column:
+    """The jusText-lite extraction as a COLUMN: link-free <p> blocks'
+    stripped text, joined — for pipelines that feed the extracted
+    text to downstream gates (see plans/llm27.py)."""
+    paras = F.regexp_extract_all(html, F.lit(_PARA_RE), F.lit(1))
+    kept = F.filter(
+        paras,
+        lambda p: F.size(F.regexp_extract_all(p, F.lit(_LINK_RE), F.lit(0)))
+        == 0,
+    )
+    texts = F.transform(
+        kept, lambda p: _collapse(_unescape(F.regexp_replace(p, "<[^>]*>", " ")))
+    )
+    return _collapse(F.array_join(texts, " "))
+
+
 def main_content(
     df: DataFrame, id_col: str, html_col: str = "html"
 ) -> DataFrame:
