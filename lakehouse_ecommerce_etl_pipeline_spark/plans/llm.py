@@ -260,6 +260,49 @@ def q_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
 
 
+_MAX_BUCKET = 20  # small enough to BITE at sf0.001/sf0.01 — the
+# oracle row must witness the guard actually dropping buckets
+
+
+@register(
+    "q_lsh_candidates_capped",
+    oracle=f"""
+    WITH {_tok_cte()},
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM tok GROUP BY doc_id),
+    bands AS (
+      {_BANDS_UNION}
+    ),
+    kept AS (
+      SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bn
+        FROM bands
+      ) WHERE bn <= {_MAX_BUCKET}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM kept a JOIN kept b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidates_capped(spark, sf_dir):
+    """LSH candidates with the PRODUCTION bucket cap: band buckets
+    holding more than max_bucket docs are dropped BEFORE the
+    self-join. This is the guard that keeps duplicate-dense corpora
+    from going quadratic — measured at sf0.1: 9.53M → 127k candidates
+    (75×) and 16.1 → 2.2 s at max_bucket=200
+    (docs/SCALE_STRESS_SF1.md); huge buckets are non-discriminative
+    boilerplate, so the recall loss is the POINT. The cap here (20)
+    is sized to bite at oracle scale, making the driver row witness
+    the pruning itself."""
+    sigs = minhash_signatures_universal(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
+    )
+    return lsh_candidate_pairs(
+        sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND, max_bucket=_MAX_BUCKET
+    )
+
+
 @register(
     "q_jaccard_pairs",
     oracle=f"""
