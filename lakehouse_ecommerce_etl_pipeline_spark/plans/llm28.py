@@ -77,13 +77,15 @@ def q_dup_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tail mass at high n_docs is verbatim boilerplate that
     document-level dedup cannot see.
 
-    100 TB: shingles hash in-row; the exchange carries (doc_id, hash)
-    once for the per-doc distinct and 16-byte hashes thereafter; both
-    aggregations combine map-side."""
+    100 TB: per-doc distinctness happens IN-ROW (array_distinct on
+    the shingle array before the explode), so no (doc_id, hash)
+    exchange ever exists — the explode feeds the per-shingle count
+    directly and only 16-byte hashes cross the two remaining
+    partial-aggregable exchanges."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", F.explode(shingle_hashes("text")).alias("sh")
-    ).distinct()
+        F.explode(F.array_distinct(shingle_hashes("text"))).alias("sh")
+    )
     per = sh.groupBy("sh").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
