@@ -92,3 +92,108 @@ def q_dup_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("n_docs").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
+
+
+@register(
+    "q_dup_span_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    pos_sh AS (
+      SELECT doc_id, i AS s,
+             md5(array_to_string(tk[i:i + {_K - 1}], ' ')) AS sh
+      FROM toks, unnest(generate_series(1, len(tk) - {_K - 1})) AS g(i)
+      WHERE len(tk) >= {_K}
+    ),
+    dup AS (
+      SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM pos_sh)
+      GROUP BY sh HAVING COUNT(*) >= 2
+    ),
+    covpos AS (
+      SELECT doc_id, list(tpos) AS cps
+      FROM (SELECT DISTINCT p.doc_id, p.s + j AS tpos
+            FROM pos_sh p JOIN dup USING (sh),
+                 unnest(generate_series(0, {_K - 1})) AS u(j))
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(cps), 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(array_to_string(
+             list_filter(tk, (x, i) -> NOT list_contains(COALESCE(cps, []), i)),
+             ' '), '')) AS kept_md5
+    FROM toks t LEFT JOIN covpos c USING (doc_id)
+    """,
+)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN removal — the expensive pass the histogram justifies
+    (Lee et al.'s ExactSubstr dedup, distributed): every 8-token
+    shingle that appears in ≥2 documents is excised from ALL of them;
+    per doc we emit how much was cut and the md5 of the surviving
+    token sequence (byte-pinned so the oracle checks WHICH tokens
+    survived, not just how many).
+
+    100 TB plan shape: the shingle table carries (16-byte hash,
+    int start) only — text never leaves the row; the duplicate set
+    is a partial-aggregable count over in-row-distinct hashes; the
+    verdict comes back as ONE equi-join on the hash (shuffle join —
+    the dup set is corpus-sized, no broadcast assumption) and
+    collapses to collect_set(start) per doc, so the rebuild join is
+    doc-grain. Position expansion (start → start..start+k-1) happens
+    IN-ROW after the aggregation (flatten/transform), not as an
+    8×-wider exchange."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
+
+    # (doc_id, 1-based start, shingle hash) — duplicates preserved
+    pos_sh = docs.select(
+        "doc_id", F.posexplode(shingle_hashes("text")).alias("p0", "sh")
+    ).select("doc_id", (F.col("p0") + 1).alias("s"), "sh")
+
+    # shingles seen in >= 2 docs; per-doc distinct happens in-row
+    # (array_distinct before the explode), so the count's input is
+    # already (sh, doc)-unique without a distinct exchange
+    dup = (
+        docs.select(F.explode(F.array_distinct(shingle_hashes("text"))).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("sh")
+    )
+
+    # duplicated start positions per doc (collect_set: pos_sh can
+    # carry the same start twice only via hash collisions — set
+    # semantics also match the oracle's DISTINCT)
+    cov = (
+        pos_sh.join(dup, "sh")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("starts"))
+    )
+
+    covered = F.array_distinct(
+        F.flatten(F.transform("starts", lambda s: F.sequence(s, s + (_K - 1))))
+    )
+    empty = F.array().cast("array<int>")
+    return (
+        docs.select("doc_id", toks.alias("tk"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size(covered), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        "tk",
+                        lambda t, i: ~F.array_contains(
+                            F.coalesce(covered, empty), i + 1
+                        ),
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )
