@@ -1,0 +1,105 @@
+"""Analytics tier LVI: sorted-neighborhood record linkage (SNM).
+
+The third blocking strategy in the entity-resolution family, next to
+equality blocking (q_fuzzy_editdist_pairs: same 8-char prefix) and
+LSH (the MinHash chain): sort the corpus by a discriminating key and
+compare only records within a RANK window of width w — the classic
+Hernández/Stolfo sorted-neighborhood method. It catches near-pairs
+whose blocking keys differ (a typo in the first character breaks
+equality blocking; it usually moves the record only a few positions
+in sort order) at O(n·w) comparisons instead of O(n²).
+
+Engine-exact: ranks come from ROW_NUMBER over a TOTAL order (sort
+key, then doc_id), the window is integer rank arithmetic, and the
+verifier is integer levenshtein — every emitted pair matches the SQL
+twin digit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+_W = 3  # neighborhood width (ranks ahead to compare against)
+_MAXDIST = 10
+
+_KEY = "substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)"
+
+
+@register(
+    "q_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             substr(text, 1, 64) AS pfx,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY {_KEY}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.rn - a.rn AS INTEGER) AS rank_gap,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+    FROM r a JOIN r b
+      ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + {_W}
+    WHERE levenshtein(a.pfx, b.pfx) <= {_MAXDIST}
+    """,
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-pairs from a width-{_W} sorted neighborhood per
+    language, verified by bounded edit distance over 64-char
+    prefixes. Emits (lower-rank id, higher-rank id, rank gap, dist).
+
+    100 TB plan shape: the sort is per-language ROW_NUMBER (a range
+    exchange per partition key — in production you'd sort ONCE and
+    reuse the ranked table across window widths); the rank-window
+    range join is rewritten as an EQUI-join by exploding each row to
+    its {_W} successor ranks, so Spark plans a hash join on
+    (lang, rank) instead of a broadcast-nested-loop range join —
+    O(n·w) rows cross the exchange, no quadratic term anywhere.
+    Comparisons run JVM-side (levenshtein codegen)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 64).alias("pfx"),
+        F.substring(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 16
+        ).alias("key"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy("key", "doc_id")
+    )
+    ranked = d.select("doc_id", "lang", "pfx", rn.alias("rn"))
+    # each row targets its next _W ranks -> pure equi-join on (lang, rank)
+    probes = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("pfx").alias("pfx_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + _W)
+        ).alias("rn_b"),
+    )
+    return (
+        probes.join(
+            ranked.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("pfx").alias("pfx_b"),
+                F.col("rn").alias("rn_b2"),
+            ),
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("rn_b") == F.col("rn_b2")),
+        )
+        .withColumn("dist", F.levenshtein("pfx_a", "pfx_b").cast("int"))
+        .filter(F.col("dist") <= _MAXDIST)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("rn_b") - F.col("rn_a")).cast("int").alias("rank_gap"),
+            "dist",
+        )
+    )
