@@ -25,8 +25,59 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 _W = 3  # neighborhood width (ranks ahead to compare against)
 _MAXDIST = 10
+_TARGET_ROWS = 200  # compaction target rows per output file
 
 _KEY = "substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)"
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    )
+    SELECT order_month, n_rows,
+           CAST((SUM(n_rows) OVER (
+                   ORDER BY order_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_rows) // {_TARGET_ROWS} AS BIGINT) AS file_id
+    FROM m
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING (the OPTIMIZE bin-packing
+    decision, separated from its side-effecting execution): month
+    partitions of orders are assigned to target output files by
+    cumulative row offset — file_id = (rows before this month) div
+    target — so consecutive months pack together until the target
+    fills, preserving partition order (time locality survives
+    compaction, which is what keeps min/max data-skipping effective
+    afterwards). Deterministic closed form ⇒ full value oracle; the
+    execution side is one `repartition(file_id).write` whose row
+    preservation the sink tests already pin.
+
+    100 TB: the plan is computed from partition-level COUNTs — a
+    metadata-sized aggregation, never a data scan; the same
+    cumulative-offset rule extends to byte sizes when file listings
+    carry them."""
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("order_month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    return m.select(
+        "order_month",
+        "n_rows",
+        F.expr(
+            f"(sum(n_rows) OVER (ORDER BY order_month ROWS BETWEEN"
+            f" UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows)"
+            f" div {_TARGET_ROWS}"
+        )
+        .cast("bigint")
+        .alias("file_id"),
+    )
 
 
 @register(

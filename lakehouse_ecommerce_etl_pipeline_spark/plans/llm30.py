@@ -32,6 +32,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 from lakehouse_ecommerce_etl_pipeline_spark.sources.avro import (
     scan_avro,
+    stream_scan_avro,
     write_avro_files,
 )
 
@@ -110,6 +111,60 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()  # stat rows — the action that writes containers
     recs = scan_avro(spark, out)
     return recs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+@register(
+    "q_stream_avro_ingest",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def q_stream_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-zone pattern end-to-end as REAL Structured Streaming:
+    a file stream watches the container directory (the reference's
+    S3-ObjectCreated trigger, Spark-native), every discovered OCF
+    decodes through the same mapInPandas walker, and availableNow
+    drains the backlog into a parquet sink through a checkpoint.
+    The identity oracle against the ORIGINAL table holds regardless
+    of how the files split into micro-batches — ingest correctness
+    is batching-invariant, which is the property that lets one query
+    definition serve both continuous and catch-up modes.
+
+    100 TB: file-source streams scale by file count
+    (maxFilesPerTrigger bounds micro-batch size); only source-
+    discovery state is checkpointed — the decode itself is stateless."""
+    import uuid
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    containers = os.path.join(work_dir(sf_dir, "avro_files"), "containers")
+    with artifact_lock(containers):
+        if not artifact_fresh(src, containers):
+            write_avro_files(
+                load(spark, sf_dir, "documents").select("doc_id", "text"),
+                n_files=_N_FILES,
+                out_dir=containers,
+                codec="deflate",
+            ).collect()
+    run = os.path.join(
+        work_dir(sf_dir, "avro_stream"), uuid.uuid4().hex[:8]
+    )
+    sink, ckpt = os.path.join(run, "sink"), os.path.join(run, "ckpt")
+    q = (
+        stream_scan_avro(spark, containers)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5("text").alias("content_hash"),

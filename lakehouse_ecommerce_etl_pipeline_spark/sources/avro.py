@@ -323,25 +323,47 @@ AVRO_DOC_SCHEMA = T.StructType(
 )
 
 
+def _walk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            records, _ = parse_ocf(bytes(blob))
+            rows.extend((path, r["doc_id"], r["text"]) for r in records)
+        yield pd.DataFrame(rows, columns=["file_path", "doc_id", "text"])
+
+
 def scan_avro(spark, avro_dir: str) -> DataFrame:
     """OCF containers → one row per record. ``binaryFile`` distributes
     whole files; the block walker + record decoder run in
     ``mapInPandas`` Arrow batches."""
-
-    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
-                records, _ = parse_ocf(bytes(blob))
-                rows.extend(
-                    (path, r["doc_id"], r["text"]) for r in records
-                )
-            yield pd.DataFrame(rows, columns=["file_path", "doc_id", "text"])
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .load(avro_dir)
         .select("path", "content")
     )
-    return files.mapInPandas(walk, schema=AVRO_DOC_SCHEMA)
+    return files.mapInPandas(_walk_batches, schema=AVRO_DOC_SCHEMA)
+
+
+def stream_scan_avro(spark, avro_dir: str) -> DataFrame:
+    """The same decode as a STREAMING source: the file stream watches
+    the drop directory (the reference's S3-upload trigger, Spark-
+    native), each discovered container decodes in mapInPandas, and
+    the checkpoint holds only source-discovery state — landing a new
+    .avro file is all a producer has to do."""
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.avro")
+        .load(avro_dir)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_walk_batches, schema=AVRO_DOC_SCHEMA)
