@@ -70,6 +70,89 @@ def ivf_recall(
     )
 
 
+_TRUNC_DIMS = (16, 32, 64)
+
+
+@register(
+    "q_truncation_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings ORDER BY vec_id LIMIT {_N_QUERIES}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims(d) AS (VALUES {", ".join(f"({d})" for d in _TRUNC_DIMS)}),
+    scored AS (
+      SELECT d.d, q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(e.v[1:d.d], q.qvec[1:d.d]), 6) AS cs
+      FROM e, q, dims d WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT d, qid, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d, qid ORDER BY cs DESC, vec_id
+             ) AS rnk
+      FROM scored
+    ),
+    top AS (SELECT d, qid, vec_id FROM ranked WHERE rnk <= {_K}),
+    exact AS (SELECT qid, vec_id FROM top WHERE d = 64)
+    SELECT CAST(t.d AS INTEGER) AS dims, t.qid,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(e.vec_id) AS DOUBLE) / {_K} AS recall
+    FROM top t LEFT JOIN exact e
+      ON e.qid = t.qid AND e.vec_id = t.vec_id
+    GROUP BY t.d, t.qid
+    """,
+)
+def q_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation/recall tradeoff: top-{_K} computed
+    on the first 16 and 32 of 64 dimensions, overlap-scored against
+    the full-dimension exact ranking over the 20-query panel — the
+    table that decides how many dimensions the SERVING index keeps
+    (store 64, search 16, re-rank survivors at 64 is the standard
+    deployment). The 64-dim row is the structural identity (recall
+    1.0 by construction — the same self-check q_ann_recall's
+    full-probe pytest pins). FULL value oracle: rounded cosine with
+    vec_id tie-break is a total order in both engines, truncation is
+    an array slice, recall a small-int division.
+
+    100 TB: each tier is the multi-query top-k plan (broadcast
+    panel, WindowGroupLimit per-partition pruning before the
+    exchange); truncated tiers scan the SAME rows but fold shorter
+    arrays — the measured spread between 16 and 64 dims is exactly
+    the serving-cost lever MRL embeddings exist for."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = query_panel(spark, sf_dir)
+    tiers = []
+    for d in _TRUNC_DIMS:
+        e_d = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        q_d = qs.select("qid", F.slice("qvec", 1, d).alias("qvec"))
+        tiers.append(
+            topk_multi(e_d, q_d, k=_K)
+            .select(F.lit(d).cast("int").alias("dims"), "qid", "vec_id")
+        )
+    top = tiers[0].unionByName(tiers[1]).unionByName(tiers[2])
+    exact = top.filter(F.col("dims") == 64).select(
+        F.col("qid").alias("e_qid"), F.col("vec_id").alias("hit_id")
+    )
+    return (
+        top.join(
+            exact,
+            (F.col("qid") == F.col("e_qid"))
+            & (F.col("vec_id") == F.col("hit_id")),
+            "left",
+        )
+        .groupBy("dims", "qid")
+        .agg(F.count("hit_id").cast("long").alias("n_hit"))
+        .select(
+            "dims",
+            "qid",
+            "n_hit",
+            (F.col("n_hit") / F.lit(_K)).alias("recall"),
+        )
+    )
+
+
 @register("q_ann_recall")  # rows-only: float IVF assignment, no SQL twin
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@10 of the IVF index (probe 2 of 8 cells)
