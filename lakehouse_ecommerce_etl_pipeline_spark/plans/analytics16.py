@@ -416,3 +416,81 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks.unpersist()
     return out
+
+
+_KCORE_MAX_ROUNDS = 50
+
+
+def kcore_k(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive core threshold: MIN initial degree + 1 — by
+    construction at least every minimum-degree node peels (the
+    operator always has work), while staying safely below the
+    graph's sharp core collapse (the synthetic co-purchase graph is
+    near-regular: its core empties within ~20 of the median, so
+    percentile-based choices are brittle). Deterministic; one O(1)
+    driver collect (the same model-sized-decision shape as kmeans)."""
+    e = order_part_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return int(deg.agg(F.min("deg").alias("k")).collect()[0]["k"]) + 1
+
+
+@register("q_kcore")  # rows-only: iterative peeling fixpoint (no SQL twin)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph — the fifth
+    graph fixpoint beside components, pagerank, BFS, and HITS:
+    repeatedly delete nodes of degree < k until none remain; what
+    survives is the k-core, the standard "dense enough to matter"
+    subgraph filter (community seeds, spam/bot rings, influence
+    backbones). k = min initial degree + 1 so the peel bites
+    at every scale (see kcore_k). Emits each surviving node with its
+    WITHIN-CORE degree. Registered rows-only — peeling is an
+    iterated aggregate a recursive CTE cannot express — with an
+    exact-match pytest against an independent pure-Python peeler
+    (tests/test_kcore.py).
+
+    100 TB: each round is one degree aggregation + two semi-joins on
+    the shrinking edge set (monotone — nothing ever returns), with
+    the same persist/count/unpersist generation discipline as
+    pagerank; round count is bounded by the degeneracy ordering
+    depth, small in practice. The deleted-node set, not the graph,
+    is the per-round churn."""
+    k = kcore_k(spark, sf_dir)
+    e = order_part_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cur = sym.persist()
+    n_edges = cur.count()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        nxt = (
+            cur.join(F.broadcast(keep), "src")
+            .join(
+                F.broadcast(keep.select(F.col("src").alias("dst"))), "dst"
+            )
+            .select("src", "dst")
+            .persist()
+        )
+        n_next = nxt.count()
+        cur.unpersist()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    out = (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .select(F.col("src").alias("node"), "core_deg")
+    )
+    result = out.persist()
+    result.count()
+    cur.unpersist()
+    return result

@@ -403,3 +403,97 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_filled"),
         F.col("n").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                  THEN 1 ELSE 0 END AS is1
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+    ),
+    n AS (
+      SELECT SUM(is1) AS n1, SUM(1 - is1) AS n2 FROM s
+    ),
+    pts AS (
+      SELECT cents,
+             SUM(is1) AS c1,
+             SUM(1 - is1) AS c2
+      FROM s GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(c1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             SUM(c2) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM pts
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1,
+           CAST(n.n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS DOUBLE)
+             / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) AS d_stat
+    FROM cum CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between
+    the 1997 and 1998 order-value distributions: D = sup over the
+    pooled support of |ECDF1 - ECDF2|. The supremum is computed on
+    the INTEGER lattice — max |F1*n2 - F2*n1| over cumulative counts
+    — so the maximization never compares floats; the single closing
+    division is the only float op (identical operands ⇒ identical
+    IEEE result both engines). Completes the drift monitor family:
+    TVD (categorical mix), chi-squared (independence), and now KS
+    (continuous distribution shift) — the alert a feature store
+    fires when a numeric feature's distribution moves.
+
+    100 TB: per-value counts are a partial-aggregable groupBy on the
+    quantized value (support-sized, not row-count-sized); the
+    cumulative pass is one global sort over the DISTINCT support —
+    the honest cost of an exact sup; at 100 TB you either accept it
+    (support is usually ≪ rows) or bucket the support first and get
+    a bounded-error D."""
+    s = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1997, 1998))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.when(F.year("o_orderdate") == 1997, 1).otherwise(0).alias("is1"),
+        )
+    )
+    pts = s.groupBy("cents").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(1 - F.col("is1")).alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pts.select(
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    n = s.agg(
+        F.sum("is1").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("is1")).cast("bigint").alias("n2"),
+    )
+    gap = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(gap).cast("bigint").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("d_stat"),
+        )
+    )
