@@ -36,10 +36,11 @@ _TOPK = 10
 _N_QTERMS = 3  # query = the corpus's 3 most-frequent tokens
 
 
-@register(
-    "q_bm25_topk",
-    oracle=f"""
-    WITH tok AS (
+# shared BM25 chain (tokenize → tf/dl/df → corpus totals → frequent-
+# term query → integer-quantized per-doc score), reused by the hybrid
+# fusion oracle below
+_BM25_CTES = f"""
+    tok AS (
       SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
       FROM documents
     ),
@@ -76,25 +77,12 @@ _N_QTERMS = 3  # query = the corpus's 3 most-frequent tokens
       SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_q
       FROM scored GROUP BY doc_id
     )
-    SELECT doc_id, score_q,
-           CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id)
-                AS BIGINT) AS rnk
-    FROM perdoc
-    ORDER BY rnk LIMIT {_TOPK}
-    """,
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{_TOPK} for the deterministic query (the corpus's
-    {_N_QTERMS} most frequent tokens — the worst case for tf-idf,
-    where BM25's tf saturation and length normalization are what
-    separate documents). Scores are nanounit BIGINTs (see module
-    docstring); ties break on doc_id.
+"""
 
-    100 TB: tf/dl/df are the inverted-index aggregations (partial-
-    combinable, uniqueness-sized); the query term set joins as a
-    broadcast ({_N_QTERMS} rows); corpus totals ride a broadcast
-    one-row cross join; per-doc sums are map-side combined; the
-    closing top-k is TakeOrderedAndProject, never a full sort."""
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_q) — integer-quantized BM25 of every document
+    matching ≥1 query term (see module docstring for the algebra)."""
     from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import tokens
 
     docs = load(spark, sf_dir, "documents")
@@ -125,9 +113,35 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    perdoc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("s").cast("bigint").alias("score_q")
     )
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM perdoc
+    ORDER BY rnk LIMIT {_TOPK}
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_TOPK} for the deterministic query (the corpus's
+    {_N_QTERMS} most frequent tokens — the worst case for tf-idf,
+    where BM25's tf saturation and length normalization are what
+    separate documents). Scores are nanounit BIGINTs (see module
+    docstring); ties break on doc_id.
+
+    100 TB: tf/dl/df are the inverted-index aggregations (partial-
+    combinable, uniqueness-sized); the query term set joins as a
+    broadcast ({_N_QTERMS} rows); corpus totals ride a broadcast
+    one-row cross join; per-doc sums are map-side combined; the
+    closing top-k is TakeOrderedAndProject, never a full sort."""
+    perdoc = bm25_scores(spark, sf_dir)
     w = Window.orderBy(F.col("score_q").desc(), "doc_id")
     return (
         perdoc.select(
@@ -137,3 +151,118 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _TOPK)
     )
+
+
+_K_FUSE = 50  # per-ranker candidate depth
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@register(
+    "q_hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id)
+                  AS BIGINT) AS lex_rnk
+      FROM perdoc WHERE doc_id <> 0
+      QUALIFY lex_rnk <= {_K_FUSE}
+    ),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id = 0
+    ),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), qv.qvec), 6) DESC,
+               vec_id) AS BIGINT) AS vec_rnk
+      FROM embeddings e CROSS JOIN qv
+      WHERE vec_id <> 0
+      QUALIFY vec_rnk <= {_K_FUSE}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.lex_rnk, vec.vec_rnk,
+             COALESCE(1.0 / ({_RRF_K} + lex.lex_rnk), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + vec.vec_rnk), 0.0) AS rrf
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, lex_rnk, vec_rnk, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+             AS rnk
+    FROM fused
+    ORDER BY rnk LIMIT {_TOPK}
+    """,
+)
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the modern RAG pattern: a LEXICAL ranker
+    (the integer-quantized BM25 above) and a VECTOR ranker (exact
+    cosine to doc 0's embedding, the aligned query document) each
+    produce their top-{_K_FUSE}, fused by reciprocal-rank fusion
+    score = Σ 1/({_RRF_K} + rank). RRF is rank-based, so the fusion
+    never compares raw scores across modalities — which is also what
+    makes it value-oracle-able: ranks are integers from totally-
+    ordered windows, and the RRF double is ONE fixed-shape expression
+    on those integers (identical IEEE ops both engines). A doc
+    missing from one ranker's list simply contributes nothing.
+
+    100 TB: each ranker keeps only its top-{_K_FUSE} (WindowGroup-
+    Limit / TakeOrdered — candidate-sized, not corpus-sized); fusion
+    is a full-outer join of two {_K_FUSE}-row lists — driver-trivial
+    — so the expensive parts remain the two independent, already-
+    scale-shaped retrieval plans."""
+    lex_w = Window.orderBy(F.col("score_q").desc(), "doc_id")
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id", F.row_number().over(lex_w).cast("bigint").alias("lex_rnk")
+        )
+        .filter(F.col("lex_rnk") <= _K_FUSE)
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.functions.vectors import cosine
+
+    vec_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("embedding", "qvec"), 6).alias("cs"),
+        )
+    )
+    vec_w = Window.orderBy(F.col("cs").desc(), "doc_id")
+    vec = vec_scored.select(
+        "doc_id", F.row_number().over(vec_w).cast("bigint").alias("vec_rnk")
+    ).filter(F.col("vec_rnk") <= _K_FUSE)
+
+    fused = (
+        lex.withColumnRenamed("doc_id", "l_id")
+        .join(
+            vec.withColumnRenamed("doc_id", "v_id"),
+            F.col("l_id") == F.col("v_id"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("l_id", "v_id").alias("doc_id"),
+            "lex_rnk",
+            "vec_rnk",
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vec_rnk")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    out_w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return fused.select(
+        "doc_id",
+        "lex_rnk",
+        "vec_rnk",
+        "rrf",
+        F.row_number().over(out_w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= _TOPK)
