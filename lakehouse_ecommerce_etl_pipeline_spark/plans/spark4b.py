@@ -294,3 +294,47 @@ def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         with artifact_lock(ck):
             drain()
         return read_state()
+
+
+@register(
+    "q_sql_scripting",
+    oracle="""
+    SELECT CAST(SUM(EXTRACT(month FROM o_orderdate) * 1) AS BIGINT)
+      AS weighted_orders
+    FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/SET): a procedural
+    control-flow block computes the month-weighted 1997 order count
+    by looping month = 1..12 and accumulating
+    month × COUNT(orders in that month) — the migration target for
+    stored-procedure workloads. The oracle states the same quantity
+    declaratively (Σ month over 1997 orders), so the script's loop
+    arithmetic, variable mutation, and per-iteration subqueries are
+    all value-pinned against a plain aggregate.
+
+    100 TB: each iteration is an independent pushed-down COUNT scan
+    — scripting adds driver-side control flow, never a new
+    distributed primitive; the declarative twin (ONE aggregate pass)
+    is the form you'd deploy, which is exactly the point the oracle
+    makes."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE m INT DEFAULT 1;
+          DECLARE acc BIGINT DEFAULT 0;
+          WHILE m <= 12 DO
+            SET acc = acc + m * (
+              SELECT COUNT(*) FROM orders_script_v
+              WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+                AND EXTRACT(MONTH FROM o_orderdate) = m
+            );
+            SET m = m + 1;
+          END WHILE;
+          SELECT acc AS weighted_orders;
+        END
+        """
+    )
