@@ -266,3 +266,82 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf",
         F.row_number().over(out_w).cast("bigint").alias("rnk"),
     ).filter(F.col("rnk") <= _TOPK)
+
+
+@register(
+    "q_readability",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), t -> t <> '') AS tk,
+             {_NORM} AS nt,
+             text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(nt, '[aeiouy]+'))
+                  + len(list_filter(tk,
+                        t -> NOT regexp_matches(t, '[aeiouy]')))
+                  AS BIGINT) AS n_syllables
+      FROM d WHERE len(tk) > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835
+           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch
+    FROM m
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality feature (a standard column next to the Gopher/C4 gates in
+    curation scorecards): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with syllables estimated as maximal
+    vowel-group runs (vowelless tokens count one — abbreviations and
+    ids read as one beat) and sentence count clamped to ≥1 for
+    unpunctuated text. The three counts are INTEGERS from regex/array
+    arithmetic; the score is one fixed-shape float expression over
+    them — identical IEEE ops in identical order on both engines.
+
+    100 TB: pure in-row projection (regexp_count + one array filter)
+    — no shuffle, no UDF; the score rides along with whatever
+    aggregation consumes it."""
+    from lakehouse_ecommerce_etl_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
+    nt = normalize_text("text")
+    n_words = F.size(toks).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]")), F.lit(1)
+    ).cast("bigint")
+    n_syll = (
+        F.regexp_count(nt, F.lit("[aeiouy]+"))
+        + F.size(F.filter(toks, lambda t: ~t.rlike("[aeiouy]")))
+    ).cast("bigint")
+    m = docs.filter(F.size(toks) > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+        ).alias("flesch"),
+    )
