@@ -108,6 +108,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import llm28  # noqa: F401,E40
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm29  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm30  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm31  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm32  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics54  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics55  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics56  # noqa: F401,E402
