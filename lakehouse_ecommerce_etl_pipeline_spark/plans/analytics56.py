@@ -80,6 +80,97 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNM_PAIRS_CTES = f"""
+    r AS (
+      SELECT doc_id, lang,
+             substr(text, 1, 64) AS pfx,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY {_KEY}, doc_id
+             ) AS rn
+      FROM documents
+    ),
+    snm_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM r a JOIN r b
+        ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + {_W}
+      WHERE levenshtein(a.pfx, b.pfx) <= {_MAXDIST}
+    ),
+    blk_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang
+       AND substr(a.text, 1, 8) = substr(b.text, 1, 8)
+       AND a.doc_id < b.doc_id
+      WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64))
+            <= {_MAXDIST}
+    ),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT * FROM snm_pairs UNION ALL SELECT * FROM blk_pairs
+      )
+    ),
+    er_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    er_reach AS (
+      WITH RECURSIVE rr(node, lbl) AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst, rr.lbl FROM er_edges e JOIN rr ON rr.node = e.src
+      )
+      SELECT node, MIN(lbl) AS lbl FROM rr GROUP BY node
+    )
+"""
+
+
+@register(
+    "q_entity_ids",
+    oracle=f"""
+    WITH {_SNM_PAIRS_CTES}
+    SELECT node AS doc_id, lbl AS entity,
+           (node = lbl) AS is_canonical
+    FROM er_reach
+    """,
+)
+def q_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — what the pair miners exist FOR:
+    the union of both blocking strategies' verified match pairs
+    (sorted-neighborhood + equality-prefix blocking, both bounded
+    edit distance) collapsed into entity ids by min-label propagation
+    to convergence, every document seeded (non-matching docs stay
+    their own entity), smallest doc_id canonical. Two blockers union
+    because each catches pairs the other misses — SNM survives
+    leading-character typos, prefix blocking survives mid-string
+    drift that moves sort rank.
+
+    100 TB: pair mining is the two bounded-blocking plans (O(n·w) and
+    per-block self-join); the fixpoint runs on the MATCH subgraph
+    only (tiny); per round one join + one min-aggregate with
+    localCheckpoint lineage truncation (llm/components.py)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        connected_components,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics7 import (
+        q_fuzzy_editdist_pairs,
+    )
+
+    snm = q_sorted_neighborhood_pairs(spark, sf_dir).select("id_a", "id_b")
+    blk = q_fuzzy_editdist_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = snm.unionByName(blk).distinct()
+    cc = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("entity"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("entity"))
+    )
+
+
 @register(
     "q_sorted_neighborhood_pairs",
     oracle=f"""

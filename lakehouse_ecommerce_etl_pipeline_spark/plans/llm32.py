@@ -156,3 +156,80 @@ def q_curation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") > 1).alias("exact_dup"),
         )
     )
+
+
+_SFT_MIN_P = 8  # prompt length varies 8..16 tokens by doc_id
+
+
+@register(
+    "q_sft_render",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), t -> t <> '') AS tk,
+             CAST({_SFT_MIN_P} + doc_id % 9 AS BIGINT) AS p
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, p,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             '<|user|> ' || array_to_string(tk[1:p], ' ')
+             || ' <|assistant|> '
+             || array_to_string(tk[p + 1:len(tk)], ' ') AS rendered
+      FROM d WHERE len(tk) > p
+    )
+    SELECT doc_id, n_tokens,
+           p AS prompt_tokens,
+           p + 3 AS loss_start,
+           n_tokens + 2 AS loss_end,
+           md5(rendered) AS rendered_md5
+    FROM r
+    """,
+)
+def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example assembly — the data-prep step between curation and
+    training: each document splits into a prompt (first 8..16 tokens,
+    length varying deterministically by doc_id) and a response (the
+    rest), rendered into a fixed chat template
+    ``<|user|> … <|assistant|> …`` with the LOSS-MASK SPAN emitted in
+    template-token coordinates (loss_start = prompt + both markers +
+    1, loss_end = last response token) — the span a trainer uses to
+    zero prompt-token loss. The rendered string is md5-pinned, so the
+    oracle catches template drift, off-by-one splits, and separator
+    changes byte-exactly; docs too short to hold a non-empty response
+    are dropped on the same predicate in both engines.
+
+    100 TB: pure in-row projection (split/slice/concat/md5) — the
+    render adds zero shuffles; downstream packing (q_pack_sequences)
+    consumes (doc, n_tokens) exactly as emitted here."""
+    from lakehouse_ecommerce_etl_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
+    p = (F.lit(_SFT_MIN_P) + F.col("doc_id") % 9).cast("bigint")
+    d = docs.select(
+        "doc_id", toks.alias("tk"), p.alias("p")
+    ).filter(F.size("tk") > F.col("p"))
+    rendered = F.concat(
+        F.lit("<|user|> "),
+        F.concat_ws(" ", F.slice("tk", 1, F.col("p").cast("int"))),
+        F.lit(" <|assistant|> "),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "tk",
+                (F.col("p") + 1).cast("int"),
+                (F.size("tk") - F.col("p").cast("int")),
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.col("p").alias("prompt_tokens"),
+        (F.col("p") + 3).alias("loss_start"),
+        (F.size("tk") + 2).cast("bigint").alias("loss_end"),
+        F.md5(rendered).alias("rendered_md5"),
+    )
