@@ -233,3 +233,172 @@ def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("tk") + 2).cast("bigint").alias("loss_end"),
         F.md5(rendered).alias("rendered_md5"),
     )
+
+
+@register(
+    "q_dpo_pairs",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(
+               CAST(length(text) BETWEEN 20 AND 100000 AS INTEGER)
+             + CAST((CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text)
+                       - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+                       AS DOUBLE) / CAST(length(text) AS DOUBLE) END) < 0.2
+                    AS INTEGER)
+             + CAST((CASE WHEN length({_T}) = 0 THEN 0.0
+                  ELSE CAST(length(replace({_T}, ' ', '')) AS DOUBLE)
+                       / CAST({_NTOK} AS DOUBLE) END) BETWEEN 2.0 AND 12.0
+                    AS INTEGER)
+               AS DOUBLE) / 3.0 AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY quality DESC, n_chars DESC, doc_id) AS r_top,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY quality ASC, n_chars ASC, doc_id) AS r_bot
+      FROM q
+    )
+    SELECT t.lang,
+           t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           t.quality - b.quality AS margin
+    FROM ranked t JOIN ranked b
+      ON t.lang = b.lang AND t.r_top = b.r_bot AND t.r_top <= 5
+    WHERE t.doc_id <> b.doc_id
+    """,
+)
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (DPO/RLHF-style data prep): per
+    language, the top-5 quality documents pair positionally with the
+    bottom-5 (rank i best ↔ rank i worst) as (chosen, rejected,
+    quality margin) — the deterministic stand-in for
+    human-preference pairing, built entirely from the corpus's own
+    quality signal under TOTAL orders (quality, size, id) so both
+    engines elect identical pairs. Degenerate self-pairs (a lang
+    bucket smaller than 2) are excluded on the same predicate.
+
+    100 TB: two per-lang rank windows (WindowGroupLimit prunes to 5
+    per partition pre-exchange) and one 5-row-per-lang positional
+    join — the pairing cost is dimension-sized, not corpus-sized."""
+    from lakehouse_ecommerce_etl_pipeline_spark.functions.text import (
+        quality_score,
+    )
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        quality_score("text").alias("quality"),
+    )
+    top_w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("n_chars").desc(), "doc_id"
+    )
+    bot_w = Window.partitionBy("lang").orderBy(
+        F.col("quality").asc(), F.col("n_chars").asc(), "doc_id"
+    )
+    ranked = q.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.row_number().over(top_w).alias("r_top"),
+        F.row_number().over(bot_w).alias("r_bot"),
+    )
+    t = ranked.select(
+        "lang",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality").alias("q_top"),
+        F.col("r_top").alias("r"),
+    ).filter(F.col("r") <= 5)
+    b = ranked.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality").alias("q_bot"),
+        F.col("r_bot").alias("r_b"),
+    )
+    return (
+        t.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("r") == F.col("r_b")))
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "lang",
+            "chosen_id",
+            "rejected_id",
+            (F.col("q_top") - F.col("q_bot")).alias("margin"),
+        )
+    )
+
+
+_MIX_BUDGET = 100_000  # target corpus size in tokens
+
+
+@register(
+    "q_token_budget_mixture",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, avail_tokens,
+             1 + (CAST(substr(source, 4) AS BIGINT) % 5) AS weight
+      FROM tk
+    ),
+    s AS (SELECT SUM(weight) AS sumw FROM w)
+    SELECT source, avail_tokens,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(({_MIX_BUDGET} * weight) // s.sumw AS BIGINT)
+             AS target_tokens,
+           CAST(LEAST(({_MIX_BUDGET} * weight) // s.sumw, avail_tokens)
+                AS BIGINT) AS planned_tokens,
+           (avail_tokens < ({_MIX_BUDGET} * weight) // s.sumw)
+             AS undersupplied
+    FROM w CROSS JOIN s
+    """,
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning — the allocation table a
+    pretraining run is configured from: per source, available tokens
+    (whitespace count, the portable proxy), a deterministic weight
+    (1..5 from the source id), the integer target share of a fixed
+    token budget (budget·w ÷ Σw — integer division),
+    the availability-capped plan, and the undersupply flag that tells
+    the data team which source needs more crawling or upsampling.
+    Pure integer arithmetic over a source-grain aggregate — the
+    decision artifact q_source_mixture_sample then EXECUTES row-wise.
+
+    100 TB: one partial-aggregable token-count rollup to source grain
+    (a handful of rows); the plan itself is metadata-sized."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.expr(
+        "CASE WHEN length(regexp_replace(trim(text), '\\\\s+', ' ')) = 0 THEN 0"
+        " ELSE length(regexp_replace(trim(text), '\\\\s+', ' '))"
+        " - length(replace(regexp_replace(trim(text), '\\\\s+', ' '), ' ', ''))"
+        " + 1 END"
+    )
+    tk = docs.groupBy("source").agg(
+        F.sum(ntok).cast("bigint").alias("avail_tokens")
+    )
+    w = tk.withColumn(
+        "weight",
+        (1 + F.substring("source", 4, 10).cast("bigint") % 5).cast("bigint"),
+    )
+    sumw = w.agg(F.sum("weight").alias("sumw"))
+    return (
+        w.crossJoin(F.broadcast(sumw))
+        .withColumn(
+            "target_tokens", F.expr(f"({_MIX_BUDGET}L * weight) div sumw")
+        )
+        .withColumn(
+            "planned_tokens",
+            F.least(F.col("target_tokens"), F.col("avail_tokens")),
+        )
+        .withColumn(
+            "undersupplied", F.col("avail_tokens") < F.col("target_tokens")
+        )
+        .drop("sumw")
+    )
