@@ -234,6 +234,10 @@ def decode_image_array(payload: bytes):
         return decode_bmp(payload), "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload), "png"
+    if payload[:4] == b"GIF8":
+        from lakehouse_ecommerce_etl_pipeline_spark.llm.gif import decode_gif
+
+        return decode_gif(payload), "gif"
     if payload[:3] == b"\xff\xd8\xff":
         from lakehouse_ecommerce_etl_pipeline_spark.llm.jpeg import decode_jpeg
 
