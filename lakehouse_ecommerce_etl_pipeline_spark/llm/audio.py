@@ -157,3 +157,63 @@ def extract_audio_stats(
     return blobs.select(id_col, payload_col).mapInPandas(
         extract, schema=AUDIO_STATS_SCHEMA
     )
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("n_zero_cross", T.IntegerType()),
+        T.StructField("peak_abs", T.IntegerType()),
+    ]
+)
+
+
+def extract_frame_features(
+    clips: DataFrame,
+    frame_len: int = 160,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-level features over decoded PCM — the primitives VAD,
+    silence trimming, and segmentation run on: per non-overlapping
+    ``frame_len``-sample frame, the integer energy (sum of squares),
+    zero-crossing count (sign(x) = x < 0; a flip between consecutive
+    IN-FRAME samples counts once), and peak magnitude. The tail
+    shorter than a full frame is dropped (only complete frames are
+    comparable units).
+
+    All-integer on int16 PCM => exact and order-free, so the whole
+    frame table is value-oracle-able. Decode+featurize is one narrow
+    mapInPandas pass; 100 TB: frames multiply rows by n/frame_len but
+    stay (id, frame) keyed — downstream gates aggregate them back
+    map-side."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _rate, _ch, samples = decode_wav(bytes(payload))
+                v = np.asarray(samples, dtype=np.int64)
+                n_frames = len(v) // frame_len
+                for f in range(n_frames):
+                    fr = v[f * frame_len : (f + 1) * frame_len]
+                    zc = int(((fr[1:] < 0) != (fr[:-1] < 0)).sum())
+                    rows.append(
+                        (
+                            int(cid),
+                            f,
+                            int((fr * fr).sum()),
+                            zc,
+                            int(np.abs(fr).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_FEATURES_SCHEMA.fields]
+            )
+
+    return clips.select(id_col, payload_col).mapInPandas(
+        extract, schema=FRAME_FEATURES_SCHEMA
+    )

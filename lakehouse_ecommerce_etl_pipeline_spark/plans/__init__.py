@@ -115,6 +115,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics56  # noqa: F4
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm33  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics57  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm34  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm35  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
 
