@@ -150,7 +150,10 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     uint8 palette (N padded to the next power of two >= 2)."""
     h, w = indices.shape
     n = max(2, 1 << int(np.ceil(np.log2(len(palette)))))
-    if indices.max(initial=0) >= n:
+    # validate against the REAL palette length, not the power-of-two
+    # padded table size — an index into a pad entry would silently
+    # decode to black
+    if indices.max(initial=0) >= len(palette):
         raise ValueError("index beyond palette")
     pal = np.zeros((n, 3), np.uint8)
     pal[: len(palette)] = palette

@@ -127,12 +127,15 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 # FIXED every round; the remaining ~24 slots ROTATE each round to
 # queries the driver has never value-checked, so the hard per-value
 # signal accumulates across the registry over rounds instead of
-# re-proving the same extension rows.  Round-3 rotation: the LLM dedup
-# chain, text-quality tier, multimodal decode, the TPC-H tail, and the
-# two queries hardened this round (statestore, file provenance).
-# Rows rotated OUT were driver-green in r1+r2 (CORRECTNESS_r0{1,2});
-# everything stays registered and full-swept locally
-# (scripts/check_oracle.py).
+# re-proving the same extension rows.  Round-4 rotation (VERDICT r3
+# task #1): the round-3 tiers that so far carried only builder+judge
+# signal — WARC/HTML/URL/PII corpus plumbing, tar shards, Avro
+# (batch + streaming ingest), SQLite partitioned reads, GIF + audio
+# frames, DP counts, entity resolution, BM25/RRF retrieval, curation
+# features, SFT/DPO rendering, binary quantization + Hamming top-k,
+# KS drift, ExactSubstr span removal.  Rows rotated OUT were
+# driver-green in r1–r3 (CORRECTNESS_r0{1,2,3}); everything stays
+# registered and full-swept locally (scripts/check_oracle.py).
 _FIRST_WINDOW = [
     # --- fixed §2 parity rows (driver-green r1+r2, keep forever) ---
     "q_scan_csv",
@@ -161,41 +164,43 @@ _FIRST_WINDOW = [
     "q_merge_upsert_storage",
     "q_write_partitioned",
     "q_scan_excel",
-    # --- round-3 rotation: never driver-checked before ---
-    # this round's hardened queries
-    "q_statestore_read",
-    "q_file_provenance",
-    # LLM dedup chain, stage by stage (signatures → LSH → verify →
-    # clusters → incremental)
-    "q_dedup_exact",
-    "q_minhash_signatures",
-    "q_lsh_candidates",
-    "q_near_dup_pairs",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    # similarity / embeddings (q_embedding_near_dup deliberately NOT
-    # here: it returns 0 rows at the driver's sf0.01 — a hollow value
-    # witness; it stays full-sweep-checked locally)
-    "q_similarity_topk",
-    "q_vector_norms",
-    "q_embedding_clusters",
-    # text-quality tier
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_id",
-    "q_bpe_token_count",
-    "q_lm_score_docs",
-    "q_corpus_keep_list",
-    # multimodal decode (value-oracled pixel/PCM math), incl. the new
-    # baseline JPEG codec
-    "q_multimodal_resize",
-    "q_multimodal_audio_stats",
-    "q_multimodal_jpeg",
-    # TPC-H tail (star joins, correlated subqueries, group-wise tops)
-    "q_tpch_q5_local_supplier",
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q9_product_profit",
-    "q_tpch_q21_sole_late_supplier",
+    # --- round-4 rotation: never driver-checked before (all were
+    # builder+judge green in r3; VERDICT r3 task #1 names this list) ---
+    # web-corpus plumbing: WARC round-trip, HTML extraction, URL dedup,
+    # PII scrub
+    "q_scan_warc",
+    "q_export_warc",
+    "q_html_extract_text",
+    "q_url_dedup",
+    "q_pii_scrub",
+    # training-shard packaging: WebDataset-style tar export + scan
+    "q_export_tar_shards",
+    "q_scan_tar_shards",
+    # Avro OCF batch + streaming ingest
+    "q_scan_avro",
+    "q_stream_avro_ingest",
+    # operational-RDBMS ingest (JDBC-pattern ranged parallel read)
+    "q_scan_sqlite",
+    "q_scan_sqlite_pushdown",
+    # multimodal codecs new in r3: GIF87a LZW + frame-level audio
+    "q_multimodal_gif",
+    "q_audio_frame_features",
+    # privacy + governance: DP noisy counts, entity resolution
+    "q_dp_noisy_counts",
+    "q_entity_ids",
+    # retrieval: float-free BM25, reciprocal-rank fusion
+    "q_bm25_topk",
+    "q_hybrid_retrieval_rrf",
+    # curation + post-training data prep
+    "q_curation_features",
+    "q_sft_render",
+    "q_dpo_pairs",
+    # binary quantization + Hamming retrieval
+    "q_binary_quantize",
+    "q_hamming_topk",
+    # drift detection + ExactSubstr dedup
+    "q_ks_drift",
+    "q_dup_span_removal",
 ]
 
 

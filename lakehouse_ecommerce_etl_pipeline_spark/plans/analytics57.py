@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     artifact_fresh,
     artifact_lock,
-    load,
     work_dir,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
@@ -53,14 +52,26 @@ def orders_via_sqlite(
     hash_mod: bool = False,
 ) -> DataFrame:
     """orders read back through the partitioned SQLite scan; bounds
-    come from the fixture's key domain (in production: a bounds query
-    or catalog stats)."""
+    come from a driver-side MIN/MAX bounds query against the database
+    itself — exactly the dbtable bounds query Spark's JDBC relation
+    issues, and no Spark job (the old parquet count() burned a full
+    scan just to size partitions)."""
+    import sqlite3
+
     db = _db(sf_dir)
-    n_rows = load(spark, sf_dir, "orders").count()
+    con = sqlite3.connect(f"file:{db}?mode=ro", uri=True)
+    try:
+        lo, hi = con.execute(
+            "SELECT MIN(o_orderkey), MAX(o_orderkey) FROM orders"
+        ).fetchone()
+    finally:
+        con.close()
     clauses = (
         mod_clauses("o_orderkey", num_partitions)
         if hash_mod
-        else range_clauses("o_orderkey", 0, n_rows, num_partitions)
+        else range_clauses(
+            "o_orderkey", int(lo or 0), int(hi or 0) + 1, num_partitions
+        )
     )
     return scan_sqlite(
         spark,

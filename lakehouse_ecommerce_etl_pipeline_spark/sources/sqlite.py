@@ -70,8 +70,10 @@ def build_orders_db(sf_dir: str, work_dir_fn, lock_fn, fresh_fn) -> str:
     datetime storage class) and the round-trip the reader must undo.
     Driver-side build: this is the FIXTURE (the database exists before
     Spark enters the picture in production); the distributed part is
-    the read."""
-    db = os.path.join(work_dir_fn(sf_dir, "sqlite"), "orders.db")
+    the read. Timestamps carry microseconds (``.%f``) so sub-second
+    precision survives the TEXT round-trip; the v2 suffix invalidates
+    second-granular caches from earlier builds."""
+    db = os.path.join(work_dir_fn(sf_dir, "sqlite"), "orders_v2.db")
     src = os.path.join(sf_dir, "orders.parquet")
     with lock_fn(db):
         if fresh_fn(src, db):
@@ -81,7 +83,7 @@ def build_orders_db(sf_dir: str, work_dir_fn, lock_fn, fresh_fn) -> str:
             os.remove(tmp)
         pdf = pd.read_parquet(src, columns=_ORDERS_COLS)
         pdf = pdf.assign(
-            o_orderdate=pdf["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S")
+            o_orderdate=pdf["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         )
         con = sqlite3.connect(tmp)
         try:
@@ -154,9 +156,12 @@ def scan_sqlite(
         f.name for f in out.fields if isinstance(f.dataType, T.TimestampType)
     ]
     sel = ", ".join(cols)
+    # range-partition on the dense clause index: n distinct values into
+    # n partitions = exactly one clause per task (hash partitioning can
+    # collide two clauses into one task, halving read parallelism)
     spec = spark.createDataFrame(
         [(i, c) for i, c in enumerate(clauses)], "part int, clause string"
-    ).repartition(len(clauses), "part")
+    ).repartitionByRange(len(clauses), "part")
 
     def read_partition(batches):
         for pdf in batches:
@@ -173,7 +178,7 @@ def scan_sqlite(
                     con.close()
                 for c in ts_cols:
                     part[c] = pd.to_datetime(
-                        part[c], format="%Y-%m-%d %H:%M:%S"
+                        part[c], format="%Y-%m-%d %H:%M:%S.%f"
                     )
                 yield part
 
