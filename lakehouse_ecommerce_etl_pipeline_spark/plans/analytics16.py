@@ -437,7 +437,34 @@ def kcore_k(spark: SparkSession, sf_dir: str) -> int:
     return int(deg.agg(F.min("deg").alias("k")).collect()[0]["k"]) + 1
 
 
-@register("q_kcore")  # rows-only: iterative peeling fixpoint (no SQL twin)
+@register(
+    "q_kcore",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    sym AS (
+      SELECT src, dst FROM e
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e
+    ),
+    kv AS (
+      SELECT MIN(cnt) + 1 AS k
+      FROM (SELECT COUNT(*) AS cnt FROM sym GROUP BY src)
+    ),
+    peel(r, src, dst) AS (
+      SELECT 0, src, dst FROM sym
+      UNION ALL
+      SELECT p.r + 1, p.src, p.dst
+      FROM peel p
+      WHERE p.r < {_KCORE_MAX_ROUNDS}
+        AND p.src IN (SELECT src FROM peel GROUP BY src
+                      HAVING COUNT(*) >= (SELECT k FROM kv))
+        AND p.dst IN (SELECT src FROM peel GROUP BY src
+                      HAVING COUNT(*) >= (SELECT k FROM kv))
+    )
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM peel WHERE r = {_KCORE_MAX_ROUNDS} GROUP BY src
+    """,
+)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the co-purchase graph — the fifth
     graph fixpoint beside components, pagerank, BFS, and HITS:
@@ -446,10 +473,15 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     subgraph filter (community seeds, spam/bot rings, influence
     backbones). k = min initial degree + 1 so the peel bites
     at every scale (see kcore_k). Emits each surviving node with its
-    WITHIN-CORE degree. Registered rows-only — peeling is an
-    iterated aggregate a recursive CTE cannot express — with an
-    exact-match pytest against an independent pure-Python peeler
-    (tests/test_kcore.py).
+    WITHIN-CORE degree. Value-oracled (VERDICT r3 task #4) by a
+    DuckDB recursive-CTE twin: the peel runs under WORKING-TABLE
+    semantics (each iteration sees only the previous round's edge
+    rows, so the round-tagged edge set IS the peeling state), capped
+    at the same {_KCORE_MAX_ROUNDS}-round bound; at a fixpoint every
+    further round reproduces the same edges, so the r = cap slice
+    equals Spark's early-broken fixpoint, and an emptied core yields
+    zero r = cap rows on both sides. Also exact-match pytested
+    against an independent pure-Python peeler (tests/test_kcore.py).
 
     100 TB: each round is one degree aggregation + two semi-joins on
     the shrinking edge set (monotone — nothing ever returns), with

@@ -189,8 +189,30 @@ def q_intersect_all(spark, sf_dir):
     )
 
 
-@register("q_freq_items")  # rows-only: sketch-based, engine-specific
+@register(
+    "q_freq_items",
+    oracle="""
+    SELECT array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+           AS freq_items
+    FROM orders
+    """,
+)
 def q_freq_items(spark, sf_dir):
     """Approximate frequent items (Karp et al. sketch) — single pass,
-    the scale path for heavy-hitter detection."""
-    return load(spark, sf_dir, "orders").freqItems(["o_orderpriority"], support=0.15)
+    the scale path for heavy-hitter detection. Value-oracled (VERDICT
+    r3 task #4) by pinning the sketch to its EXACT regime: at support
+    0.15 the counter map holds floor(1/0.15) = 6 slots while
+    o_orderpriority has 5 distinct values, so no decrement step ever
+    fires (per partition or in the merge) and the sketch provably
+    returns the exact distinct set — the oracle restates it as the
+    sorted DISTINCT list. Sorting canonicalizes the engine-specific
+    sketch-map iteration order; a bucketing or merge bug that evicted
+    or duplicated an item fails by value."""
+    out = load(spark, sf_dir, "orders").freqItems(
+        ["o_orderpriority"], support=0.15
+    )
+    return out.select(
+        F.array_join(
+            F.sort_array("o_orderpriority_freqItems"), ","
+        ).alias("freq_items")
+    )

@@ -28,10 +28,24 @@ def q_stream_tumbling_agg(spark, sf_dir):
     return tumbling_agg_stream(spark, events_parquet_path(spark, sf_dir))
 
 
-@register("q_stream_dedup")  # rows-only: state-dependent row acceptance
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    """,
+)
 def q_stream_dedup(spark, sf_dir):
     """Streaming dedup with bounded state
-    (dropDuplicatesWithinWatermark on event_id)."""
+    (dropDuplicatesWithinWatermark on event_id). Value-oracled
+    (VERDICT r3 task #4): event_id is unique in the events fixture at
+    every scale factor (verified 1000/10000/100000 distinct at
+    sf0.001/0.01/0.1), so the deterministic end state of the drained
+    stream is the source table itself — the identity IS the check; a
+    state-store bug that dropped, duplicated, or mutated a row fails
+    by value, and a fixture regeneration that introduced duplicate
+    ids would surface as a row-count mismatch rather than silently
+    weakening the oracle."""
     return stream_dedup(spark, events_parquet_path(spark, sf_dir), ["event_id"])
 
 
