@@ -293,6 +293,19 @@ _PR_ITERS = 3
 _DAMP = 0.85
 
 
+# Fixed-point PageRank grid: ranks live on an integer lattice of
+# 1e-18 units (BIGINT-safe: total mass 1e18 < 2^63).  teleport and
+# damping are exact integer ops — 0.15/n becomes 15e16 DIV n and
+# 0.85·s becomes 85·(s DIV 100) — so the iteration is pure integer
+# arithmetic in BOTH engines and bit-identical by construction (the
+# old DECIMAL(25,15) quantization of a double division rounded
+# differently in Spark [shortest-string BigDecimal, HALF_UP] vs
+# DuckDB [exact-binary, half-even] once the graph was big enough to
+# hit a boundary — caught at sf1, node 64).
+_PR_SCALE = 10**18
+_PR_TELEPORT_NUM = 15 * 10**16  # 0.15 × _PR_SCALE
+
+
 @register(
     "q_pagerank",
     oracle=f"""
@@ -303,17 +316,16 @@ _DAMP = 0.85
       SELECT dst AS src, src AS dst FROM e
     ),
     deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM deg),
+    n AS (SELECT COUNT(*) AS c FROM deg),
     r0 AS (
-      SELECT src AS node, CAST(1 AS DOUBLE) / (SELECT c FROM n) AS r
+      SELECT src AS node,
+             CAST({_PR_SCALE} AS BIGINT) // (SELECT c FROM n) AS r
       FROM deg
     ),
     r1 AS (
       SELECT ed.dst AS node,
-             CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
-             + CAST(0.85 AS DOUBLE) *
-               CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(25,15))) AS DOUBLE)
-               AS r
+             CAST({_PR_TELEPORT_NUM} AS BIGINT) // (SELECT c FROM n)
+             + 85 * (SUM(r.r // d.outdeg) // 100) AS r
       FROM edges ed
       JOIN deg d ON d.src = ed.src
       JOIN r0 r ON r.node = ed.src
@@ -321,10 +333,8 @@ _DAMP = 0.85
     ),
     r2 AS (
       SELECT ed.dst AS node,
-             CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
-             + CAST(0.85 AS DOUBLE) *
-               CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(25,15))) AS DOUBLE)
-               AS r
+             CAST({_PR_TELEPORT_NUM} AS BIGINT) // (SELECT c FROM n)
+             + 85 * (SUM(r.r // d.outdeg) // 100) AS r
       FROM edges ed
       JOIN deg d ON d.src = ed.src
       JOIN r1 r ON r.node = ed.src
@@ -332,78 +342,121 @@ _DAMP = 0.85
     ),
     r3 AS (
       SELECT ed.dst AS node,
-             CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
-             + CAST(0.85 AS DOUBLE) *
-               CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(25,15))) AS DOUBLE)
-               AS r
+             CAST({_PR_TELEPORT_NUM} AS BIGINT) // (SELECT c FROM n)
+             + 85 * (SUM(r.r // d.outdeg) // 100) AS r
       FROM edges ed
       JOIN deg d ON d.src = ed.src
       JOIN r2 r ON r.node = ed.src
       GROUP BY ed.dst
     )
-    SELECT node, r AS pagerank FROM r3
+    SELECT node, CAST(r AS DOUBLE) / {float(_PR_SCALE)} AS pagerank
+    FROM r3
     """,
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 synchronous PageRank iterations (damping 0.85) over the
     symmetric co-purchase graph — the iterative-dataflow operator
-    with a FULL value oracle: per-node contributions r/outdeg are
-    quantized to DECIMAL(25,15) before the incoming-sum, so the
-    reduction is associative and the ranks are bit-identical across
-    engines, partitionings, and retries (plain float PageRank is
-    none of those). Double→decimal quantization is tie-safe.
+    with a FULL value oracle: ranks live on a 1e-18 integer lattice
+    (_PR_SCALE) and every engine-side op is BIGINT div/mul/sum, so
+    the reduction is associative and the ranks are bit-identical
+    across engines, partitionings, and retries (plain float PageRank
+    is none of those, and even double→DECIMAL quantization rounds
+    differently across engines at scale — see _PR_SCALE note).
 
     100 TB: one shuffle per iteration (group incoming contributions
     by dst); the degree-annotated symmetric edge list is the SHARED
     graph artifact (``copurchase_graph``: degrees map-side combined to
     |nodes| rows, broadcast back onto the edges — the edge table never
-    shuffles or sorts for the annotation, unlike the window-over-src
-    variant this replaced), materialized once per scale factor and
-    here just scanned, placed by dst (cache partitioning reused by
-    every iteration's aggregate), and cached. The node set falls out
-    of the degree table for free. Each
-    iteration materializes eagerly (persist + count, prior generation
-    unpersisted) — the standard iterative-dataflow discipline: lineage
-    stays one step deep, the broadcast build reads a cached table
-    instead of re-running the nested iteration subtree, and a lost
-    executor replays one iteration, not the whole fixpoint. The
-    symmetric graph has no dangling-mass term (every node has
-    out-edges by construction)."""
+    shuffles or sorts for the annotation), materialized once per
+    scale factor and here just scanned and cached. The ranks side of
+    the per-iteration join is SIZE-GATED (VERDICT r3 task #3): ranks
+    grow O(nodes), so the broadcast that wins at measured scales
+    (241 MB shuffle vs 965 MB cumulative broadcast at sf1, but zero
+    edge movement) becomes the scale-killer at ~100× nodes.  Below
+    the gate (_PR_BROADCAST_MAX_NODES, override via
+    SPARK_GRAFT_PR_MAX_BCAST_NODES) the ranks broadcast onto
+    dst-partitioned cached edges; above it the edges are cached
+    src-partitioned instead and each iteration shuffle-hash-joins the
+    |nodes|-row contribution table against them — the edge table
+    still never moves (only the small side shuffles), at the cost of
+    one extra |nodes|-sized exchange per iteration. Crossover
+    measurements: docs/DESIGN.md §12."""
+    return _pagerank_impl(spark, sf_dir)
+
+
+# Measured crossover (docs/DESIGN.md §12): broadcast wins at 20k
+# nodes (2.5 vs 3.3 s warm, sf0.1) and loses at 200k (9.6 vs 6.5 s,
+# sf1) — rebuilding an O(nodes) broadcast every iteration overtakes
+# exchanging the same rows once somewhere in between.  100k splits
+# the measured interval; override via SPARK_GRAFT_PR_MAX_BCAST_NODES.
+_PR_BROADCAST_MAX_NODES = 100_000
+
+
+def _pagerank_impl(
+    spark: SparkSession, sf_dir: str, force_plan: str | None = None
+) -> DataFrame:
+    """force_plan: None = size gate decides; 'broadcast' / 'shuffle'
+    pin a side (tests + the scale audit exercise both)."""
+    import os as _os
+
     graph, deg = copurchase_graph(spark, sf_dir)
     n_nodes = deg.count()
-    # place the cached edges by dst so every iteration's contribution
-    # aggregate reuses the cached partitioning (no per-iteration edge
-    # shuffle); the cache fills lazily inside iteration 0's job.
-    # Only (src, dst) is cached — the degree annotation lives on the
-    # |nodes|-sized broadcast side, not on every edge row
-    ed = graph.select("src", "dst").repartition("dst").persist()
+    max_bcast = int(
+        _os.environ.get(
+            "SPARK_GRAFT_PR_MAX_BCAST_NODES", _PR_BROADCAST_MAX_NODES
+        )
+    )
+    plan = force_plan or (
+        "broadcast" if n_nodes <= max_bcast else "shuffle"
+    )
+    # cache only (src, dst); the degree annotation lives on the
+    # |nodes|-sized side, not on every edge row.  Partition the cache
+    # by the join-strategy's reuse key: dst (the per-iteration
+    # aggregate key) under broadcast — the aggregate then reuses the
+    # cached partitioning; src (the join key) under shuffle-hash — the
+    # join then only exchanges the |nodes|-row contribution side.
+    part_key = "dst" if plan == "broadcast" else "src"
+    ed = graph.select("src", "dst").repartition(part_key).persist()
 
+    # integer fixed-point iteration (see _PR_SCALE note above): the
+    # driver computes the exact teleport term once; every engine-side
+    # op is BIGINT div/mul/sum — associative AND identically rounded
+    # everywhere, so the ranks are bit-equal across engines, plans,
+    # partitionings, and retries.
+    teleport = _PR_TELEPORT_NUM // n_nodes
     ranks = deg.select(
-        F.col("node"), F.lit(1.0 / n_nodes).alias("r"), "outdeg"
+        F.col("node"),
+        F.lit(_PR_SCALE // n_nodes).cast("bigint").alias("r"),
+        "outdeg",
     ).persist()
     ranks.count()
     for _ in range(_PR_ITERS):
-        # ranks is |nodes| rows — broadcast it so the (much larger)
-        # edge table never shuffles for the join; the only per-
-        # iteration shuffle is the contribution aggregation on dst.
-        # The r/outdeg division AND the decimal quantization happen
-        # HERE, on |nodes| rows before the broadcast — each edge row
-        # then only hash-probes and adds a ready decimal, instead of
-        # re-dividing/casting per edge (|edges| >> |nodes|)
+        # The r div outdeg division happens HERE, on |nodes| rows
+        # before the join — each edge row then only hash-probes and
+        # adds a ready bigint, instead of re-dividing per edge
+        # (|edges| >> |nodes|)
         contrib = ranks.select(
-            "node",
-            (F.col("r") / F.col("outdeg")).cast("decimal(25,15)").alias("c"),
+            "node", F.expr("r div outdeg").alias("c")
         )
-        nxt = (
-            ed.join(F.broadcast(contrib), ed["src"] == contrib["node"])
-            .groupBy(F.col("dst"))
-            .agg(
-                (
-                    F.lit(0.15 / n_nodes)
-                    + F.lit(_DAMP) * F.sum("c").cast("double")
-                ).alias("r")
+        if plan == "broadcast":
+            joined = ed.join(
+                F.broadcast(contrib), ed["src"] == contrib["node"]
             )
-            .select(F.col("dst").alias("node"), "r")
+        else:
+            joined = ed.join(
+                contrib.hint("shuffle_hash"),
+                ed["src"] == contrib["node"],
+            )
+        nxt = (
+            joined.groupBy(F.col("dst"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(teleport)
+                    + F.lit(85) * F.expr("s div 100")
+                ).alias("r"),
+            )
             .join(F.broadcast(deg), "node")
             .persist()
         )
@@ -412,7 +465,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = nxt
     ed.unpersist()
     out = spill_final(
-        ranks.select("node", F.col("r").alias("pagerank")), sf_dir, "pagerank"
+        ranks.select(
+            "node",
+            (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias(
+                "pagerank"
+            ),
+        ),
+        sf_dir,
+        "pagerank",
     )
     ranks.unpersist()
     return out
