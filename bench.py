@@ -47,7 +47,14 @@ HEADLINE = [
     "q_cohort_retention",   # self-join + count-distinct matrix
     "q_market_basket",      # fact self-join pair mining + top-k
     "q_bloom_prefilter_join",  # manual runtime-filter semi join
-    "q_pagerank",           # 3-iteration decimal-exact graph fixpoint
+    "q_pagerank",           # 3-iteration fixed-point graph fixpoint
+    # round-4 additions (VERDICT r3 task #6): the round-3 tiers enter
+    # perf tracking with r4 as their baseline
+    "q_bm25_topk",          # inverted-index agg + broadcast query terms
+    "q_entity_ids",         # blocking + union-find entity resolution
+    "q_scan_tar_shards",    # binaryFile + mapInPandas untar scan
+    "q_multimodal_jpeg",    # real baseline-JPEG decode throughput
+    "q_dup_span_removal",   # ExactSubstr span excision
 ]
 
 
