@@ -149,6 +149,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + an explicit round-robin repartition to the session's
+    default parallelism — for COMPUTE-BOUND per-row plans (shingle
+    md5s, codec decodes, tokenization) over tables whose parquet
+    footprint is tiny. Parquet splits at row-group granularity, so a
+    small single-row-group file scans as ONE task no matter what
+    maxPartitionBytes says, serializing minutes of per-row CPU onto
+    one core (measured: 5.3 s → 0.56 s for the sf0.1 shingle-hash
+    pass). The exchange moves only the (small) raw bytes once; at
+    production scale the same pattern applies whenever bytes-per-split
+    misestimates CPU-per-row — decode/UDF stages repartition by cost,
+    not size."""
+    df = load(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def order_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered co-purchase part pairs, one row per (order, {a,b}) with
     ``src < dst`` — the shared build for market-basket mining, the

@@ -43,7 +43,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.similarity import (
     cosine_near_dup_pairs_blocked,
     ivf_topk,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, load_parallel
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 # SQL fragments mirroring functions/text.py exactly ------------------
@@ -149,7 +149,7 @@ def q_text_stats(spark, sf_dir):
     """Text quality metrics: char/token counts, mean token length,
     punctuation ratio — all codegen'd length/replace arithmetic
     (functions/text.py), no UDFs."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         txt.n_chars("text").alias("n_chars"),
@@ -178,7 +178,7 @@ def q_text_stats(spark, sf_dir):
 )
 def q_quality_score(spark, sf_dir):
     """Composite quality score (pre-training corpus filter signal)."""
-    return load(spark, sf_dir, "documents").select(
+    return load_parallel(spark, sf_dir, "documents").select(
         "doc_id", txt.quality_score("text").alias("quality")
     )
 
@@ -188,7 +188,7 @@ def q_lang_id(spark, sf_dir):
     """Marker-lexicon language ID with deterministic argmax — the
     oracle SQL is generated from the same lexicon so formulas cannot
     drift."""
-    return load(spark, sf_dir, "documents").select(
+    return load_parallel(spark, sf_dir, "documents").select(
         "doc_id", "lang", txt.lang_id("text").alias("lang_pred")
     )
 
@@ -199,7 +199,7 @@ def q_lang_id(spark, sf_dir):
 )
 def q_fingerprint(spark, sf_dir):
     """Document fingerprint over normalized text (functions/text.py)."""
-    return load(spark, sf_dir, "documents").select(
+    return load_parallel(spark, sf_dir, "documents").select(
         "doc_id", txt.fingerprint("text").alias("fp")
     )
 
@@ -216,7 +216,7 @@ def q_fingerprint(spark, sf_dir):
 )
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: 16-byte content hash shuffles, never the text."""
-    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return exact_dedup(load_parallel(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(
@@ -233,7 +233,7 @@ def q_minhash_signatures(spark, sf_dir):
     (token array → narrow projection). The layout that survives the
     64-128 permutations production dedup runs at 100 TB."""
     return minhash_signatures_universal(
-        load(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
+        load_parallel(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
     )
 
 
@@ -255,7 +255,7 @@ def q_lsh_candidates(spark, sf_dir):
     """LSH banding (4 bands × 2 rows): candidate pairs via equi-join on
     (band_idx, band_hash) — the quadratic-to-linear trick."""
     sigs = minhash_signatures_universal(
-        load(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
+        load_parallel(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
     )
     return lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
 
@@ -296,7 +296,7 @@ def q_lsh_candidates_capped(spark, sf_dir):
     is sized to bite at oracle scale, making the driver row witness
     the pruning itself."""
     sigs = minhash_signatures_universal(
-        load(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
+        load_parallel(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
     )
     return lsh_candidate_pairs(
         sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND, max_bucket=_MAX_BUCKET
@@ -324,7 +324,7 @@ def q_lsh_candidates_capped(spark, sf_dir):
 def q_jaccard_pairs(spark, sf_dir):
     """Exact token-set Jaccard (bounded subset — the verification
     kernel LSH candidates feed into at scale)."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs = load_parallel(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     return jaccard_pairs(docs, "doc_id", "text")
 
 
@@ -361,7 +361,7 @@ def q_jaccard_pairs(spark, sf_dir):
 def q_near_dup_pairs(spark, sf_dir):
     """Full near-dup pipeline: universal-hash MinHash → LSH candidates
     → exact Jaccard verification ≥ 0.5 — the production dedup chain."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     jac = jaccard_pairs(docs, "doc_id", "text", pairs=cand)
@@ -429,7 +429,7 @@ def q_dedup_clusters(spark, sf_dir):
     different algorithms whose agreement checks both."""
     from lakehouse_ecommerce_etl_pipeline_spark.llm.components import dedup_keep_list
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     pairs = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
@@ -441,7 +441,7 @@ def q_dedup_clusters(spark, sf_dir):
 @register("q_simhash")  # rows-only: xxhash64 has no DuckDB twin
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (JVM xxhash64 bit votes)."""
-    return simhash(load(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+    return simhash(load_parallel(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
 
 
 # ------------------------------------------------------ similarity
@@ -531,5 +531,5 @@ def q_multimodal_meta(spark, sf_dir):
     id→(dims, color) construction makes the decoded stats
     SQL-derivable, so this is a VALUE oracle over a genuine decode
     kernel — no stub, no fake."""
-    imgs = synthetic_images(load(spark, sf_dir, "documents"))
+    imgs = synthetic_images(load_parallel(spark, sf_dir, "documents"))
     return extract_image_stats(imgs)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.functions.text import normalize_text
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load_parallel
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 _K = 8  # shingle width (tokens)
@@ -82,7 +82,7 @@ def q_dup_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange ever exists — the explode feeds the per-shingle count
     directly and only 16-byte hashes cross the two remaining
     partial-aggregable exchanges."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     sh = docs.select(
         F.explode(F.array_distinct(shingle_hashes("text"))).alias("sh")
     )
@@ -145,7 +145,7 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-grain. Position expansion (start → start..start+k-1) happens
     IN-ROW after the aggregation (flatten/transform), not as an
     8×-wider exchange."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     toks = F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
 
     # (doc_id, 1-based start, shingle hash) — duplicates preserved
@@ -177,6 +177,19 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.flatten(F.transform("starts", lambda s: F.sequence(s, s + (_K - 1))))
     )
     empty = F.array().cast("array<int>")
+    # rebuild via position-set subtraction: array_except is hash-based
+    # O(n + |covered|), vs the old per-token array_contains filter's
+    # O(n · |covered|) — boilerplate-heavy docs with thousands of
+    # covered slots made that quadratic term the whole query's cost.
+    # array_except preserves first-array order, so kept positions stay
+    # ascending and the surviving token sequence is order-exact.
+    # sequence(1, 0) would generate a DESCENDING [1, 0] for an empty
+    # token array — guard the degenerate doc explicitly
+    all_pos = F.when(
+        F.size("tk") > 0, F.sequence(F.lit(1), F.size("tk"))
+    ).otherwise(empty)
+    kept_pos = F.array_except(all_pos, F.coalesce(covered, empty))
+    tk = F.col("tk")
     return (
         docs.select("doc_id", toks.alias("tk"))
         .join(cov, "doc_id", "left")
@@ -187,12 +200,7 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(
                 F.concat_ws(
                     " ",
-                    F.filter(
-                        "tk",
-                        lambda t, i: ~F.array_contains(
-                            F.coalesce(covered, empty), i + 1
-                        ),
-                    ),
+                    F.transform(kept_pos, lambda i: F.element_at(tk, i)),
                 )
             ).alias("kept_md5"),
         )
