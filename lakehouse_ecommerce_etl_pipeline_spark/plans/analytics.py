@@ -170,14 +170,37 @@ def q_count_distinct(spark, sf_dir):
     )
 
 
-@register("q_approx_count_distinct")  # rows-only: HLL estimates are engine-specific
+@register(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+           TRUE AS within_3rsd
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_approx_count_distinct(spark, sf_dir):
-    """HLL++ sketch — single pass, mergeable, the 100 TB alternative to
-    exact count-distinct's double shuffle."""
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey").alias("n_customers_approx"))
+    """HLL++ sketch — single pass, mergeable, the 100 TB alternative
+    to exact count-distinct's double shuffle. Value-oracled as a
+    TOLERANCE CONTRACT (the estimate itself is engine-specific, so it
+    cannot cross engines — but its accuracy promise can): the query
+    emits the exact distinct count plus whether the sketch landed
+    within 3× its configured rsd (0.05 → 15 %), as an integer
+    cross-multiplied compare; the oracle asserts exact + TRUE. A
+    broken sketch (merge bug, register corruption) fails by value.
+    Same pinning pattern as q_freq_items' exact-regime sketch."""
+    o = load(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("n_approx")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers_exact")
+    )
+    diff = F.abs(F.col("n_approx") - F.col("n_customers_exact"))
+    return approx.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_customers_exact",
+        (diff * 100 <= F.col("n_customers_exact") * 15).alias("within_3rsd"),
     )
 
 

@@ -218,13 +218,47 @@ def q_percentile(spark, sf_dir):
     )
 
 
-@register("q_percentile_approx")  # rows-only: sketch internals engine-specific
+@register(
+    "q_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.5) AS BIGINT) AS p50_exact_disc,
+           TRUE AS within_rank_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_percentile_approx(spark, sf_dir):
-    """KLL/GK-style approximate percentile — single pass, mergeable,
-    the scale path for quantiles."""
+    """GK-style approximate percentile — single pass, mergeable, the
+    scale path for quantiles. Value-oracled as a RANK-ERROR CONTRACT
+    (the sketch's pick is engine-specific; its hard guarantee is
+    not): percentile_approx(accuracy=1000) promises an element whose
+    rank is within n/1000 of the target, so the query checks that the
+    returned value's rank interval [#{< v} + 1, #{≤ v}] intersects
+    [⌈n/2⌉ − n/1000 − 1, ⌈n/2⌉ + n/1000 + 1] — pure integer
+    arithmetic — and emits the exact discrete median beside the
+    boolean; the oracle asserts exact + TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 1000).alias("p50_approx")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("v")
+    )
+    ranks = li.join(F.broadcast(approx), "l_returnflag").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") < F.col("v")).cast("long")).alias("lt"),
+        F.sum((F.col("l_quantity") <= F.col("v")).cast("long")).alias("le"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+        .cast("bigint")
+        .alias("p50_exact_disc")
+    )
+    n = F.col("n")
+    target = F.ceil(n / 2)
+    err = F.floor(n / 1000) + 1
+    ok = (F.col("lt") + 1 <= target + err) & (F.col("le") >= target - err)
+    return ranks.join(exact, "l_returnflag").select(
+        "l_returnflag", "p50_exact_disc", ok.alias("within_rank_bound")
     )
 
 
