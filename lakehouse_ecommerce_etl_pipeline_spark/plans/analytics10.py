@@ -176,7 +176,14 @@ def q_funnel_ordered(spark, sf_dir):
     )
 
 
-@register("q_hll_mergeable")  # rows-only: DataSketches HLL is Spark-specific
+@register(
+    "q_hll_mergeable",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_tolerance
+    FROM events
+    """,
+)
 def q_hll_mergeable(spark, sf_dir):
     """Mergeable distinct-count sketches: build one DataSketches HLL
     sketch of user_id PER event_type (hll_sketch_agg), then union the
@@ -186,13 +193,23 @@ def q_hll_mergeable(spark, sf_dir):
     partial sketches are tiny (KBs), merge is associative, so per-
     partition / per-day sketches can be stored and re-merged for any
     rollup without touching raw data (the cube problem for COUNT
-    DISTINCT). Tolerance-checked in pytest against the exact count."""
+    DISTINCT). Value-oracled as a TOLERANCE CONTRACT (same pattern as
+    q_approx_count_distinct): the merged-sketch estimate must land
+    within 15 % of the exact global distinct count — integer
+    cross-multiplied, so a merge bug or register corruption fails by
+    value while the engine-specific estimate never crosses engines."""
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch")
     )
-    return per_type.agg(
+    merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch"))
         .cast("bigint")
-        .alias("approx_distinct_users")
+        .alias("n_approx")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    diff = F.abs(F.col("n_approx") - F.col("n_exact"))
+    return merged.crossJoin(exact).select(
+        "n_exact",
+        (diff * 100 <= F.col("n_exact") * 15).alias("within_tolerance"),
     )
