@@ -236,8 +236,13 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("rn_b") == F.col("rn_b2")),
         )
-        .withColumn("dist", F.levenshtein("pfx_a", "pfx_b").cast("int"))
-        .filter(F.col("dist") <= _MAXDIST)
+        # banded levenshtein (returns -1 past _MAXDIST): identical
+        # emitted distances, ~6x fewer DP cells than the full matrix
+        .withColumn(
+            "dist",
+            F.levenshtein("pfx_a", "pfx_b", _MAXDIST).cast("int"),
+        )
+        .filter(F.col("dist") >= 0)
         .select(
             "id_a",
             "id_b",

@@ -72,8 +72,13 @@ def q_fuzzy_editdist_pairs(spark, sf_dir):
             & (F.col("blk_a") == F.col("blk_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .withColumn("dist", F.levenshtein("pfx_a", "pfx_b").cast("int"))
-        .filter(F.col("dist") <= 10)
+        # threshold-bounded levenshtein: banded O(len*maxdist) DP that
+        # returns -1 past the bound — same emitted distances as the
+        # unbounded oracle form, ~6x fewer DP cells at maxdist 10
+        .withColumn(
+            "dist", F.levenshtein("pfx_a", "pfx_b", 10).cast("int")
+        )
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 
