@@ -90,9 +90,10 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tk.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    dl = tk.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
-    )
+    # dl = Σ tf per doc: rolls up from the tf aggregate instead of
+    # re-tokenizing the corpus — the tokenize+exchange is computed
+    # once and reused (ReusedExchange) by all three consumers
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     corpus = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
