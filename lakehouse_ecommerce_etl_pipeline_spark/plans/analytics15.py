@@ -393,8 +393,13 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spark.sql.optimizer.runtime.bloomFilter.*), written out as
     operators because at 100 TB you want to build the filter ONCE and
     persist it across incremental loads, which the optimizer-injected
-    version can't do. Fact rows never shuffle: the filter and the
-    candidate key set both broadcast."""
+    version can't do. Fact rows NEVER shuffle and fact KEYS never
+    shuffle either: the ~2048-word filter densifies into one
+    array<bigint> row that cross-broadcasts onto the fact scan, and
+    every row tests its k bits in a map-side projection (O(1)
+    element_at per probe) — the round-3 form routed a DISTINCT of all
+    fact keys through an exchange first, which became the query's
+    entire growth term at sf1 (the probe side is the 100 TB side)."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     seeds = F.array(*[F.lit(i) for i in range(_BLOOM_HASHES)])
@@ -411,25 +416,39 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
     )
+    # densify the sparse (word, mask) rows into ONE array<bigint> row
+    # (index = word); computed once on the 1-row side of the broadcast
+    bloom_row = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_BITS // 64 - 1)),
+            lambda w: F.coalesce(
+                F.try_element_at(F.col("m"), w.cast("long")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bloom")
+    )
 
-    probe = (
-        li.select(F.col("l_orderkey").alias("k"))
-        .distinct()
-        .select("k", F.explode(seeds).alias("seed"))
-        .selectExpr("k", "seed", f"pmod(xxhash64(seed, k), {_BLOOM_BITS}L) AS pos")
-        .selectExpr("k", "seed", "pos div 64 AS word", "CAST(pos % 64 AS INT) AS bit")
-    )
-    candidates = (
-        probe.join(F.broadcast(words), "word")
-        .filter(F.expr("(mask & shiftleft(1L, bit)) != 0"))
-        .groupBy("k")
-        .agg(F.count_distinct("seed").alias("nh"))
-        .filter(F.col("nh") == _BLOOM_HASHES)
-        .select("k")
-    )
-    pruned = li.join(
-        F.broadcast(candidates), li["l_orderkey"] == candidates["k"], "leftsemi"
-    )
+    # map-side probe: k hash positions per fact row, k O(1) bit tests
+    # against the broadcast array — no distinct, no probe-side exchange
+    lic = li.join(F.broadcast(bloom_row))
+    pos_cols = []
+    for i in range(_BLOOM_HASHES):
+        lic = lic.withColumn(
+            f"_p{i}",
+            F.expr(f"pmod(xxhash64({i}, l_orderkey), {_BLOOM_BITS}L)"),
+        )
+        pos_cols.append(f"_p{i}")
+    cond = None
+    for c in pos_cols:
+        ok = F.expr(
+            f"(element_at(bloom, CAST({c} div 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST({c} % 64 AS INT))) != 0"
+        )
+        cond = ok if cond is None else (cond & ok)
+    pruned = lic.filter(cond).drop("bloom", *pos_cols)
+
     exact = pruned.join(
         F.broadcast(dim), pruned["l_orderkey"] == dim["k"], "leftsemi"
     )

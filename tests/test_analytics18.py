@@ -78,9 +78,11 @@ def _plan(spark, name: str) -> str:
 
 def test_bloom_prune_broadcasts_filter_and_dim(spark):
     plan = _plan(spark, "q_bloom_prefilter_join")
-    # the word table, candidate set, and exact dim all broadcast —
-    # lineitem never shuffles
-    assert plan.count("BroadcastHashJoin") >= 3
+    # r4 shape: the densified filter cross-broadcasts as ONE row
+    # (BroadcastNestedLoopJoin), the exact dim broadcasts for the
+    # semi join — lineitem rows AND keys never cross an exchange
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
 
 
