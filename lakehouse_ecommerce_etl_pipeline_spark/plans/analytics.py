@@ -23,7 +23,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.operators.windows import (
     with_lag,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.functions.json import json_get
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, load_parallel
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 
@@ -371,8 +371,13 @@ def q_sessionize(spark, sf_dir):
 )
 def q_json_extract(spark, sf_dir):
     """JSON field extraction from `events.props` — JVM-side
-    get_json_object (SURVEY.md §2.9 extension)."""
-    return load(spark, sf_dir, "events").select(
+    get_json_object (SURVEY.md §2.9 extension).
+
+    load_parallel: the events parquet is 1-3 row groups at test SFs,
+    so the CPU-bound JSON parse would serialize on as many cores —
+    repartition by CPU cost, not bytes (see _helpers.load_parallel).
+    Measured 2.0 -> 1.1 s at sf1."""
+    return load_parallel(spark, sf_dir, "events").select(
         "event_id", json_get("props", "k").cast("int").alias("k")
     )
 
