@@ -20,6 +20,7 @@ KEY_MARKERS = [
     "PushedFilters",
     "ReadSchema",
     "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
     "SortMergeJoin",
     "ShuffledHashJoin",
     "Exchange",
@@ -80,6 +81,15 @@ DEFAULT_QUERIES = [
     "q_tree_rollup",
     "q_interval_union_length",
     "q_nearest_view_join",
+    # round-4 additions
+    "q_bloom_prefilter_join",
+    "q_bm25_topk",
+    "q_entity_ids",
+    "q_dup_span_removal",
+    "q_point_in_polygon",
+    "q_char_ioc",
+    "q_functional_deps",
+    "q_candidate_keys",
 ]
 
 
