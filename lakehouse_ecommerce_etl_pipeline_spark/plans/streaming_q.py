@@ -193,3 +193,67 @@ def q_stream_interval_join(spark, sf_dir):
     )
 
     return stream_interval_join(spark, events_parquet_path(spark, sf_dir))
+
+
+@register(
+    "q_stream_late_drop",
+    oracle="""
+    WITH ev AS (
+      SELECT ts,
+             CASE WHEN ts >= TIMESTAMP '2024-01-04 00:00:00'
+                       AND ts < TIMESTAMP '2024-01-11 00:00:00'
+                       AND event_id % 3 = 1 THEN 2
+                  WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
+                  WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1
+                  ELSE 2 END AS b
+      FROM events
+    ),
+    m AS (SELECT b, MAX(ts) AS mx FROM ev GROUP BY b),
+    wm AS (
+      SELECT b,
+             MAX(mx) OVER (
+               ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
+             ) - INTERVAL 3 DAY AS wmk
+      FROM m
+    ),
+    kept AS (
+      SELECT e.ts FROM ev e JOIN wm w ON w.b = e.b
+      WHERE w.wmk IS NULL
+         OR date_trunc('day', e.ts) + INTERVAL 1 DAY > w.wmk
+    ),
+    fw AS (SELECT MAX(ts) - INTERVAL 3 DAY AS f FROM ev)
+    SELECT date_trunc('day', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT f FROM fw)
+    GROUP BY 1
+    """,
+)
+def q_stream_late_drop(spark, sf_dir):
+    """Watermark LATE-DROP semantics, value-pinned: the events table
+    arrives as three deterministic files (thirds by time; a straggler
+    cohort arrives TWO batches after its event time), drained through
+    a watermarked (3 d) daily-window count in append mode. The oracle
+    unrolls the measured microbatch semantics exactly — the watermark
+    applies one batch late (rows of batch b are admitted against
+    cummax(event time through batch b-2) - delay), the drop predicate
+    is on WINDOW END, and the sink holds exactly the windows with
+    window_end <= max(event time) - delay (availableNow's final
+    no-data batch flushes them). Straggler rows in old-enough windows
+    are genuinely DROPPED (841 of 1000 rows survive at sf0.001) — the
+    first tier to value-check the drop itself, not just stream/batch
+    parity on fully-ordered input. Semantics derivation:
+    streaming/late.py module docstring."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        load,
+        work_dir,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.late import (
+        windowed_counts_late_drop,
+    )
+
+    return windowed_counts_late_drop(
+        spark,
+        load(spark, sf_dir, "events"),
+        work_dir(sf_dir, "stream_late_drop"),
+    )
