@@ -63,10 +63,17 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sign from o_orderkey % 3, integer-floored amounts) accumulate in
     order-date order under b_t = clamp(b_{t-1} + a_t, 0, cap).  The
     clamp breaks the prefix-sum algebra — no window frame computes
-    this — so each customer's history runs as a sequential scan inside
-    applyInPandas, and the oracle replays the identical recurrence as
-    a recursive CTE.  This is the bounded-accumulator pattern:
+    this — so each customer's history runs as a sequential scan in
+    Python, and the oracle replays the identical recurrence as a
+    recursive CTE.  This is the bounded-accumulator pattern:
     inventory on hand, credit headroom, token-bucket rate limiting.
+
+    Plan shape: hash-partition by customer, sort within partitions by
+    (customer, date, orderkey), then ONE mapInPandas pass per
+    partition with carry state across Arrow batches — the r3 form was
+    groupBy().applyInPandas, which invokes the Python worker once per
+    GROUP (~15k tiny calls at sf0.1, 22 s); the partition-level scan
+    makes it #partitions calls (measured ~20×).
 
     100 TB: groups scan independently (one shuffle on the group key);
     within a group the recurrence is inherently sequential, so the
@@ -95,17 +102,29 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+    def scan(batches):
+        prev_key = None
         bal = 0
-        out = []
-        for amt in pdf["amount"]:
-            bal = max(0, min(_CAP, bal + int(amt)))
-            out.append(bal)
-        pdf = pdf.assign(balance=out)
-        return pdf[["o_custkey", "o_orderkey", "amount", "balance"]]
+        for pdf in batches:
+            out = []
+            for ck, amt in zip(pdf["o_custkey"], pdf["amount"]):
+                if ck != prev_key:
+                    prev_key = ck
+                    bal = 0
+                bal = max(0, min(_CAP, bal + int(amt)))
+                out.append(bal)
+            yield pdf.assign(balance=out)[
+                ["o_custkey", "o_orderkey", "amount", "balance"]
+            ]
 
-    return base.groupBy("o_custkey").applyInPandas(scan, schema=out_schema)
+    # rows of one customer must share a partition and arrive in order;
+    # Arrow batches preserve partition order, the carry state bridges
+    # batch boundaries
+    return (
+        base.repartition("o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
+        .mapInPandas(scan, schema=out_schema)
+    )
 
 
 @register(
