@@ -426,16 +426,40 @@ def q_dedup_clusters(spark, sf_dir):
     drop). Spark runs iterative min-label propagation
     (llm/components.py, joins + localCheckpoint per round); the oracle
     is DuckDB's recursive-CTE transitive closure — two entirely
-    different algorithms whose agreement checks both."""
-    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import dedup_keep_list
+    different algorithms whose agreement checks both.
+
+    r4: the chain runs on exact-dedup REPRESENTATIVES (one per
+    distinct token set, token_set_reps) and component labels expand
+    back through rep_id — bit-equivalent (identical-set docs form
+    cliques with identical neighborhoods; rep = group min) and linear
+    in distinct texts instead of quadratic in duplicates: 8.08 M
+    verified pairs → ~10³ at sf0.1, 73 s → ~4 s warm."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        connected_components,
+        token_set_reps,
+    )
 
     docs = load_parallel(spark, sf_dir, "documents")
-    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
+    m = token_set_reps(docs, "doc_id", "text")
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
-    pairs = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
+    pairs = jaccard_pairs(rep_docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= 0.5
     )
-    return dedup_keep_list(docs, pairs.select("id_a", "id_b"), "doc_id")
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        m.join(comp, m["rep_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("rep_id")).alias("component"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("component"))
+    )
 
 
 @register("q_simhash")  # rows-only: xxhash64 has no DuckDB twin

@@ -166,7 +166,8 @@ def q_dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation. With q_near_dup_pairs_md5 this keeps the whole
     chain independently proven on BOTH permutation families."""
     from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
-        dedup_keep_list,
+        connected_components,
+        token_set_reps,
     )
     from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
         jaccard_pairs,
@@ -174,12 +175,29 @@ def q_dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", 8)
+    # exact-dedup collapse (token_set_reps) — the md5 family's
+    # signatures are also pure functions of the token set, so the
+    # rep-level chain + expansion is bit-equivalent here too
+    m = token_set_reps(docs, "doc_id", "text")
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures(rep_docs, "doc_id", "text", 8)
     cand = lsh_candidate_pairs(sigs, "doc_id", 8, 2)
-    pairs = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
+    pairs = jaccard_pairs(rep_docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= 0.5
     )
-    return dedup_keep_list(docs, pairs.select("id_a", "id_b"), "doc_id")
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        m.join(comp, m["rep_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("rep_id")).alias("component"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("component"))
+    )
 
 
 @register(

@@ -102,10 +102,25 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     subgraph while the full-corpus seed is one distinct projection.
     Keep-list application is then a broadcast anti-join of the
     non-representatives against the corpus."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
+    # r4: mine pairs and run the fixpoint on exact-dedup
+    # REPRESENTATIVES (one per distinct token set), expand labels
+    # through rep_id afterwards — bit-equivalent (identical-set docs
+    # are cliques with identical neighborhoods; rep = group min) and
+    # linear in distinct texts instead of quadratic in duplicates
+    m = token_set_reps(docs, "doc_id", "text").persist()
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
-    dup = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
+    dup = jaccard_pairs(rep_docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= _THRESH
     )
     edges = dup.select(
@@ -114,9 +129,12 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     ed = edges.repartition("dst").persist()
-    lbl = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
-    ).persist()
+    lbl = (
+        m.select(F.col("rep_id").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
     lbl.count()
     for _ in range(_MAX_ROUNDS):
         msgs = ed.join(F.broadcast(lbl), ed["src"] == lbl["node"]).select(
@@ -156,14 +174,12 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"min-label propagation did not converge within "
             f"{_MAX_ROUNDS} rounds (graph diameter exceeds the cap)"
         )
-    out = spill_final(
-        lbl.select(
-            F.col("node").alias("doc_id"),
-            F.col("lbl").alias("cluster"),
-            (F.col("node") == F.col("lbl")).alias("is_representative"),
-        ),
-        sf_dir,
-        "near_dup_clusters",
+    expanded = m.join(lbl, m["rep_id"] == lbl["node"]).select(
+        "doc_id",
+        F.col("lbl").alias("cluster"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_representative"),
     )
+    out = spill_final(expanded, sf_dir, "near_dup_clusters")
     lbl.unpersist()
+    m.unpersist()
     return out
