@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     minhash_signatures,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, load_parallel
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 # identical normalization to plans/llm.py's _tok_cte (functions/text.
@@ -174,7 +174,7 @@ def q_dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidate_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     # exact-dedup collapse (token_set_reps) — the md5 family's
     # signatures are also pure functions of the token set, so the
     # rep-level chain + expansion is bit-equivalent here too

@@ -26,7 +26,11 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_signatures_universal,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, spill_final
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    load,
+    load_parallel,
+    spill_final,
+)
 from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
     _BANDS_UNION,
     _NUM_HASHES,
@@ -106,7 +110,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_set_reps,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     # r4: mine pairs and run the fixpoint on exact-dedup
     # REPRESENTATIVES (one per distinct token set), expand labels
     # through rep_id afterwards — bit-equivalent (identical-set docs
