@@ -176,30 +176,60 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pressure, not just that duplicates exist. The rate is one IEEE
     division of exact counts.
 
-    100 TB: the pair chain is LSH-bounded; the involved-doc set is a
-    distinct projection of the pair list, semi-joined back to the
-    corpus (broadcast when small). The per-source rollup rides the
-    corpus scan that ingestion accounting already pays."""
-    docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
+    100 TB: r4 rep-collapse — a document sits in ≥1 verified pair iff
+    its distinct-token-set GROUP has ≥2 members (an identical twin is
+    a Jaccard-1 pair) OR its representative has a verified pair at
+    rep level, so the quadratic pair list never materializes; the
+    chain runs on one rep per distinct set (token_set_reps) and the
+    verdict joins back through rep_id. The per-source rollup rides
+    the corpus scan that ingestion accounting already pays."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        load_parallel,
+    )
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    m = token_set_reps(docs, "doc_id", "text")
+    gs = m.groupBy("rep_id").agg(F.count(F.lit(1)).alias("gsz"))
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
-    dup = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
+    dup = jaccard_pairs(rep_docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= _THRESH
     )
-    dup_docs = (
-        dup.select(F.col("id_a").alias("doc_id"))
-        .unionByName(dup.select(F.col("id_b").alias("doc_id")))
+    rep_dup = (
+        dup.select(F.col("id_a").alias("rep_id"))
+        .unionByName(dup.select(F.col("id_b").alias("rep_id")))
         .distinct()
-        .withColumn("is_dup", F.lit(True))
+        .withColumn("rep_hit", F.lit(True))
+    )
+    # gs/rep_dup are rep-grain (corpus-scale at 100 TB): shuffle joins
+    # on rep_id, with AQE free to demote to broadcast at small SF
+    flags = (
+        m.join(gs, "rep_id")
+        .join(rep_dup, "rep_id", "left")
+        .select(
+            "doc_id",
+            ((F.col("gsz") >= 2) | F.col("rep_hit").isNotNull()).alias(
+                "is_dup"
+            ),
+        )
     )
     return (
-        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.count_if(F.col("is_dup").isNotNull()).alias("n_dup_docs"),
+            F.count_if(F.col("is_dup")).alias("n_dup_docs"),
             (
-                F.count_if(F.col("is_dup").isNotNull()).cast("double")
+                F.count_if(F.col("is_dup")).cast("double")
                 / F.count(F.lit(1)).cast("double")
             ).alias("dup_rate"),
         )
