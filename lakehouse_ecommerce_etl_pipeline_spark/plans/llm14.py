@@ -69,18 +69,32 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     small fraction of the corpus; each round localCheckpoints so the
     iterated lineage never compounds.  Downstream keep-list
     application is a broadcast anti-join, exactly as in
-    q_corpus_keep_list."""
+    q_corpus_keep_list.
+
+    r4 rep-collapse (the text chain's trick, applied to vectors):
+    cosine is a pure function of the vectors, so IDENTICAL embeddings
+    form cliques with identical neighborhoods — the pair mine and the
+    fixpoint run on one representative per distinct vector (group by
+    the array itself; rep = min vec_id) and component labels expand
+    back through the rep map, bit-equivalent to the full run.  On a
+    replica-heavy corpus this is the difference between quadratic in
+    copies and quadratic in distinct vectors: sf1 990 s → seconds."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = cosine_near_dup_pairs_blocked(emb, _COS_THRESH).select(
+    m = emb.select("vec_id", "embedding")
+    reps = m.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    mm = m.join(reps, "embedding").select("vec_id", "rep_id")
+    rep_emb = (
+        emb.join(mm, "vec_id")
+        .filter(F.col("vec_id") == F.col("rep_id"))
+        .select("vec_id", "embedding")
+    )
+    pairs = cosine_near_dup_pairs_blocked(rep_emb, _COS_THRESH).select(
         "id_a", "id_b"
     )
     comp = connected_components(pairs)
-    nodes = emb.select(F.col("vec_id"))
-    out = nodes.join(
-        comp, nodes["vec_id"] == comp["node"], "left"
-    ).select(
+    out = mm.join(comp, mm["rep_id"] == comp["node"], "left").select(
         "vec_id",
-        F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster"),
+        F.coalesce(F.col("component"), F.col("rep_id")).alias("cluster"),
     )
     return out.select(
         "vec_id",
