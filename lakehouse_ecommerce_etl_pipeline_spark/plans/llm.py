@@ -516,8 +516,51 @@ def q_embedding_near_dup(spark, sf_dir):
     pruning + in-cell exact verify (llm/similarity.py
     cosine_near_dup_pairs_blocked) — identical result to the all-pairs
     crossJoin, which survives only as the oracle/pytest cross-check
-    (cosine_near_dup_pairs)."""
-    return cosine_near_dup_pairs_blocked(load(spark, sf_dir, "embeddings"), 0.8)
+    (cosine_near_dup_pairs).
+
+    r4 rep-collapse + expansion: cosine is a pure function of the
+    vectors, so the verify kernel runs once per DISTINCT vector pair;
+    surviving rep pairs expand back to member pairs by two equi-joins
+    (same rounded cosine — identical operands), and identical-vector
+    groups emit their within-group pairs at cosine 1 directly.  The
+    OUTPUT stays quadratic in duplicate-group size (it is the pair
+    list); the COMPUTE no longer is — sf1 went from >30 min of
+    in-cell verifies to the distinct-vector workload."""
+    emb = load(spark, sf_dir, "embeddings")
+    m = emb.select("vec_id", "embedding")
+    reps = m.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    mm = m.join(reps, "embedding").select("vec_id", "rep_id")
+    rep_emb = (
+        emb.join(mm, "vec_id")
+        .filter(F.col("vec_id") == F.col("rep_id"))
+        .select("vec_id", "embedding")
+    )
+    rp = cosine_near_dup_pairs_blocked(rep_emb, 0.8)
+    ma = mm.select(F.col("vec_id").alias("u"), F.col("rep_id").alias("id_a"))
+    mb = mm.select(F.col("vec_id").alias("v"), F.col("rep_id").alias("id_b"))
+    cross = (
+        rp.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+            "cosine_sim",
+        )
+    )
+    within = (
+        mm.alias("x")
+        .join(
+            mm.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.lit(1.0).alias("cosine_sim"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @register("q_ann_ivf")  # rows-only: approximate by construction
