@@ -28,7 +28,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
     lsh_probe_pairs,
     minhash_signatures_universal,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, work_dir
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, load_parallel, work_dir
 from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
     _BANDS_UNION,
     _NUM_HASHES,
@@ -109,29 +109,65 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan.  Verification joins token arrays only for colliding
     pairs.  This is the operator that turns the batch dedup family
     into a PIPELINE: run per ingest, append survivors, append their
-    bands to the index."""
-    docs = load(spark, sf_dir, "documents")
+    bands to the index.
+
+    r4 rep-collapse on BOTH sides: signatures/bands/Jaccard are pure
+    functions of the token set, so probing and verification run once
+    per distinct (batch-rep, corpus-rep) pair, and the per-document
+    counts expand arithmetically — n_candidates/n_dups are Σ of the
+    colliding/verified corpus-groups' sizes, first_match is the min
+    verified corpus rep (= its group's min id).  Identical output,
+    but the verify volume is distinct-text-quadratic instead of
+    duplicate-quadratic (sf1: 755 s → seconds)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+
+    docs = load_parallel(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % _NEW_MOD == 0)
     old = docs.filter(F.col("doc_id") % _NEW_MOD != 0)
-    sig_new = minhash_signatures_universal(new, "doc_id", "text", _NUM_HASHES)
-    sig_old = minhash_signatures_universal(old, "doc_id", "text", _NUM_HASHES)
+    new_m = token_set_reps(new, "doc_id", "text")
+    old_m = token_set_reps(old, "doc_id", "text")
+    gs_old = old_m.groupBy("rep_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gsz")
+    )
+    new_reps = (
+        new.join(new_m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    old_reps = (
+        old.join(old_m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sig_new = minhash_signatures_universal(new_reps, "doc_id", "text", _NUM_HASHES)
+    sig_old = minhash_signatures_universal(old_reps, "doc_id", "text", _NUM_HASHES)
     cand = lsh_probe_pairs(
         sig_new, sig_old, "doc_id", _NUM_HASHES, _ROWS_PER_BAND
     )
     ver = jaccard_pairs(docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= _THRESH
     )
-    per_new = ver.groupBy(F.col("id_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
-        F.min("id_b").alias("first_match"),
+    per_brep_cand = (
+        cand.join(gs_old, cand["id_b"] == gs_old["rep_id"])
+        .groupBy("id_a")
+        .agg(F.sum("gsz").cast("bigint").alias("n_candidates"))
     )
-    cands_per_new = cand.groupBy(F.col("id_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    per_brep_ver = (
+        ver.join(gs_old, ver["id_b"] == gs_old["rep_id"])
+        .groupBy("id_a")
+        .agg(
+            F.sum("gsz").cast("bigint").alias("n_dups"),
+            F.min("id_b").alias("first_match"),
+        )
     )
     return (
-        new.select("doc_id")
-        .join(cands_per_new, "doc_id", "left")
-        .join(per_new, "doc_id", "left")
+        new_m.join(
+            per_brep_cand, new_m["rep_id"] == per_brep_cand["id_a"], "left"
+        )
+        .drop("id_a")
+        .join(per_brep_ver, new_m["rep_id"] == per_brep_ver["id_a"], "left")
         .select(
             "doc_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),

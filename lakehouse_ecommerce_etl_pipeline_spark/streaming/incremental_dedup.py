@@ -49,11 +49,31 @@ def dedup_batch_against_index(
     """Pure per-batch decision: batch docs with NO verified near-dup
     among prior survivors.  In-batch duplicates are resolved by the
     next batch (each batch's survivors join the index before the next
-    arrives), matching sequential-arrival semantics."""
+    arrives), matching sequential-arrival semantics.
+
+    r4 rep-collapse: the keep/drop verdict is EXISTENCE of a verified
+    match, and signatures/Jaccard are pure functions of the token
+    set — so the batch probes with one representative per distinct
+    set, colliding index docs collapse to their own reps before
+    verification, and a batch doc drops iff its rep drops.  Verify
+    volume is distinct-text pairs, not duplicate pairs.  (At real
+    scale the srep key would be persisted WITH the survivor index
+    instead of recomputed per batch.)"""
     if survivors is None or bands is None:
         return batch
-    sig = minhash_signatures_universal(batch, "doc_id", "text", _NUM_HASHES)
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+
+    mb = token_set_reps(batch, "doc_id", "text")
+    batch_reps = (
+        batch.join(mb, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sig = minhash_signatures_universal(batch_reps, "doc_id", "text", _NUM_HASHES)
     probe = lsh_band(sig, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+    msurv = token_set_reps(survivors, "doc_id", "text")
     cand = (
         probe.alias("a")
         .join(
@@ -64,17 +84,20 @@ def dedup_batch_against_index(
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
+        .join(msurv, F.col("id_b") == msurv["doc_id"])
+        .select("id_a", F.col("rep_id").alias("id_b"))
         .distinct()
     )
     corpus = batch.select("doc_id", "text").unionByName(
         survivors.select("doc_id", "text")
     )
-    dup_ids = (
+    dup_breps = (
         jaccard_pairs(corpus, "doc_id", "text", pairs=cand)
         .filter(F.col("jaccard") >= _THRESH)
-        .select(F.col("id_a").alias("doc_id"))
+        .select(F.col("id_a").alias("rep_id"))
         .distinct()
     )
+    dup_ids = mb.join(dup_breps, "rep_id").select("doc_id")
     return batch.join(dup_ids, "doc_id", "left_anti")
 
 
