@@ -120,11 +120,18 @@ def token_set_reps(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.filter(
         F.split(normalize_text(text_col), " "), lambda t: t != ""
     )
+    # an EMPTY token set produces no signature, no bands, and an
+    # undefined Jaccard — such documents are never paired in the full
+    # chain, so each must stay its OWN group (a per-doc key), not
+    # collapse with other empty docs
     keyed = docs.select(
         F.col(id_col),
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
-        ).alias("tkey"),
+        F.when(
+            F.size(toks) > 0,
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))),
+        )
+        .otherwise(F.concat(F.lit("empty:"), F.col(id_col).cast("string")))
+        .alias("tkey"),
     )
     reps = keyed.groupBy("tkey").agg(F.min(id_col).alias("rep_id"))
     return keyed.join(reps, "tkey").select(id_col, "rep_id")

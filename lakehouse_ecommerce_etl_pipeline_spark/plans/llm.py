@@ -253,11 +253,54 @@ def q_minhash_signatures(spark, sf_dir):
 )
 def q_lsh_candidates(spark, sf_dir):
     """LSH banding (4 bands × 2 rows): candidate pairs via equi-join on
-    (band_idx, band_hash) — the quadratic-to-linear trick."""
-    sigs = minhash_signatures_universal(
-        load_parallel(spark, sf_dir, "documents"), "doc_id", "text", _NUM_HASHES
+    (band_idx, band_hash) — the quadratic-to-linear trick.
+
+    r4 rep-collapse + expansion: identical token sets share every
+    band, so the band self-join runs on one rep per distinct set and
+    surviving rep pairs expand to member pairs by two equi-joins;
+    identical-set groups (with a non-empty set ⇒ bands exist) emit
+    their within-group pairs directly.  Output unchanged — the
+    distinct-over-quadratic-pairs exchange is what disappears."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
     )
-    return lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    m = token_set_reps(docs, "doc_id", "text")
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _NUM_HASHES)
+    rp = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+    ma = m.select(F.col("doc_id").alias("u"), F.col("rep_id").alias("id_a"))
+    mb = m.select(F.col("doc_id").alias("v"), F.col("rep_id").alias("id_b"))
+    cross = (
+        rp.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+        )
+    )
+    # within-group pairs share all bands; guard on a signature row so
+    # empty-token docs (no bands) never pair
+    with_sig = sigs.select(F.col("doc_id").alias("rep_id"))
+    within = (
+        m.join(with_sig, "rep_id")
+        .alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _MAX_BUCKET = 20  # small enough to BITE at sf0.001/sf0.01 — the
@@ -360,12 +403,57 @@ def q_jaccard_pairs(spark, sf_dir):
 )
 def q_near_dup_pairs(spark, sf_dir):
     """Full near-dup pipeline: universal-hash MinHash → LSH candidates
-    → exact Jaccard verification ≥ 0.5 — the production dedup chain."""
+    → exact Jaccard verification ≥ 0.5 — the production dedup chain.
+
+    r4 rep-collapse + expansion: the Jaccard verify runs once per
+    DISTINCT token-set pair; surviving rep pairs expand to member
+    pairs (same rounded value — identical operands) and identical-set
+    groups emit their within-group pairs at Jaccard exactly 1.0
+    (i = sa = sb ⇒ i/(sa+sb−i) = 1.0 bit-exact in both engines).
+    Output unchanged; the verify volume is distinct-text-quadratic."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+
     docs = load_parallel(spark, sf_dir, "documents")
-    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
+    m = token_set_reps(docs, "doc_id", "text")
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
-    jac = jaccard_pairs(docs, "doc_id", "text", pairs=cand)
-    return jac.filter(F.col("jaccard") >= 0.5)
+    rp = jaccard_pairs(rep_docs, "doc_id", "text", pairs=cand).filter(
+        F.col("jaccard") >= 0.5
+    )
+    ma = m.select(F.col("doc_id").alias("u"), F.col("rep_id").alias("id_a"))
+    mb = m.select(F.col("doc_id").alias("v"), F.col("rep_id").alias("id_b"))
+    cross = (
+        rp.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+            "jaccard",
+        )
+    )
+    with_sig = sigs.select(F.col("doc_id").alias("rep_id"))
+    within = (
+        m.join(with_sig, "rep_id")
+        .alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _NEAR_DUP_PAIRS_CTE = f"""
