@@ -233,9 +233,55 @@ def q_near_dup_pairs_16band(spark: SparkSession, sf_dir: str) -> DataFrame:
     steeper S-curve: fewer false candidates reach the exact-Jaccard
     verifier, which is where the money goes at 100 TB), then exact
     Jaccard ≥ 0.5. Identical family-agnostic banding/verification
-    stages as production — only num_hashes/rows_per_band change."""
-    docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures_universal(docs, "doc_id", "text", _N64)
+    stages as production — only num_hashes/rows_per_band change.
+
+    r4 rep-collapse + expansion, as in q_near_dup_pairs: the 64-perm
+    signature build and the verify both run once per distinct token
+    set; surviving rep pairs expand to member pairs, identical-set
+    groups emit within-group pairs at Jaccard exactly 1.0."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        load_parallel,
+    )
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    m = token_set_reps(docs, "doc_id", "text")
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _N64)
     cand = lsh_candidate_pairs(sigs, "doc_id", _N64, _R4)
-    jac = jaccard_pairs(docs, "doc_id", "text", pairs=cand)
-    return jac.filter(F.col("jaccard") >= 0.5)
+    rp = jaccard_pairs(rep_docs, "doc_id", "text", pairs=cand).filter(
+        F.col("jaccard") >= 0.5
+    )
+    ma = m.select(F.col("doc_id").alias("u"), F.col("rep_id").alias("id_a"))
+    mb = m.select(F.col("doc_id").alias("v"), F.col("rep_id").alias("id_b"))
+    cross = (
+        rp.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+            "jaccard",
+        )
+    )
+    with_sig = sigs.select(F.col("doc_id").alias("rep_id"))
+    within = (
+        m.join(with_sig, "rep_id")
+        .alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
