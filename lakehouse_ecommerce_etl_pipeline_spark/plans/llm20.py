@@ -95,16 +95,55 @@ def q_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_near_dup_pairs (universal family since round 4) — the
     cross-family witness that the band/verify stages are
     family-agnostic."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
     from lakehouse_ecommerce_etl_pipeline_spark.llm.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", 8)
+    # r4 rep-collapse + expansion (see q_near_dup_pairs): the md5
+    # signatures are pure functions of the token set too
+    docs = load_parallel(spark, sf_dir, "documents")
+    m = token_set_reps(docs, "doc_id", "text")
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures(rep_docs, "doc_id", "text", 8)
     cand = lsh_candidate_pairs(sigs, "doc_id", 8, 2)
-    jac = jaccard_pairs(docs, "doc_id", "text", pairs=cand)
-    return jac.filter(F.col("jaccard") >= 0.5)
+    rp = jaccard_pairs(rep_docs, "doc_id", "text", pairs=cand).filter(
+        F.col("jaccard") >= 0.5
+    )
+    ma = m.select(F.col("doc_id").alias("u"), F.col("rep_id").alias("id_a"))
+    mb = m.select(F.col("doc_id").alias("v"), F.col("rep_id").alias("id_b"))
+    cross = (
+        rp.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+            "jaccard",
+        )
+    )
+    with_sig = sigs.select(F.col("doc_id").alias("rep_id"))
+    within = (
+        m.join(with_sig, "rep_id")
+        .alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _MD5_ND_PAIRS_CTE = f"""
