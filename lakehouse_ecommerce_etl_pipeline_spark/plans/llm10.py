@@ -41,18 +41,29 @@ _SAMPLE_MOD = 16  # keep ~1/16 of all pairs, hash-selected
              list_transform(CAST(embedding AS DOUBLE[]), {_QUANT}) AS z
       FROM embeddings
     ),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.z AS za, b.z AS zb
-      FROM qz a JOIN qz b ON a.vec_id < b.vec_id
-      WHERE CAST(CONCAT('0x',
-              substring(md5(CAST(a.vec_id AS VARCHAR) || ':' ||
-                            CAST(b.vec_id AS VARCHAR)), 1, 6))
-            AS BIGINT) % {_SAMPLE_MOD} = 0
+    gated AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               (x2 * x2 + x2 * 69069 + 362437) % 2147483647 AS h
+        FROM (
+          SELECT id_a, id_b,
+                 (x1 * x1 + x1 * 1103515245 + 1013904223)
+                 % 2147483647 AS x2
+          FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ((a.vec_id % 2147483647) * 48271
+                    + (b.vec_id % 2147483647) * 16807 + 12345)
+                   % 2147483647 AS x1
+            FROM qz a JOIN qz b ON a.vec_id < b.vec_id
+          )
+        )
+      ) WHERE h % {_SAMPLE_MOD} = 0
     ),
     d AS (
-      SELECT CAST(list_sum(list_transform(list_zip(za, zb),
+      SELECT CAST(list_sum(list_transform(list_zip(a.z, b.z),
                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist_sq
-      FROM pairs
+      FROM gated g JOIN qz a ON a.vec_id = g.id_a
+                   JOIN qz b ON b.vec_id = g.id_b
     )
     SELECT CAST(floor(log2(dist_sq + 1)) AS BIGINT) AS log2_bucket,
            COUNT(*) AS n_pairs
@@ -70,53 +81,70 @@ def q_pairwise_distance_histogram(
     to cut at; a unimodal one means cosine cutoffs must be chosen by
     recall targets instead). Distances are integer (quantized
     embeddings), so the histogram is engine-exact; the pair sample is
-    hash-selected, so it is reproducible anywhere.
+    hash-selected (the same two-round quadratic congruential pair
+    mixer as q_negative_sampling — ~25× cheaper than md5 per pair,
+    and the gate runs N² times), so it is reproducible anywhere.
 
-    100 TB: never enumerate all pairs — the hash-gate is applied to
-    bucket-local candidates (LSH buckets or IVF cells) and the
-    histogram is a {_SAMPLE_MOD}-fold-smaller map-side-combined
-    count; the sf-small exact twin here keeps the cross join only to
-    oracle the bucketing rule."""
-    z = F.expr(f"transform(embedding, {_QUANT})").alias("z")
-    qz = load(spark, sf_dir, "embeddings").select("vec_id", z)
-    a = qz.select(F.col("vec_id").alias("id_a"), F.col("z").alias("za"))
-    b = qz.select(F.col("vec_id").alias("id_b"), F.col("z").alias("zb"))
-    gate = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("id_a").cast("string"),
-                        F.lit(":"),
-                        F.col("id_b").cast("string"),
-                    )
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _SAMPLE_MOD
-        == 0
+    100 TB shape (r4): the pair ENUMERATION carries only (id, rep)
+    ints and the gate — a codegen-only stream; gated pairs collapse
+    map-side into counts per DISTINCT-VECTOR pair, the distance
+    kernel runs once per rep pair, and the histogram is the
+    count-weighted rollup (duplicates never reach the vector math).
+    sf1: 420 s → tens of seconds; at real scale the gate is applied
+    to bucket-local candidates instead of all pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    mz = emb.select(
+        "vec_id", F.expr(f"transform(embedding, {_QUANT})").alias("z")
     )
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(gate)
+    reps = mz.groupBy("z").agg(F.min("vec_id").alias("rep_id"))
+    mm = mz.join(reps, "z").select("vec_id", "rep_id")
+    rz = (
+        mz.join(mm, "vec_id")
+        .filter(F.col("vec_id") == F.col("rep_id"))
+        .select(F.col("rep_id").alias("r"), "z")
+    )
+    # the N-row probe side fans out to N² gate evaluations — respread
+    # it so the enumeration occupies every core, not the upstream
+    # join's partition count
+    a = mm.select(
+        F.col("vec_id").alias("id_a"), F.col("rep_id").alias("ra")
+    ).repartition(spark.sparkContext.defaultParallelism * 2)
+    b = mm.select(F.col("vec_id").alias("id_b"), F.col("rep_id").alias("rb"))
+    p_mod = 2147483647
+    x1 = (
+        (F.col("id_a") % p_mod) * 48271
+        + (F.col("id_b") % p_mod) * 16807
+        + 12345
+    ) % p_mod
+    x2 = (x1 * x1 + x1 * 1103515245 + 1013904223) % p_mod
+    h = (x2 * x2 + x2 * 69069 + 362437) % p_mod
+    counts = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(h % _SAMPLE_MOD == 0)
+        .groupBy(
+            F.least("ra", "rb").alias("r1"),
+            F.greatest("ra", "rb").alias("r2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dist = (
+        counts.join(rz.select(F.col("r").alias("r1"), F.col("z").alias("za")), "r1")
+        .join(rz.select(F.col("r").alias("r2"), F.col("z").alias("zb")), "r2")
         .select(
+            "n",
             F.expr(
                 "aggregate(zip_with(za, zb, (x, y) -> (x - y) * (x - y)), "
                 "0L, (s, x) -> s + x)"
-            ).alias("dist_sq")
+            ).alias("dist_sq"),
         )
     )
     return (
-        pairs.groupBy(
+        dist.groupBy(
             F.floor(F.log2(F.col("dist_sq") + 1))
             .cast("bigint")
             .alias("log2_bucket")
         )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.sum("n").cast("bigint").alias("n_pairs"))
     )
 
 
