@@ -195,9 +195,27 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     choosing a band layout (agree/8 is the classical Jaccard
     estimator; this panel is its empirical bias on THIS corpus, in
     exact integers). All candidate generation, agreement counting,
-    and set intersection reuse the production chain's plan shapes."""
+    and set intersection reuse the production chain's plan shapes.
+
+    r4 rep-collapse, count-weighted: every bucketed value (agreement
+    count, |A∩B|, |A∪B|) is a pure function of the two token sets,
+    so the panel aggregates over DISTINCT-set rep pairs with weight
+    gszₐ·gsz_b (cross) and gsz·(gsz−1)/2 at n_agree = 8, inter = uni
+    = |set| (within identical-set groups) — identical sums, verify
+    volume linear in distinct texts (sf1: 425 s → seconds)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+
     docs = load_parallel(spark, sf_dir, "documents")
-    sigs = minhash_signatures_universal(docs, "doc_id", "text", _NUM_HASHES)
+    m = token_set_reps(docs, "doc_id", "text")
+    gs = m.groupBy("rep_id").agg(F.count(F.lit(1)).alias("gsz"))
+    rep_docs = (
+        docs.join(m, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
@@ -211,22 +229,44 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_NUM_HASHES):
         term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         agree = term if agree is None else agree + term
-    ta = token_array(docs, "doc_id", "text")
+    ta = token_array(rep_docs, "doc_id", "text")
     pa = ta.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
     pb = ta.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     uni = F.size("toks_a") + F.size("toks_b") - inter
-    return (
+    ga = gs.select(F.col("rep_id").alias("id_a"), F.col("gsz").alias("gsz_a"))
+    gb = gs.select(F.col("rep_id").alias("id_b"), F.col("gsz").alias("gsz_b"))
+    cross = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", agree.alias("n_agree"))
         .join(pa, "id_a")
         .join(pb, "id_b")
-        .select("n_agree", inter.alias("inter"), uni.alias("uni"))
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "n_agree",
+            (F.col("gsz_a") * F.col("gsz_b")).alias("w"),
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+    )
+    within = (
+        ta.join(gs.withColumnRenamed("rep_id", "doc_id"), "doc_id")
+        .filter(F.col("gsz") >= 2)
+        .select(
+            F.lit(_NUM_HASHES).alias("n_agree"),
+            (F.col("gsz") * (F.col("gsz") - 1) / 2).cast("long").alias("w"),
+            F.size("toks").alias("inter"),
+            F.size("toks").alias("uni"),
+        )
+    )
+    return (
+        cross.unionByName(within)
         .groupBy("n_agree")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum("inter").cast("bigint").alias("sum_inter"),
-            F.sum("uni").cast("bigint").alias("sum_union"),
+            F.sum("w").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("w") * F.col("inter")).cast("bigint").alias("sum_inter"),
+            F.sum(F.col("w") * F.col("uni")).cast("bigint").alias("sum_union"),
         )
     )
