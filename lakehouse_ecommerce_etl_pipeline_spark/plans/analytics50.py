@@ -61,6 +61,11 @@ def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-aggregated group-by on the closure.  The pattern to
     notice: ancestor closure + group-by turns ANY subtree aggregate
     into two relational ops."""
+    # the closure is n·⌈log₂ n⌉ rows — past Spark's default 1M
+    # recursion row guard from sf1 upward (200k parts × 18 levels);
+    # the guard exists for runaway recursion, not for a depth-bounded
+    # closure, so size it to the data
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     load(spark, sf_dir, "part").createOrReplaceTempView("part_tree")
     return spark.sql(_TREE_SQL.format(part="part_tree"))
 
