@@ -127,63 +127,30 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = jaccard_pairs(rep_docs, "doc_id", "text", pairs=cand).filter(
         F.col("jaccard") >= _THRESH
     )
-    edges = dup.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        dup.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # min-label propagation to convergence on the rep graph via the
+    # shared localCheckpoint loop (llm/components.py) — r4 retired
+    # this tier's per-round broadcast-join variant after measuring
+    # ~20 s/round of broadcast/convergence overhead on the 4.2M-edge
+    # sf1 rep graph vs ~2 s/round for the checkpointed loop; the cap
+    # is generous and connected_components' early exit fires on
+    # convergence (measured diameter ≤ 6 at every SF)
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        connected_components,
     )
-    ed = edges.repartition("dst").persist()
-    lbl = (
-        m.select(F.col("rep_id").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .persist()
+
+    comp = connected_components(
+        dup.select("id_a", "id_b"), max_iterations=_MAX_ROUNDS
     )
-    lbl.count()
-    for _ in range(_MAX_ROUNDS):
-        msgs = ed.join(F.broadcast(lbl), ed["src"] == lbl["node"]).select(
-            F.col("dst").alias("node"), "lbl"
+    expanded = (
+        m.join(comp, m["rep_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("rep_id")).alias("cluster"),
         )
-        nxt = (
-            msgs.unionByName(lbl)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .persist()
+        .withColumn(
+            "is_representative", F.col("doc_id") == F.col("cluster")
         )
-        # converged when no label moved this round — the min-label
-        # fixpoint is unique, so the loop is engine/partition-exact
-        changed = (
-            nxt.join(
-                lbl.select(
-                    F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
-                ),
-                nxt["node"] == F.col("p_node"),
-            )
-            .filter(F.col("lbl") != F.col("p_lbl"))
-            .count()
-        )
-        lbl.unpersist()
-        lbl = nxt
-        if changed == 0:
-            converged = True
-            break
-    else:
-        converged = False
-    ed.unpersist()
-    if not converged:
-        # an unconverged labeling would silently diverge from the
-        # recursive-CTE oracle on a graph with diameter > the cap
-        lbl.unpersist()
-        raise RuntimeError(
-            f"min-label propagation did not converge within "
-            f"{_MAX_ROUNDS} rounds (graph diameter exceeds the cap)"
-        )
-    expanded = m.join(lbl, m["rep_id"] == lbl["node"]).select(
-        "doc_id",
-        F.col("lbl").alias("cluster"),
-        (F.col("doc_id") == F.col("lbl")).alias("is_representative"),
     )
     out = spill_final(expanded, sf_dir, "near_dup_clusters")
-    lbl.unpersist()
     m.unpersist()
     return out
