@@ -32,8 +32,15 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL-safe only insofar as inputs are non-null."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity.  Zero-norm inputs yield NULL (undefined
+    angle) via try_divide — under Spark's default ANSI mode a plain
+    division would THROW DIVIDE_BY_ZERO on the first all-zero vector,
+    and NULL is the semantics every consumer wants anyway: a NULL
+    similarity never crosses a threshold filter and sorts last in
+    top-k descents, so undefined-cosine vectors never pair and never
+    rank.  For non-zero norms try_divide is the identical IEEE
+    division (bit-stable vs the oracle)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def lit_vector(vec: Sequence[float]) -> Column:

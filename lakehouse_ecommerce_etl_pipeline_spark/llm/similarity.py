@@ -62,6 +62,45 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
+def distinct_vector_reps(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Member→representative map over identical-vector groups, for the
+    rep-collapse plans (q_embedding_near_dup, q_embedding_clusters):
+    cosine is a pure function of the vectors, so pair mining and
+    fixpoints need only one representative (min id) per DISTINCT
+    vector, and results expand back through this map.
+
+    ZERO-NORM vectors are NOT collapsed — each keeps itself as rep.
+    Cosine is undefined on them, so the uncollapsed kernel never pairs
+    two zero vectors; collapsing them would make the expansion invent
+    within-group pairs at cosine 1 (and clusters would merge) that the
+    pre-collapse plan never emits.  Mirrors the empty-token-set guard
+    in the text chain's token_set_reps.
+
+    Returns ``(member_map, rep_vectors)``: member_map has
+    ``(id_col, rep_id)`` for EVERY input row; rep_vectors is the
+    deduplicated ``(id_col, vec_col)`` set the kernel should run on.
+    """
+    m = vectors.select(id_col, vec_col)
+    reps = (
+        m.filter(dot(vec_col, vec_col) > 0)
+        .groupBy(vec_col)
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+    member_map = m.join(reps, vec_col, "left").select(
+        id_col, F.coalesce("rep_id", F.col(id_col)).alias("rep_id")
+    )
+    rep_vectors = (
+        m.join(member_map, id_col)
+        .filter(F.col(id_col) == F.col("rep_id"))
+        .select(id_col, vec_col)
+    )
+    return member_map, rep_vectors
+
+
 def cosine_near_dup_pairs_blocked(
     vectors: DataFrame,
     threshold: float,

@@ -79,12 +79,19 @@ def asof_join(
     when a single key's history exceeds one task. If multiple right
     rows share (key, ts), pre-aggregate the right side to one row per
     (key, ts) for determinism.
+
+    Null keys follow SQL equality (like DuckDB/Snowflake ASOF JOIN's
+    by-clause): a null-key left row matches nothing and keeps null
+    value columns; null-key right rows are ignored.  Spark's
+    Window.partitionBy would otherwise group nulls together, so the
+    right side is null-filtered explicitly — both physical variants
+    (this and asof_join_pandas) pin the same contract, tested.
     """
     from pyspark.sql import Window
 
     vtypes = dict(right.dtypes)
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    r = right.select(
+    r = right.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
@@ -128,6 +135,13 @@ def asof_join_pandas(
     window form carries every right row through the sort); worse when
     a single BUCKET exceeds executor memory — then raise the bucket
     count (the standard applyInPandas sizing knob).
+
+    Null keys follow SQL equality, same contract as asof_join: a
+    null-key left row matches nothing (null value columns), null-key
+    right rows are ignored.  This is routed EXPLICITLY (null-key left
+    rows bypass merge_asof; null-key right rows are dropped) rather
+    than left to pandas — merge_asof's NaN-by-key matching is
+    undocumented and has changed across pandas versions.
     """
     import pandas as pd
 
@@ -144,11 +158,21 @@ def asof_join_pandas(
         lpdf = lpdf.drop(columns=["_bk"]).sort_values(
             left_ts, kind="mergesort"
         )
-        if rpdf.empty:
+        # SQL null semantics, explicitly: null-key left rows match
+        # nothing; null-key right rows match nothing
+        lnull = lpdf[lpdf[on].isna()]
+        lpdf = lpdf[lpdf[on].notna()]
+        rpdf = rpdf[rpdf[on].notna()]
+        if not lnull.empty:
+            lnull = lnull.copy()
+            for c in value_cols:
+                lnull[f"{c}{suffix}"] = None
+        if rpdf.empty or lpdf.empty:
             out = lpdf.copy()
             for c in value_cols:
                 out[f"{c}{suffix}"] = None
-            return out[out_cols]
+            return pd.concat([out, lnull])[out_cols] if not lnull.empty \
+                else out[out_cols]
         rpdf = rpdf.sort_values(right_ts, kind="mergesort")[
             [on, right_ts, *value_cols]
         ].rename(columns={c: f"{c}{suffix}" for c in value_cols})
@@ -156,6 +180,8 @@ def asof_join_pandas(
             lpdf, rpdf, left_on=left_ts, right_on=right_ts, by=on,
             direction="backward", suffixes=("", "__r"),
         )
+        if not lnull.empty:
+            merged = pd.concat([merged[out_cols], lnull[out_cols]])
         return merged[out_cols]
 
     n_bk = left.sparkSession.sparkContext.defaultParallelism * 2

@@ -62,12 +62,28 @@ def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     notice: ancestor closure + group-by turns ANY subtree aggregate
     into two relational ops."""
     # the closure is n·⌈log₂ n⌉ rows — past Spark's default 1M
-    # recursion row guard from sf1 upward (200k parts × 18 levels);
-    # the guard exists for runaway recursion, not for a depth-bounded
-    # closure, so size it to the data
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    # recursion row guard from sf1 upward (200k parts × 18 levels).
+    # The guard exists for runaway recursion, not for a depth-bounded
+    # closure, so raise it — but only for THIS query's execution: the
+    # limit is read when the UnionLoop runs, so the recursion is
+    # materialized eagerly under the override and the session value is
+    # restored before returning (a lazy return would leak the 200M
+    # guard into every later query of the shared bench/test session).
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
     load(spark, sf_dir, "part").createOrReplaceTempView("part_tree")
-    return spark.sql(_TREE_SQL.format(part="part_tree"))
+    spark.conf.set(key, str(200_000_000))
+    try:
+        # n output rows (one per node) — small; the n·depth closure
+        # lives only inside this checkpointed job
+        return spark.sql(_TREE_SQL.format(part="part_tree")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 @register(

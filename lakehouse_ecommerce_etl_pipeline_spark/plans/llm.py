@@ -41,6 +41,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.multimodal import (
 from lakehouse_ecommerce_etl_pipeline_spark.llm.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs_blocked,
+    distinct_vector_reps,
     ivf_topk,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, load_parallel
@@ -613,16 +614,13 @@ def q_embedding_near_dup(spark, sf_dir):
     groups emit their within-group pairs at cosine 1 directly.  The
     OUTPUT stays quadratic in duplicate-group size (it is the pair
     list); the COMPUTE no longer is — sf1 went from >30 min of
-    in-cell verifies to the distinct-vector workload."""
+    in-cell verifies to the distinct-vector workload.  Zero-norm
+    vectors are never collapsed (distinct_vector_reps keeps each as
+    its own rep): cosine is undefined on them, so the within-group
+    cosine-1 expansion must not apply — same guard as the text
+    chain's empty-token singletons."""
     emb = load(spark, sf_dir, "embeddings")
-    m = emb.select("vec_id", "embedding")
-    reps = m.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
-    mm = m.join(reps, "embedding").select("vec_id", "rep_id")
-    rep_emb = (
-        emb.join(mm, "vec_id")
-        .filter(F.col("vec_id") == F.col("rep_id"))
-        .select("vec_id", "embedding")
-    )
+    mm, rep_emb = distinct_vector_reps(emb)
     rp = cosine_near_dup_pairs_blocked(rep_emb, 0.8)
     ma = mm.select(F.col("vec_id").alias("u"), F.col("rep_id").alias("id_a"))
     mb = mm.select(F.col("vec_id").alias("v"), F.col("rep_id").alias("id_b"))

@@ -19,6 +19,7 @@ from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
 )
 from lakehouse_ecommerce_etl_pipeline_spark.llm.similarity import (
     cosine_near_dup_pairs_blocked,
+    distinct_vector_reps,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
@@ -78,16 +79,13 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array itself; rep = min vec_id) and component labels expand
     back through the rep map, bit-equivalent to the full run.  On a
     replica-heavy corpus this is the difference between quadratic in
-    copies and quadratic in distinct vectors: sf1 990 s → seconds."""
+    copies and quadratic in distinct vectors: sf1 990 s → seconds.
+    Zero-norm vectors are never collapsed (distinct_vector_reps keeps
+    each as its own rep): cosine is undefined on them, so duplicate
+    zero vectors must stay separate singletons, exactly as the
+    uncollapsed pair mine leaves them."""
     emb = load(spark, sf_dir, "embeddings")
-    m = emb.select("vec_id", "embedding")
-    reps = m.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
-    mm = m.join(reps, "embedding").select("vec_id", "rep_id")
-    rep_emb = (
-        emb.join(mm, "vec_id")
-        .filter(F.col("vec_id") == F.col("rep_id"))
-        .select("vec_id", "embedding")
-    )
+    mm, rep_emb = distinct_vector_reps(emb)
     pairs = cosine_near_dup_pairs_blocked(rep_emb, _COS_THRESH).select(
         "id_a", "id_b"
     )

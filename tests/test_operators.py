@@ -144,3 +144,57 @@ def test_asof_join_pandas_matches_window_variant(spark):
     assert by_key_t[(1, 5)] is None     # nothing before
     assert by_key_t[(2, 7)] is None     # right exists but later
     assert by_key_t[(3, 50)] is None    # key absent from right
+
+
+def test_asof_join_null_keys_follow_sql_equality(spark):
+    """Null join keys match nothing in BOTH physical variants (SQL
+    equality, the ASOF-JOIN by-clause contract) — a null-key left row
+    survives with null value columns even when the right side also has
+    null-key rows, and both variants agree (ADVICE r4)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (None, 10), (None, 20), (2, 10)], "k int, t long"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (None, 5, 999.0), (None, 15, 888.0)],
+        "k int, t long, v double",
+    ).withColumn("t", F.timestamp_seconds("t"))
+
+    for impl in (asof_join, asof_join_pandas):
+        rows = sorted(
+            ((r[0], r[1].second, r[2]) for r in
+             impl(left, right, "k", "t", "t", ["v"]).collect()),
+            key=lambda x: (x[0] is None, x),
+        )
+        assert rows == [
+            (1, 10, 100.0),
+            (2, 10, None),      # key absent from right
+            (None, 10, None),   # null key: never matches null-key right
+            (None, 20, None),
+        ], impl.__name__
+
+
+def test_tree_rollup_restores_recursion_row_limit(spark):
+    """q_tree_rollup must not leak its 200M recursion guard into the
+    shared session (ADVICE r4): prior conf value is restored after the
+    eager materialization, and the result is still correct."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics50 import (
+        q_tree_rollup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    out = q_tree_rollup(spark, sf_dir)
+    assert spark.conf.get(key, None) == prior
+    root = {r.p_partkey: r.subtree_size for r in out.collect()}
+    assert root and root[1] == max(root.values())  # root sees every node
+    # a second run under a user-set prior value restores THAT value
+    spark.conf.set(key, "123456")
+    q_tree_rollup(spark, sf_dir)
+    assert spark.conf.get(key) == "123456"
+    spark.conf.unset(key)
