@@ -131,15 +131,9 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 # FIXED every round; the remaining ~24 slots ROTATE each round to
 # queries the driver has never value-checked, so the hard per-value
 # signal accumulates across the registry over rounds instead of
-# re-proving the same extension rows.  Round-4 rotation (VERDICT r3
-# task #1): the round-3 tiers that so far carried only builder+judge
-# signal — WARC/HTML/URL/PII corpus plumbing, tar shards, Avro
-# (batch + streaming ingest), SQLite partitioned reads, GIF + audio
-# frames, DP counts, entity resolution, BM25/RRF retrieval, curation
-# features, SFT/DPO rendering, binary quantization + Hamming top-k,
-# KS drift, ExactSubstr span removal.  Rows rotated OUT were
-# driver-green in r1–r3 (CORRECTNESS_r0{1,2,3}); everything stays
-# registered and full-swept locally (scripts/check_oracle.py).
+# re-proving the same extension rows.  Cumulative driver-checked
+# set after r4: 102 distinct queries (CORRECTNESS_r01–r04, all
+# green); the round-5 block below adds 24 more.
 _FIRST_WINDOW = [
     # --- fixed §2 parity rows (driver-green r1+r2, keep forever) ---
     "q_scan_csv",
@@ -168,43 +162,45 @@ _FIRST_WINDOW = [
     "q_merge_upsert_storage",
     "q_write_partitioned",
     "q_scan_excel",
-    # --- round-4 rotation: never driver-checked before (all were
-    # builder+judge green in r3; VERDICT r3 task #1 names this list) ---
-    # web-corpus plumbing: WARC round-trip, HTML extraction, URL dedup,
-    # PII scrub
-    "q_scan_warc",
-    "q_export_warc",
-    "q_html_extract_text",
-    "q_url_dedup",
-    "q_pii_scrub",
-    # training-shard packaging: WebDataset-style tar export + scan
-    "q_export_tar_shards",
-    "q_scan_tar_shards",
-    # Avro OCF batch + streaming ingest
-    "q_scan_avro",
-    "q_stream_avro_ingest",
-    # operational-RDBMS ingest (JDBC-pattern ranged parallel read)
-    "q_scan_sqlite",
-    "q_scan_sqlite_pushdown",
-    # multimodal codecs new in r3: GIF87a LZW + frame-level audio
-    "q_multimodal_gif",
-    "q_audio_frame_features",
-    # privacy + governance: DP noisy counts, entity resolution
-    "q_dp_noisy_counts",
-    "q_entity_ids",
-    # retrieval: float-free BM25, reciprocal-rank fusion
-    "q_bm25_topk",
-    "q_hybrid_retrieval_rrf",
-    # curation + post-training data prep
-    "q_curation_features",
-    "q_sft_render",
-    "q_dpo_pairs",
-    # binary quantization + Hamming retrieval
-    "q_binary_quantize",
-    "q_hamming_topk",
-    # drift detection + ExactSubstr dedup
-    "q_ks_drift",
-    "q_dup_span_removal",
+    # --- round-5 rotation: never driver-checked before (VERDICT r3
+    # rotation discipline, continued).  Targets: the round-4 tiers that
+    # so far carry only builder+judge signal (geofencing/IoC, schema
+    # profiling, exact A/B test, weighted SSSP, sorted-neighborhood
+    # blocking, SimHash-vs-MinHash calibration panels, the md5
+    # cross-family dedup witness chain, the 64-perm/16-band production
+    # recall layout, the web-corpus e2e composition, the watermark
+    # late-drop oracle), the three rows whose oracles were pinned in r4
+    # (kcore / freq_items / stream_dedup), the r4 fixed-point PageRank
+    # rework, and the three queries touched by this round's ADVICE
+    # fixes (tree rollup conf scoping; embedding rep-collapse zero-norm
+    # guard via q_embedding_near_dup; asof-join null-key contract is
+    # pytest-pinned).  Rows rotated OUT were driver-green in r1-r4
+    # (CORRECTNESS_r0{1..4}); everything stays registered and
+    # full-swept locally (scripts/check_oracle.py).
+    "q_tree_rollup",
+    "q_interval_union_length",
+    "q_nearest_view_join",
+    "q_embedding_near_dup",
+    "q_minhash_64perm",
+    "q_near_dup_pairs_16band",
+    "q_minhash_md5",
+    "q_near_dup_pairs_md5",
+    "q_dedup_clusters_md5",
+    "q_web_corpus_pipeline_e2e",
+    "q_stream_late_drop",
+    "q_stream_dedup",
+    "q_kcore",
+    "q_freq_items",
+    "q_pagerank",
+    "q_sssp_weighted",
+    "q_ab_test_exact",
+    "q_point_in_polygon",
+    "q_char_ioc",
+    "q_functional_deps",
+    "q_candidate_keys",
+    "q_sorted_neighborhood_pairs",
+    "q_simhash_hamming_pairs",
+    "q_minhash_calibration",
 ]
 
 
