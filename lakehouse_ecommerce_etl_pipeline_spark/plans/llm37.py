@@ -1,0 +1,232 @@
+"""LLM tier XXXVII: pairwise-preference statistics and ranking.
+
+Post-training data work constantly reduces to "which of these is
+better, judged by many noisy pairwise comparisons": response ranking
+from preference pairs, corpus-source quality ordering, model
+leaderboards.  Two ops:
+
+- **q_mann_whitney_u** — the exact Mann-Whitney U statistic for every
+  source pair over document length.  Computed from per-(source,
+  value) HISTOGRAMS, not row pairs: U additively decomposes as
+  Σ_{va,vb} cA(va)·cB(vb)·[vb<va] (+½ ties), so the only full-data
+  pass is one map-side-combined groupBy building the histograms; the
+  quadratic pair arithmetic runs on histogram rows (bounded by value
+  domain × sources), broadcast-joined.  Doubled counts (``u2_*``)
+  keep the tie half-credit integer — everything released is BIGINT.
+  100 TB: histogram size is the value domain, not the corpus; for
+  continuous values bucket first (same trick q_histogram uses) and
+  the statistic becomes the bucketed U, exact for the bucketing.
+
+- **q_rank_centrality** — Negahban-Oh-Shah Rank Centrality: build the
+  pairwise-win Markov chain over sources (P(i→j) ∝ fraction of
+  comparisons j wins against i, self-loop absorbs the remainder) and
+  take 3 synchronous power-iteration steps toward its stationary
+  distribution — the spectral estimator of Bradley-Terry scores.
+  The chain runs on the same integer fixed-point discipline as
+  q_pagerank: transitions on a 10^6 lattice, scores on 10^9, every
+  engine-side op BIGINT mul/div/sum (associative, identically rounded
+  everywhere), so scores are bit-equal across engines and
+  partitionings and the DuckDB oracle replays the iterations
+  verbatim.  100 TB: the win rates come from the same aggregated
+  histograms (full-data pass = one groupBy); the chain itself is
+  k×k for k sources — tiny by construction, stays declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+_P_SCALE = 10**6   # transition-probability lattice
+_V_SCALE = 10**9   # score lattice (v·p products stay ≪ 2^63)
+_RC_ITERS = 3
+
+# per-(source, value) histogram + per-source totals, shared by both
+# oracles (documents.n_chars is already integral)
+_HIST_SQL = """
+    h AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    n AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY source
+    )
+"""
+
+# doubled win counts for ORDERED source pairs: w = 2·#(a beats b) +
+# #(ties), summed over histogram cell products
+_WINS_SQL = """
+    u AS (
+      SELECT a.source AS si, b.source AS sj,
+             CAST(SUM(CASE WHEN a.v > b.v THEN 2 * a.c * b.c
+                           WHEN a.v = b.v THEN a.c * b.c
+                           ELSE 0 END) AS BIGINT) AS w
+      FROM h a JOIN h b ON a.source <> b.source
+      GROUP BY a.source, b.source
+    )
+"""
+
+
+def _hist(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    h = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = h.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    return h, n
+
+
+def _doubled_wins(h: DataFrame) -> DataFrame:
+    """(si, sj, w): doubled comparisons si wins against sj (ties count
+    once).  Histogram × histogram theta-join — the quadratic work runs
+    on aggregated rows, the small side broadcast."""
+    a = h.select(
+        F.col("source").alias("si"), F.col("v").alias("va"),
+        F.col("c").alias("ca"),
+    )
+    b = h.select(
+        F.col("source").alias("sj"), F.col("v").alias("vb"),
+        F.col("c").alias("cb"),
+    )
+    w = (
+        F.when(F.col("va") > F.col("vb"), 2 * F.col("ca") * F.col("cb"))
+        .when(F.col("va") == F.col("vb"), F.col("ca") * F.col("cb"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("si") != F.col("sj"))
+        .groupBy("si", "sj")
+        .agg(F.sum(w).cast("bigint").alias("w"))
+    )
+
+
+@register(
+    "q_mann_whitney_u",
+    oracle=f"""
+    WITH {_HIST_SQL}, {_WINS_SQL}
+    SELECT u.si AS source_a, u.sj AS source_b,
+           na.n AS n_a, nb.n AS n_b,
+           u.w AS u2_a,
+           2 * na.n * nb.n - u.w AS u2_b,
+           CAST(u.w * 10000 // (2 * na.n * nb.n) AS BIGINT)
+             AS win_per_10k_a
+    FROM u
+    JOIN n na ON na.source = u.si
+    JOIN n nb ON nb.source = u.sj
+    WHERE u.si < u.sj
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Mann-Whitney U over document length, per source
+    pair — the nonparametric "is A stochastically longer than B"
+    screen; u2 = 2·U keeps tie half-credit integral."""
+    docs = load(spark, sf_dir, "documents")
+    h, n = _hist(docs)
+    u = _doubled_wins(h).filter(F.col("si") < F.col("sj"))
+    na = n.select(F.col("source").alias("si"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("source").alias("sj"), F.col("n").alias("n_b"))
+    return (
+        u.join(F.broadcast(na), "si")
+        .join(F.broadcast(nb), "sj")
+        .select(
+            F.col("si").alias("source_a"),
+            F.col("sj").alias("source_b"),
+            "n_a",
+            "n_b",
+            F.col("w").alias("u2_a"),
+            (2 * F.col("n_a") * F.col("n_b") - F.col("w")).alias("u2_b"),
+            F.expr("CAST(w * 10000 DIV (2 * n_a * n_b) AS BIGINT)").alias(
+                "win_per_10k_a"
+            ),
+        )
+    )
+
+
+def _rc_iter_sql(src: str, dst: str) -> str:
+    return f"""
+    {dst} AS (
+      SELECT p.j AS i, CAST(SUM(v.v * p.p) // {_P_SCALE} AS BIGINT) AS v
+      FROM pall p JOIN {src} v ON v.i = p.i
+      GROUP BY p.j
+    )"""
+
+
+@register(
+    "q_rank_centrality",
+    oracle=f"""
+    WITH {_HIST_SQL}, {_WINS_SQL},
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM n),
+    poff AS (
+      SELECT u.sj AS i, u.si AS j,
+             CAST(u.w * {_P_SCALE}
+                  // (2 * ni.n * nj.n * (k.k - 1)) AS BIGINT) AS p
+      FROM u
+      JOIN n ni ON ni.source = u.sj
+      JOIN n nj ON nj.source = u.si
+      CROSS JOIN k
+    ),
+    pself AS (
+      SELECT i, i AS j,
+             CAST({_P_SCALE} - SUM(p) AS BIGINT) AS p
+      FROM poff GROUP BY i
+    ),
+    pall AS (SELECT * FROM poff UNION ALL SELECT * FROM pself),
+    v0 AS (
+      SELECT source AS i, CAST({_V_SCALE} // k.k AS BIGINT) AS v
+      FROM n CROSS JOIN k
+    ),
+    {",".join(_rc_iter_sql(f"v{t}", f"v{t + 1}") for t in range(_RC_ITERS))}
+    SELECT i AS source, v AS score_scaled,
+           CAST(ROW_NUMBER() OVER (ORDER BY v DESC, i) AS INTEGER) AS rk
+    FROM v{_RC_ITERS}
+    """,
+)
+def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank Centrality over sources: stationary-chasing power
+    iteration on the pairwise-win Markov chain, integer fixed-point
+    throughout (see module docstring); rank ties break on source."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h, n = _hist(docs)
+    u = _doubled_wins(h)
+    k = n.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    ni = n.select(F.col("source").alias("sj_key"), F.col("n").alias("ni"))
+    nj = n.select(F.col("source").alias("si_key"), F.col("n").alias("nj"))
+    poff = (
+        u.join(F.broadcast(ni), u["sj"] == ni["sj_key"])
+        .join(F.broadcast(nj), u["si"] == nj["si_key"])
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("sj").alias("i"),
+            F.col("si").alias("j"),
+            F.expr(
+                f"CAST(w * {_P_SCALE} DIV (2 * ni * nj * (k - 1)) AS BIGINT)"
+            ).alias("p"),
+        )
+    )
+    pself = poff.groupBy("i").agg(
+        (F.lit(_P_SCALE) - F.sum("p")).cast("bigint").alias("p")
+    ).select("i", F.col("i").alias("j"), "p")
+    pall = poff.unionByName(pself)
+    v = n.crossJoin(F.broadcast(k)).select(
+        F.col("source").alias("i"),
+        F.expr(f"CAST({_V_SCALE} DIV k AS BIGINT)").alias("v"),
+    )
+    for _ in range(_RC_ITERS):
+        v = (
+            pall.join(v, "i")
+            .groupBy(F.col("j"))
+            .agg(
+                F.expr(f"CAST(SUM(v * p) DIV {_P_SCALE} AS BIGINT)").alias("v")
+            )
+            .select(F.col("j").alias("i"), "v")
+        )
+    w = Window.orderBy(F.col("v").desc(), F.col("i"))
+    return v.select(
+        F.col("i").alias("source"),
+        F.col("v").alias("score_scaled"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
