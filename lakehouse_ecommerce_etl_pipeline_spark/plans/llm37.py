@@ -230,3 +230,118 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("score_scaled"),
         F.row_number().over(w).cast("int").alias("rk"),
     )
+
+
+_TOK_GATE = 60  # rater B: token count >= 60
+
+
+@register(
+    "q_gate_agreement_kappa",
+    oracle=None,  # filled below — needs llm26's SQL feature fragments
+)
+def q_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document raters — the
+    labeling-QC primitive (same machinery scores human annotator
+    pairs or an LLM judge against a rubric): rater A is the frozen
+    logistic gate (llm26's linear margin > 0), rater B the token-count
+    rule (>= {_TOK_GATE} tokens).  The 2x2 confusion, both marginals,
+    and kappa's exact integer numerator/denominator
+    (n·agree − Σ marginal products over n² − Σ) are released as
+    BIGINT; kappa itself is their ONE division (bit-stable).
+
+    100 TB: one narrow projection + one map-side-combined aggregate —
+    the whole statistic is 5 conditional counts riding the corpus
+    scan; nothing shuffles but a single partial-agg row per task."""
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.logreg import score_linear
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm26 import (
+        _COLS,
+        _W,
+        _features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = score_linear(_features(docs), _COLS, _W).select(
+        F.col("keep").cast("int").alias("a"),
+        (F.col("x_tok") * 100.0 >= _TOK_GATE).cast("int").alias("b"),
+    )
+    c = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(a = 1 AND b = 1 AS INT)")).cast("bigint").alias("n11"),
+        F.sum(F.expr("CAST(a = 1 AND b = 0 AS INT)")).cast("bigint").alias("n10"),
+        F.sum(F.expr("CAST(a = 0 AND b = 1 AS INT)")).cast("bigint").alias("n01"),
+        F.sum(F.expr("CAST(a = 0 AND b = 0 AS INT)")).cast("bigint").alias("n00"),
+    )
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.expr(
+            "CAST(n * (n11 + n00) "
+            "- ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) "
+            "AS BIGINT)"
+        ).alias("kappa_num"),
+        F.expr(
+            "CAST(n * n "
+            "- ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) "
+            "AS BIGINT)"
+        ).alias("kappa_den"),
+    ).select(
+        "*",
+        # try_divide: a single-class degenerate corpus has kappa_den=0
+        # (kappa undefined → NULL), which plain ANSI division would
+        # throw on
+        F.try_divide(
+            F.col("kappa_num").cast("double"), F.col("kappa_den").cast("double")
+        ).alias("kappa"),
+    )
+
+
+def _kappa_oracle() -> str:
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm26 import (
+        _W,
+        _X_LEN,
+        _X_PUNCT,
+        _X_TOK,
+    )
+
+    z = (
+        f"{_W[0]} + ({_X_LEN}) * {_W[1]} + ({_X_PUNCT}) * {_W[2]}"
+        f" + ({_X_TOK}) * {_W[3]}"
+    )
+    return f"""
+    WITH r AS (
+      SELECT CAST(({z}) > 0 AS INTEGER) AS a,
+             CAST(({_X_TOK}) * 100.0 >= {_TOK_GATE} AS INTEGER) AS b
+      FROM documents
+    ), c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM r
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(n * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS BIGINT) AS kappa_den,
+           CASE WHEN n * n
+                     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                     = 0 THEN NULL
+                ELSE CAST(n * (n11 + n00)
+                     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                     AS DOUBLE)
+                   / CAST(n * n
+                     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                     AS DOUBLE)
+           END AS kappa
+    FROM c
+    """
+
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+
+_REG["q_gate_agreement_kappa"].oracle = _kappa_oracle()

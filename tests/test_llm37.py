@@ -96,3 +96,50 @@ def test_rank_centrality_matches_pure_python_chain(spark):
     assert [s for s, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
     # the chain conserves (almost all of) the lattice mass
     assert abs(sum(v.values()) - _V_SCALE) < k * k
+
+
+def test_gate_agreement_kappa_matches_sklearn_formula(spark):
+    """Replay Cohen's kappa in pure Python from the raw corpus and the
+    same frozen weights; demand exact integer parity and the one-
+    division float."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm26 import _W
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm37 import (
+        _TOK_GATE,
+        q_gate_agreement_kappa,
+    )
+    import re
+
+    rows = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "text"
+    ).collect()
+    n11 = n10 = n01 = n00 = 0
+    for r in rows:
+        t = r.text or ""
+        toks = len(re.findall(r"\S+", t))
+        punct = (
+            sum(1 for ch in t if not ch.isalnum() and not ch.isspace())
+            / len(t)
+            if t else 0.0
+        )
+        z = _W[0] + (len(t) / 1000.0) * _W[1] + punct * _W[2] + (
+            toks / 100.0
+        ) * _W[3]
+        a, b = int(z > 0), int(toks >= _TOK_GATE)
+        if a and b:
+            n11 += 1
+        elif a:
+            n10 += 1
+        elif b:
+            n01 += 1
+        else:
+            n00 += 1
+    n = n11 + n10 + n01 + n00
+    pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    got = q_gate_agreement_kappa(spark, SF0001).collect()[0]
+    assert (got.n, got.n11, got.n10, got.n01, got.n00) == (
+        n, n11, n10, n01, n00,
+    )
+    assert got.kappa_num == n * (n11 + n00) - pe
+    assert got.kappa_den == n * n - pe
+    assert got.kappa == got.kappa_num / got.kappa_den
+    assert 0.5 < got.kappa <= 1.0  # the two gates genuinely agree
