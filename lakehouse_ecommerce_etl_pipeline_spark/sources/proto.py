@@ -1,0 +1,192 @@
+"""Protocol-buffers wire format — length-delimited message streams as
+export + scan, spec-derived (protobuf encoding docs: varint base-128
+little-endian-group encoding, tag = field_number << 3 | wire_type,
+wire type 0 = varint, 2 = length-delimited).
+
+Protobuf is the event-bus interchange format the Kafka/gRPC world
+streams; the files here use the standard ``writeDelimitedTo`` framing
+(varint message length before every message) so a reader can walk a
+concatenated stream without an index.  The message is the corpus
+document:
+
+    message Doc { int64 doc_id = 1; string text = 2; }
+
+so field tags are the single bytes 0x08 (1<<3|0) and 0x12 (2<<3|2).
+Spark's ``from_protobuf`` needs compiled descriptor files and the
+spark-protobuf jar (absent from this runtime — probed); the codec
+below implements the published wire format directly, the way
+sources/avro.py does for OCF and sources/warc.py for ISO 28500.
+
+Oracle strategy (the Avro tier's): the writer is deterministic and
+ascending-id ordered, so per-record encoded sizes are CLOSED-FORM
+VARINT ARITHMETIC the SQL twin restates digit-exactly; the scan side
+proves the full export→import identity against the original table, so
+framing bugs (wrong length prefix, tag confusion, split varint) fail
+by value, not by crash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TAG_ID = 0x08    # field 1, varint
+_TAG_TEXT = 0x12  # field 2, length-delimited
+
+
+def write_uvarint(n: int) -> bytes:
+    """Base-128 varint of a non-negative int (protobuf uint64 /
+    non-negative int64)."""
+    if n < 0:
+        raise ValueError("uvarint is for non-negative values")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    """(value, next_pos); raises on truncation past the buffer."""
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def encode_doc(doc_id: int, text: str) -> bytes:
+    """One Doc message body (no length prefix)."""
+    payload = text.encode("utf-8")
+    return (
+        bytes([_TAG_ID])
+        + write_uvarint(doc_id)
+        + bytes([_TAG_TEXT])
+        + write_uvarint(len(payload))
+        + payload
+    )
+
+
+def decode_delimited(blob: bytes) -> Iterator[tuple[int, str]]:
+    """Walk a writeDelimitedTo stream of Doc messages."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        msg_len, pos = read_uvarint(blob, pos)
+        end = pos + msg_len
+        doc_id, text = None, ""
+        while pos < end:
+            tag = blob[pos]
+            pos += 1
+            if tag == _TAG_ID:
+                doc_id, pos = read_uvarint(blob, pos)
+            elif tag == _TAG_TEXT:
+                ln, pos = read_uvarint(blob, pos)
+                text = blob[pos:pos + ln].decode("utf-8")
+                pos += ln
+            else:  # unknown field: skip per spec (only the two wire
+                # types this message can contain are implemented)
+                wt = tag & 0x7
+                if wt == 0:
+                    _, pos = read_uvarint(blob, pos)
+                elif wt == 2:
+                    ln, pos = read_uvarint(blob, pos)
+                    pos += ln
+                else:
+                    raise ValueError(f"unsupported wire type {wt}")
+        yield doc_id, text
+
+
+PROTO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.IntegerType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("record_bytes", T.LongType()),
+        T.StructField("proto_bytes", T.LongType()),
+    ]
+)
+
+PROTO_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def write_proto_files(
+    docs: DataFrame, n_files: int = 8, out_dir: str | None = None
+) -> DataFrame:
+    """Assign every document to ``doc_id % n_files``, write one
+    length-delimited .pb stream per group (ascending id order),
+    optionally persist, return per-file stats.  ``record_bytes`` sums
+    MESSAGE sizes (tags + varints + payload, excluding the delimiting
+    length prefixes) — pure varint arithmetic the SQL oracle restates;
+    ``proto_bytes`` is the file size actually produced (prefixes
+    included)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["__file"].iloc[0])
+        msgs = [
+            encode_doc(int(d), str(t))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        blob = b"".join(write_uvarint(len(m)) + m for m in msgs)
+        if out_dir is not None:
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{out_dir}/part_{fid:05d}.pb.tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, f"{out_dir}/part_{fid:05d}.pb")
+        return pd.DataFrame(
+            [(fid, len(msgs), sum(len(m) for m in msgs), len(blob))],
+            columns=["file_id", "n_records", "record_bytes", "proto_bytes"],
+        )
+
+    assigned = docs.select(
+        "doc_id", "text", (F.col("doc_id") % n_files).cast("int").alias("__file")
+    )
+    return assigned.groupBy("__file").applyInPandas(
+        build, schema=PROTO_STATS_SCHEMA
+    )
+
+
+def _walk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            for doc_id, text in decode_delimited(bytes(blob)):
+                rows.append((path, doc_id, text))
+        yield pd.DataFrame(rows, columns=["file_path", "doc_id", "text"])
+
+
+def scan_proto(spark, proto_dir: str) -> DataFrame:
+    """Delimited .pb streams → one row per message.  ``binaryFile``
+    distributes whole files; the varint walker runs in mapInPandas
+    Arrow batches.  At cluster scale hand the walker larger streams or
+    frame at block boundaries — protobuf itself is not splittable, so
+    file granularity IS the parallelism unit (same caveat as gzip
+    text; the export side controls file count/size)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pb")
+        .load(proto_dir)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_walk_batches, schema=PROTO_DOC_SCHEMA)

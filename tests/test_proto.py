@@ -1,0 +1,79 @@
+"""Protobuf wire codec (sources/proto.py): pure-Python round-trip
+properties plus the distributed export→scan identity."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+    decode_delimited,
+    encode_doc,
+    read_uvarint,
+    write_proto_files,
+    write_uvarint,
+    scan_proto,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_uvarint_roundtrip(n):
+    buf = write_uvarint(n)
+    val, pos = read_uvarint(buf, 0)
+    assert val == n and pos == len(buf)
+    # canonical minimal length: ceil(bitlen/7)
+    assert len(buf) == max(1, -(-n.bit_length() // 7))
+
+
+@settings(max_examples=50)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),
+            st.text(max_size=200),  # includes '', unicode, surrogates-free
+        ),
+        max_size=20,
+    )
+)
+def test_delimited_stream_roundtrip(rows):
+    blob = b"".join(
+        write_uvarint(len(m)) + m
+        for m in (encode_doc(d, t) for d, t in rows)
+    )
+    assert list(decode_delimited(blob)) == rows
+
+
+def test_unknown_field_skipped():
+    # a conforming reader skips fields it doesn't know: field 3 varint
+    # (tag 0x18) and field 4 length-delimited (tag 0x22)
+    m = (
+        encode_doc(7, "hi")
+        + bytes([0x18]) + write_uvarint(99)
+        + bytes([0x22]) + write_uvarint(3) + b"xyz"
+    )
+    blob = write_uvarint(len(m)) + m
+    assert list(decode_delimited(blob)) == [(7, "hi")]
+
+
+def test_export_scan_identity_distributed(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "pb")
+    stats = write_proto_files(docs, n_files=4, out_dir=out).collect()
+    assert sorted(s.file_id for s in stats) == [0, 1, 2, 3]
+    assert sum(s.n_records for s in stats) == docs.count()
+    # proto_bytes = record_bytes + the length prefixes
+    for s in stats:
+        assert s.proto_bytes > s.record_bytes
+    back = scan_proto(spark, out).select("doc_id", "text")
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
