@@ -55,6 +55,11 @@ HEADLINE = [
     "q_scan_tar_shards",    # binaryFile + mapInPandas untar scan
     "q_multimodal_jpeg",    # real baseline-JPEG decode throughput
     "q_dup_span_removal",   # ExactSubstr span excision
+    # round-5 additions: the new tiers enter perf tracking with r5 as
+    # their baseline
+    "q_mann_whitney_u",     # histogram-decomposed pairwise U statistic
+    "q_rank_centrality",    # integer-lattice preference fixpoint
+    "q_scan_protobuf",      # varint wire-format walker throughput
 ]
 
 
