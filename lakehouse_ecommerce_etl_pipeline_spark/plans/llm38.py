@@ -102,3 +102,58 @@ def q_scan_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5("text").alias("content_hash"),
     )
+
+
+@register(
+    "q_stream_protobuf_ingest",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def q_stream_protobuf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-zone pattern over protobuf wire streams as REAL
+    Structured Streaming (the Avro tier's q_stream_avro_ingest, at the
+    other wire format): a file stream watches the .pb directory, every
+    discovered stream decodes through the same mapInPandas varint
+    walker, availableNow drains the backlog into a parquet sink
+    through a checkpoint, and the identity oracle holds regardless of
+    micro-batch split — ingest correctness is batching-invariant.
+
+    100 TB: file-source streams scale by file count
+    (maxFilesPerTrigger); only source-discovery state checkpoints —
+    the decode is stateless."""
+    import uuid
+
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        stream_scan_proto,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    streams = os.path.join(work_dir(sf_dir, "proto_files"), "streams")
+    with artifact_lock(streams):
+        if not artifact_fresh(src, streams):
+            write_proto_files(
+                load(spark, sf_dir, "documents").select("doc_id", "text"),
+                n_files=_N_FILES,
+                out_dir=streams,
+            ).collect()
+    run = os.path.join(
+        work_dir(sf_dir, "proto_stream"), uuid.uuid4().hex[:8]
+    )
+    sink, ckpt = os.path.join(run, "sink"), os.path.join(run, "ckpt")
+    q = (
+        stream_scan_proto(spark, streams)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+    )

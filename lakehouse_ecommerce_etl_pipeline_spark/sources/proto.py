@@ -190,3 +190,28 @@ def scan_proto(spark, proto_dir: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_walk_batches, schema=PROTO_DOC_SCHEMA)
+
+
+def stream_scan_proto(spark, proto_dir: str) -> DataFrame:
+    """The same decode as a STREAMING source: a file stream watches
+    the drop directory, each discovered .pb stream decodes through
+    the identical varint walker, and the checkpoint holds only
+    source-discovery state — landing a new file is all a producer has
+    to do (the Kafka-less drop-zone pattern; a real bus would land
+    the same wire bytes per record)."""
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.pb")
+        .load(proto_dir)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_walk_batches, schema=PROTO_DOC_SCHEMA)
