@@ -90,6 +90,11 @@ DEFAULT_QUERIES = [
     "q_char_ioc",
     "q_functional_deps",
     "q_candidate_keys",
+    # round-5 additions
+    "q_mann_whitney_u",
+    "q_rank_centrality",
+    "q_gate_agreement_kappa",
+    "q_scan_protobuf",
 ]
 
 
