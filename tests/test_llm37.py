@@ -143,3 +143,38 @@ def test_gate_agreement_kappa_matches_sklearn_formula(spark):
     assert got.kappa_den == n * n - pe
     assert got.kappa == got.kappa_num / got.kappa_den
     assert 0.5 < got.kappa <= 1.0  # the two gates genuinely agree
+
+
+def test_doubled_wins_decomposition_random_multisets(spark, tmp_path):
+    """Property check of the spine-cumulative decomposition on random
+    (source, value) multisets with heavy ties — equals the O(n^2)
+    brute force exactly (seeded, multiple shapes)."""
+    import itertools
+    import random
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm37 import (
+        _doubled_wins,
+        _hist,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n_src = rng.randint(2, 5)
+        data = [
+            (f"s{si}", rng.randint(0, 6))  # tiny domain → many ties
+            for si in range(n_src)
+            for _ in range(rng.randint(1, 30))
+        ]
+        df = spark.createDataFrame(data, "source string, n_chars long")
+        h, _ = _hist(df)
+        got = {(r.si, r.sj): r.w for r in _doubled_wins(h).collect()}
+        vals = {}
+        for s, v in data:
+            vals.setdefault(s, []).append(v)
+        for a, b in itertools.permutations(sorted(vals), 2):
+            w = sum(
+                2 if va > vb else (1 if va == vb else 0)
+                for va in vals[a]
+                for vb in vals[b]
+            )
+            assert got[(a, b)] == w, (trial, a, b)
