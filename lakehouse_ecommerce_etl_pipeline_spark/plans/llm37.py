@@ -258,11 +258,13 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("j").alias("i"), "v")
         )
     w = Window.orderBy(F.col("v").desc(), F.col("i"))
-    return v.select(
+    out = v.select(
         F.col("i").alias("source"),
         F.col("v").alias("score_scaled"),
         F.row_number().over(w).cast("int").alias("rk"),
-    )
+    ).localCheckpoint(eager=True)  # k rows — lets pall free per call
+    pall.unpersist()
+    return out
 
 
 _TOK_GATE = 60  # rater B: token count >= 60
