@@ -157,3 +157,81 @@ def q_stream_protobuf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5("text").alias("content_hash"),
     )
+
+
+def _varlen9(u: str) -> str:
+    """SQL: varint byte length of non-negative {u}, to 9 bytes (epoch
+    micros need 8)."""
+    return (
+        f"CASE WHEN {u} < 128 THEN 1 WHEN {u} < 16384 THEN 2"
+        f" WHEN {u} < 2097152 THEN 3 WHEN {u} < 268435456 THEN 4"
+        f" WHEN {u} < 34359738368 THEN 5 WHEN {u} < 4398046511104 THEN 6"
+        f" WHEN {u} < 562949953421312 THEN 7"
+        f" WHEN {u} < 72057594037927936 THEN 8 ELSE 9 END"
+    )
+
+
+@register(
+    "q_export_protobuf_orders",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(o_orderkey % {_N_FILES} AS INTEGER) AS file_id,
+             o_orderkey AS k, o_custkey AS c,
+             CAST(strlen(o_orderstatus) AS BIGINT) AS ls,
+             epoch_us(o_orderdate) AS us,
+             CAST(strlen(o_orderpriority) AS BIGINT) AS lr
+      FROM orders
+    )
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(14 + {_varlen9('k')} + {_varlen9('c')}
+                    + {_varlen9('ls')} + ls + {_varlen9('us')}
+                    + {_varlen9('lr')} + lr) AS BIGINT) AS record_bytes
+    FROM m GROUP BY file_id
+    """,
+)
+def q_export_protobuf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED protobuf export — the Order message exercises all three
+    scalar wire types (varint keys + epoch-micro timestamps, fixed64
+    IEEE double price, length-delimited strings).  The oracle's
+    closed form per message: 6 single-byte tags + 8 fixed64 bytes
+    (= 14) + varints + string payloads; a wrong wire type or a
+    truncated fixed64 breaks the digit-exact sum."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        write_proto_order_files,
+    )
+
+    return (
+        write_proto_order_files(
+            load(spark, sf_dir, "orders"), n_files=_N_FILES
+        )
+        .select("file_id", "n_records", "record_bytes")
+    )
+
+
+@register(
+    "q_scan_protobuf_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+    FROM orders
+    """,
+)
+def q_scan_protobuf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED identity through the wire format: every column of every
+    order returns exactly — including the DOUBLE through IEEE-754
+    fixed64 (bit-preserving, proven by the value hash) and the
+    timestamp through epoch-micros varints."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        scan_proto_orders,
+        write_proto_order_files,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = os.path.join(work_dir(sf_dir, "proto_files"), "orders")
+    with artifact_lock(out):
+        if not artifact_fresh(src, out):
+            write_proto_order_files(
+                load(spark, sf_dir, "orders"), n_files=_N_FILES, out_dir=out
+            ).collect()
+    return scan_proto_orders(spark, out)

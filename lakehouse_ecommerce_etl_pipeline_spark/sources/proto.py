@@ -215,3 +215,159 @@ def stream_scan_proto(spark, proto_dir: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_walk_batches, schema=PROTO_DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------- typed
+# message Order { int64  o_orderkey     = 1;  // varint
+#                 int64  o_custkey      = 2;  // varint
+#                 string o_orderstatus  = 3;  // len-delimited
+#                 double o_totalprice   = 4;  // fixed64 (wire type 1)
+#                 int64  o_orderdate_us = 5;  // varint, epoch micros
+#                 string o_orderpriority= 6 } // len-delimited
+
+_OT_K = 0x08   # 1<<3|0
+_OT_C = 0x10   # 2<<3|0
+_OT_S = 0x1A   # 3<<3|2
+_OT_P = 0x21   # 4<<3|1  fixed64
+_OT_D = 0x28   # 5<<3|0
+_OT_R = 0x32   # 6<<3|2
+
+
+def encode_order(
+    k: int, c: int, status: str, price: float, date_us: int, prio: str
+) -> bytes:
+    """One Order message body — exercises all three wire types the
+    format has for scalars (varint, fixed64, length-delimited); the
+    double goes through IEEE-754 little-endian fixed64, bit-exact on
+    the round trip."""
+    import struct
+
+    sb = status.encode("utf-8")
+    rb = prio.encode("utf-8")
+    return (
+        bytes([_OT_K]) + write_uvarint(k)
+        + bytes([_OT_C]) + write_uvarint(c)
+        + bytes([_OT_S]) + write_uvarint(len(sb)) + sb
+        + bytes([_OT_P]) + struct.pack("<d", price)
+        + bytes([_OT_D]) + write_uvarint(date_us)
+        + bytes([_OT_R]) + write_uvarint(len(rb)) + rb
+    )
+
+
+def decode_order_delimited(blob: bytes):
+    """Walk a delimited stream of Order messages; unknown fields skip
+    per spec (all four scalar wire types handled)."""
+    import struct
+
+    pos, n = 0, len(blob)
+    while pos < n:
+        msg_len, pos = read_uvarint(blob, pos)
+        end = pos + msg_len
+        vals = {"k": None, "c": None, "s": "", "p": None, "d": None, "r": ""}
+        while pos < end:
+            tag = blob[pos]
+            pos += 1
+            if tag == _OT_K:
+                vals["k"], pos = read_uvarint(blob, pos)
+            elif tag == _OT_C:
+                vals["c"], pos = read_uvarint(blob, pos)
+            elif tag == _OT_S:
+                ln, pos = read_uvarint(blob, pos)
+                vals["s"] = blob[pos:pos + ln].decode("utf-8")
+                pos += ln
+            elif tag == _OT_P:
+                vals["p"] = struct.unpack("<d", blob[pos:pos + 8])[0]
+                pos += 8
+            elif tag == _OT_D:
+                vals["d"], pos = read_uvarint(blob, pos)
+            elif tag == _OT_R:
+                ln, pos = read_uvarint(blob, pos)
+                vals["r"] = blob[pos:pos + ln].decode("utf-8")
+                pos += ln
+            else:
+                wt = tag & 0x7
+                if wt == 0:
+                    _, pos = read_uvarint(blob, pos)
+                elif wt == 1:
+                    pos += 8
+                elif wt == 2:
+                    ln, pos = read_uvarint(blob, pos)
+                    pos += ln
+                elif wt == 5:
+                    pos += 4
+                else:
+                    raise ValueError(f"unsupported wire type {wt}")
+        yield (vals["k"], vals["c"], vals["s"], vals["p"], vals["d"], vals["r"])
+
+
+PROTO_ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate_us", T.LongType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def write_proto_order_files(
+    orders: DataFrame, n_files: int = 8, out_dir: str | None = None
+) -> DataFrame:
+    """Orders → delimited Order-message streams (file = key % n,
+    ascending key order).  Same stats contract as write_proto_files."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        fid = int(pdf["__file"].iloc[0])
+        msgs = [
+            encode_order(int(k), int(c), str(s), float(p), int(d), str(r))
+            for k, c, s, p, d, r in zip(
+                pdf["o_orderkey"], pdf["o_custkey"], pdf["o_orderstatus"],
+                pdf["o_totalprice"], pdf["o_orderdate_us"],
+                pdf["o_orderpriority"],
+            )
+        ]
+        blob = b"".join(write_uvarint(len(m)) + m for m in msgs)
+        if out_dir is not None:
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{out_dir}/orders_{fid:05d}.pb.tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, f"{out_dir}/orders_{fid:05d}.pb")
+        return pd.DataFrame(
+            [(fid, len(msgs), sum(len(m) for m in msgs), len(blob))],
+            columns=["file_id", "n_records", "record_bytes", "proto_bytes"],
+        )
+
+    assigned = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        "o_orderpriority",
+        (F.col("o_orderkey") % n_files).cast("int").alias("__file"),
+    )
+    return assigned.groupBy("__file").applyInPandas(
+        build, schema=PROTO_STATS_SCHEMA
+    )
+
+
+def _walk_order_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in PROTO_ORDER_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            rows.extend(decode_order_delimited(bytes(blob)))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def scan_proto_orders(spark, proto_dir: str) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "orders_*.pb")
+        .load(proto_dir)
+        .select("content")
+    )
+    return files.mapInPandas(_walk_order_batches, schema=PROTO_ORDER_SCHEMA)

@@ -77,3 +77,34 @@ def test_export_scan_identity_distributed(spark, tmp_path):
     assert back.count() == docs.count()
     assert back.exceptAll(docs).count() == 0
     assert docs.exceptAll(back).count() == 0
+
+
+def test_order_message_roundtrip_bits():
+    """Typed Order message: doubles round-trip BIT-exactly through
+    fixed64, including awkward values (denormals, -0.0, huge)."""
+    import math
+    import struct
+
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        decode_order_delimited,
+        encode_order,
+        write_uvarint,
+    )
+
+    rows = [
+        (0, 0, "", 0.0, 0, ""),
+        (1, 2, "O", -0.0, 1_700_000_000_000_000, "1-URGENT"),
+        (2**62, 7, "F", 5e-324, 2**55, "5-LOW"),
+        (5, 5, "P", 1.7976931348623157e308, 123, "x"),
+        (6, 6, "P", float("nan"), 456, "y"),
+    ]
+    blob = b"".join(
+        write_uvarint(len(m)) + m
+        for m in (encode_order(*r) for r in rows)
+    )
+    back = list(decode_order_delimited(blob))
+    for want, got in zip(rows, back):
+        assert want[:3] == got[:3] and want[4:] == got[4:]
+        assert struct.pack("<d", want[3]) == struct.pack("<d", got[3])
+        if not math.isnan(want[3]):
+            assert want[3] == got[3]
