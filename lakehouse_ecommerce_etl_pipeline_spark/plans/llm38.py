@@ -235,3 +235,107 @@ def q_scan_protobuf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 load(spark, sf_dir, "orders"), n_files=_N_FILES, out_dir=out
             ).collect()
     return scan_proto_orders(spark, out)
+
+
+@register(
+    "q_protobuf_corrupt_recovery",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(doc_id % {_N_FILES} AS INTEGER) AS file_id, doc_id,
+             2 + {_varlen9('doc_id')}
+               + {_varlen9('CAST(strlen(text) AS BIGINT)')}
+               + strlen(text) AS msg
+      FROM documents
+    ),
+    framed AS (
+      SELECT file_id, doc_id, {_varlen9('msg')} + msg AS framed_bytes
+      FROM m
+    ),
+    cum AS (
+      SELECT file_id, doc_id,
+             SUM(framed_bytes) OVER (
+               PARTITION BY file_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_bytes,
+             SUM(framed_bytes) OVER (PARTITION BY file_id) AS file_bytes
+      FROM framed
+    )
+    SELECT file_id,
+           CAST(SUM(CASE WHEN file_id <> {_N_FILES - 1}
+                         OR cum_bytes <= file_bytes // 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           (file_id = {_N_FILES - 1}) AS truncated
+    FROM cum GROUP BY file_id
+    """,
+)
+def q_protobuf_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-stream accounting (the csv/json corrupt-recovery
+    pattern at the binary layer): the LAST container is truncated to
+    half its bytes; a tolerant walker recovers every message wholly
+    inside the cut and reports per-file (recovered count, truncated
+    flag).  The oracle pins the BYTE-LEVEL FRAMING itself: it replays
+    the per-message varint arithmetic as a window cumsum per file and
+    counts how many whole framed messages fit under floor(bytes/2) —
+    an encoder or walker off by one byte moves the count.
+
+    100 TB: this is what ingest does when an upstream producer dies
+    mid-upload — recover the prefix, flag the file, re-request the
+    tail; the walker is the same stateless mapInPandas kernel."""
+    import shutil
+
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        decode_delimited_tolerant,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    pristine = os.path.join(work_dir(sf_dir, "proto_files"), "streams")
+    with artifact_lock(pristine):
+        if not artifact_fresh(src, pristine):
+            write_proto_files(
+                load(spark, sf_dir, "documents").select("doc_id", "text"),
+                n_files=_N_FILES,
+                out_dir=pristine,
+            ).collect()
+    corrupt = os.path.join(work_dir(sf_dir, "proto_files"), "corrupt")
+    with artifact_lock(corrupt):
+        if not artifact_fresh(src, corrupt):
+            os.makedirs(corrupt, exist_ok=True)
+            for f in sorted(os.listdir(pristine)):
+                if not f.endswith(".pb"):
+                    continue
+                dst = os.path.join(corrupt, f)
+                shutil.copyfile(os.path.join(pristine, f), dst)
+            victim = os.path.join(corrupt, f"part_{_N_FILES - 1:05d}.pb")
+            size = os.path.getsize(victim)
+            with open(victim, "rb+") as fh:
+                fh.truncate(size // 2)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("file_id", T.IntegerType()),
+            T.StructField("n_ok", T.LongType()),
+            T.StructField("truncated", T.BooleanType()),
+        ]
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                fid = int(path.rsplit("part_", 1)[1][:5])
+                ok, trunc = decode_delimited_tolerant(bytes(blob))
+                rows.append((fid, len(ok), trunc))
+            yield pd.DataFrame(
+                rows, columns=["file_id", "n_ok", "truncated"]
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pb")
+        .load(corrupt)
+        .select("path", "content")
+    )
+    return files.mapInPandas(walk, schema=out_schema)

@@ -371,3 +371,21 @@ def scan_proto_orders(spark, proto_dir: str) -> DataFrame:
         .select("content")
     )
     return files.mapInPandas(_walk_order_batches, schema=PROTO_ORDER_SCHEMA)
+
+
+def decode_delimited_tolerant(blob: bytes) -> tuple[list, bool]:
+    """Greedy walk that STOPS at the first incomplete message instead
+    of raising — the ingest-recovery contract (a truncated tail file
+    yields its complete prefix).  Returns (rows, truncated)."""
+    rows, pos, n = [], 0, len(blob)
+    while pos < n:
+        try:
+            msg_len, nxt = read_uvarint(blob, pos)
+        except IndexError:
+            return rows, True
+        if nxt + msg_len > n:
+            return rows, True
+        framed = write_uvarint(msg_len) + blob[nxt:nxt + msg_len]
+        rows.extend(decode_delimited(framed))
+        pos = nxt + msg_len
+    return rows, False

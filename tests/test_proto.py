@@ -108,3 +108,28 @@ def test_order_message_roundtrip_bits():
         assert struct.pack("<d", want[3]) == struct.pack("<d", got[3])
         if not math.isnan(want[3]):
             assert want[3] == got[3]
+
+
+def test_tolerant_decoder_every_cut_point():
+    """Cutting the stream at EVERY byte offset recovers exactly the
+    messages wholly before the cut — no exception, no partial rows."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        decode_delimited_tolerant,
+        encode_doc,
+        write_uvarint,
+    )
+
+    rows = [(i, "x" * i) for i in range(6)]
+    msgs = [encode_doc(d, t) for d, t in rows]
+    blob = b"".join(write_uvarint(len(m)) + m for m in msgs)
+    bounds = []
+    off = 0
+    for m in msgs:
+        off += len(write_uvarint(len(m))) + len(m)
+        bounds.append(off)
+    for cut in range(len(blob) + 1):
+        got, truncated = decode_delimited_tolerant(blob[:cut])
+        n_whole = sum(1 for b in bounds if b <= cut)
+        assert got == rows[:n_whole], cut
+        # exact truncation contract: truncated iff cut is mid-message
+        assert truncated == (cut not in (0, *bounds))
