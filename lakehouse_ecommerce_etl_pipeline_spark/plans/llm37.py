@@ -30,6 +30,16 @@ leaderboards.  Two ops:
   verbatim.  100 TB: the win rates come from the same aggregated
   histograms (full-data pass = one groupBy); the chain itself is
   k×k for k sources — tiny by construction, stays declarative.
+
+Integer-headroom bound (ANSI mode throws on int64 overflow rather
+than wrapping): w ≤ 2·n_i·n_j, so ``w * P_SCALE`` in the transition
+build stays under 2^63 while n_i·n_j < ~4.6·10^12 — per-source doc
+counts up to ~2.1 M (and ``w * 10000`` in Mann-Whitney up to ~21 M
+per source).  Beyond that, move the two released quotients to
+DECIMAL(38,0) arithmetic (numerator CAST(w AS DECIMAL(38,0)) *
+scale) — same floor-division values, wider intermediate lattice; the
+fixed-point iteration itself is unaffected (v·p products are bounded
+by V_SCALE·P_SCALE = 10^15 by construction, not by data volume).
 """
 
 from __future__ import annotations

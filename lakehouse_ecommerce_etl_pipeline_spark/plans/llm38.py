@@ -264,7 +264,15 @@ def q_scan_protobuf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN file_id <> {_N_FILES - 1}
                          OR cum_bytes <= file_bytes // 2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
-           (file_id = {_N_FILES - 1}) AS truncated
+           -- truncated is DERIVED from the framing, not hardcoded to
+           -- the victim file: decode_delimited_tolerant returns False
+           -- when the size//2 cut lands exactly on a message boundary
+           -- (or an empty prefix), so the oracle checks whether the
+           -- cut point is one of the cum_bytes boundaries.
+           (file_id = {_N_FILES - 1}
+            AND MAX(file_bytes) // 2 > 0
+            AND MAX(CASE WHEN cum_bytes = file_bytes // 2
+                         THEN 1 ELSE 0 END) = 0) AS truncated
     FROM cum GROUP BY file_id
     """,
 )
@@ -299,12 +307,25 @@ def q_protobuf_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt = os.path.join(work_dir(sf_dir, "proto_files"), "corrupt")
     with artifact_lock(corrupt):
         if not artifact_fresh(src, corrupt):
-            os.makedirs(corrupt, exist_ok=True)
-            for f in sorted(os.listdir(pristine)):
-                if not f.endswith(".pb"):
-                    continue
-                dst = os.path.join(corrupt, f)
-                shutil.copyfile(os.path.join(pristine, f), dst)
+            # Copy under the PRISTINE lock too (consistent corrupt →
+            # pristine order, different lock files): a concurrent
+            # builder rebuilding pristine under its own lock must not
+            # be read mid-rebuild.  Double-check freshness inside.
+            with artifact_lock(pristine):
+                if not artifact_fresh(src, pristine):
+                    write_proto_files(
+                        load(spark, sf_dir, "documents").select(
+                            "doc_id", "text"
+                        ),
+                        n_files=_N_FILES,
+                        out_dir=pristine,
+                    ).collect()
+                os.makedirs(corrupt, exist_ok=True)
+                for f in sorted(os.listdir(pristine)):
+                    if not f.endswith(".pb"):
+                        continue
+                    dst = os.path.join(corrupt, f)
+                    shutil.copyfile(os.path.join(pristine, f), dst)
             victim = os.path.join(corrupt, f"part_{_N_FILES - 1:05d}.pb")
             size = os.path.getsize(victim)
             with open(victim, "rb+") as fh:

@@ -88,22 +88,29 @@ def decode_delimited(blob: bytes) -> Iterator[tuple[int, str]]:
         end = pos + msg_len
         doc_id, text = None, ""
         while pos < end:
-            tag = blob[pos]
-            pos += 1
+            # Tags are varints (field_number << 3 | wire_type): a field
+            # number >= 16 makes the tag multi-byte, so a single-byte
+            # read would misparse foreign/schema-evolved streams.  Known
+            # tags here are < 0x80, so read_uvarint returns the same
+            # value on the fast path.
+            tag, pos = read_uvarint(blob, pos)
             if tag == _TAG_ID:
                 doc_id, pos = read_uvarint(blob, pos)
             elif tag == _TAG_TEXT:
                 ln, pos = read_uvarint(blob, pos)
                 text = blob[pos:pos + ln].decode("utf-8")
                 pos += ln
-            else:  # unknown field: skip per spec (only the two wire
-                # types this message can contain are implemented)
+            else:  # unknown field: skip per spec (all scalar wire types)
                 wt = tag & 0x7
                 if wt == 0:
                     _, pos = read_uvarint(blob, pos)
+                elif wt == 1:
+                    pos += 8
                 elif wt == 2:
                     ln, pos = read_uvarint(blob, pos)
                     pos += ln
+                elif wt == 5:
+                    pos += 4
                 else:
                     raise ValueError(f"unsupported wire type {wt}")
         yield doc_id, text
@@ -265,8 +272,7 @@ def decode_order_delimited(blob: bytes):
         end = pos + msg_len
         vals = {"k": None, "c": None, "s": "", "p": None, "d": None, "r": ""}
         while pos < end:
-            tag = blob[pos]
-            pos += 1
+            tag, pos = read_uvarint(blob, pos)  # multi-byte for field >= 16
             if tag == _OT_K:
                 vals["k"], pos = read_uvarint(blob, pos)
             elif tag == _OT_C:
