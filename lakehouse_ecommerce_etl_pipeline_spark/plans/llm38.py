@@ -238,6 +238,99 @@ def q_scan_protobuf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_export_protobuf_nested",
+    oracle=f"""
+    WITH l AS (
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+             l_partkey AS pk,
+             CAST(strlen(l_returnflag) AS BIGINT) AS lf,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    per_line AS (
+      SELECT l_orderkey,
+             3 + {_varlen9('ln')} + {_varlen9('pk')}
+               + {_varlen9('lf')} + lf AS line_size,
+             {_varlen9('q')} AS qbytes
+      FROM l
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(1 + {_varlen9('line_size')} + line_size) AS BIGINT)
+               AS lines_bytes,
+             CAST(SUM(qbytes) AS BIGINT) AS qpayload
+      FROM per_line GROUP BY l_orderkey
+    ),
+    msg AS (
+      SELECT CAST(l_orderkey % {_N_FILES} AS INTEGER) AS file_id,
+             1 + {_varlen9('l_orderkey')} + lines_bytes
+               + 1 + {_varlen9('qpayload')} + qpayload AS msg
+      FROM per_order
+    )
+    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(msg) AS BIGINT) AS record_bytes
+    FROM msg GROUP BY file_id
+    """,
+)
+def q_export_protobuf_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED protobuf export — one OrderLines message per order with
+    its lineitems as ``repeated`` embedded Line messages (wire type 2
+    recursion) and quantities as a proto3 PACKED repeated-varint
+    block.  The oracle restates the whole recursive framing as varint
+    arithmetic: per-line body sizes, the per-occurrence embed framing
+    (tag + length prefix per Line), and the single packed block —
+    a wrong nesting depth, an unpacked-by-mistake field 3, or an
+    off-by-one in any inner length prefix breaks the digit-exact sum.
+
+    100 TB: the fan-in (lines per order) is bounded, so the one
+    applyInPandas group per FILE stays memory-safe under the same
+    file-count knob as the flat exports."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        write_proto_nested_files,
+    )
+
+    return (
+        write_proto_nested_files(
+            load(spark, sf_dir, "lineitem"), n_files=_N_FILES
+        )
+        .select("file_id", "n_records", "record_bytes")
+    )
+
+
+@register(
+    "q_scan_protobuf_nested",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_partkey, l_returnflag,
+           CAST(l_quantity AS BIGINT) AS l_quantity
+    FROM lineitem
+    """,
+)
+def q_scan_protobuf_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity through the NESTED wire format: every lineitem row
+    returns exactly after the order-grouped export — embedded-message
+    recursion, repeated-field accumulation, and positional alignment
+    between the Line embeds and the packed quantities block all proven
+    by the value hash against the ORIGINAL table.  The walker reads
+    tags as varints and dispatches on (field_number, wire_type),
+    accepting packed and expanded repeated encodings per spec."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        scan_proto_nested,
+        write_proto_nested_files,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    out = os.path.join(work_dir(sf_dir, "proto_files"), "nested")
+    with artifact_lock(out):
+        if not artifact_fresh(src, out):
+            write_proto_nested_files(
+                load(spark, sf_dir, "lineitem"), n_files=_N_FILES,
+                out_dir=out,
+            ).collect()
+    return scan_proto_nested(spark, out)
+
+
+@register(
     "q_protobuf_corrupt_recovery",
     oracle=f"""
     WITH m AS (

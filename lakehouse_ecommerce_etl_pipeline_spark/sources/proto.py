@@ -379,6 +379,209 @@ def scan_proto_orders(spark, proto_dir: str) -> DataFrame:
     return files.mapInPandas(_walk_order_batches, schema=PROTO_ORDER_SCHEMA)
 
 
+# ------------------------------------------------------------- nested
+# message Line       { int64 linenumber = 1;   // varint
+#                      int64 partkey    = 2;   // varint
+#                      string returnflag = 3 } // len-delimited
+# message OrderLines { int64 o_orderkey = 1;          // varint
+#                      repeated Line lines = 2;       // embedded msgs
+#                      repeated int64 quantities = 3 }// packed varints
+#
+# Exercises the two repeated encodings real event-bus schemas lean on:
+# embedded messages (wire type 2 recursion — each occurrence is one
+# length-delimited Line body) and proto3's default PACKED repeated
+# scalars (one length-delimited block of back-to-back varints).  The
+# walker dispatches on (field_number, wire_type) from a varint tag and
+# accepts BOTH packed and expanded encodings for field 3, as the spec
+# requires of parsers.
+
+_LN_N = 0x08   # Line.linenumber   1<<3|0
+_LN_P = 0x10   # Line.partkey      2<<3|0
+_LN_F = 0x1A   # Line.returnflag   3<<3|2
+
+
+def encode_line(linenumber: int, partkey: int, returnflag: str) -> bytes:
+    fb = returnflag.encode("utf-8")
+    return (
+        bytes([_LN_N]) + write_uvarint(linenumber)
+        + bytes([_LN_P]) + write_uvarint(partkey)
+        + bytes([_LN_F]) + write_uvarint(len(fb)) + fb
+    )
+
+
+def encode_order_lines(
+    orderkey: int,
+    lines: list[tuple[int, int, str]],
+    quantities: list[int],
+) -> bytes:
+    """One OrderLines message body: varint key, one embedded Line per
+    line, then the quantities as a single packed block."""
+    out = bytearray(b"\x08") + write_uvarint(orderkey)
+    for n, p, f in lines:
+        body = encode_line(n, p, f)
+        out += b"\x12" + write_uvarint(len(body)) + body
+    if quantities:
+        payload = b"".join(write_uvarint(q) for q in quantities)
+        out += b"\x1a" + write_uvarint(len(payload)) + payload
+    return bytes(out)
+
+
+def _skip_field(blob: bytes, pos: int, wt: int) -> int:
+    if wt == 0:
+        _, pos = read_uvarint(blob, pos)
+    elif wt == 1:
+        pos += 8
+    elif wt == 2:
+        ln, pos = read_uvarint(blob, pos)
+        pos += ln
+    elif wt == 5:
+        pos += 4
+    else:
+        raise ValueError(f"unsupported wire type {wt}")
+    return pos
+
+
+def decode_line(body: bytes) -> tuple[int, int, str]:
+    pos, end = 0, len(body)
+    n, p, f = None, None, ""
+    while pos < end:
+        tag, pos = read_uvarint(body, pos)
+        field, wt = tag >> 3, tag & 0x7
+        if field == 1 and wt == 0:
+            n, pos = read_uvarint(body, pos)
+        elif field == 2 and wt == 0:
+            p, pos = read_uvarint(body, pos)
+        elif field == 3 and wt == 2:
+            ln, pos = read_uvarint(body, pos)
+            f = body[pos:pos + ln].decode("utf-8")
+            pos += ln
+        else:
+            pos = _skip_field(body, pos, wt)
+    return n, p, f
+
+
+def decode_order_lines_delimited(
+    blob: bytes,
+) -> Iterator[tuple[int, list[tuple[int, int, str]], list[int]]]:
+    """Walk a delimited OrderLines stream; yields (orderkey, lines,
+    quantities).  Repeated fields accumulate across occurrences;
+    field 3 accepts packed (wire type 2) AND expanded (wire type 0)
+    encodings per spec."""
+    pos, n = 0, len(blob)
+    while pos < n:
+        msg_len, pos = read_uvarint(blob, pos)
+        end = pos + msg_len
+        key, lines, qtys = None, [], []
+        while pos < end:
+            tag, pos = read_uvarint(blob, pos)
+            field, wt = tag >> 3, tag & 0x7
+            if field == 1 and wt == 0:
+                key, pos = read_uvarint(blob, pos)
+            elif field == 2 and wt == 2:
+                ln, pos = read_uvarint(blob, pos)
+                lines.append(decode_line(blob[pos:pos + ln]))
+                pos += ln
+            elif field == 3 and wt == 2:    # packed block
+                ln, pos = read_uvarint(blob, pos)
+                qend = pos + ln
+                while pos < qend:
+                    q, pos = read_uvarint(blob, pos)
+                    qtys.append(q)
+            elif field == 3 and wt == 0:    # expanded occurrence
+                q, pos = read_uvarint(blob, pos)
+                qtys.append(q)
+            else:
+                pos = _skip_field(blob, pos, wt)
+        yield key, lines, qtys
+
+
+PROTO_NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_quantity", T.LongType()),
+    ]
+)
+
+
+def write_proto_nested_files(
+    lineitem: DataFrame, n_files: int = 8, out_dir: str | None = None
+) -> DataFrame:
+    """lineitem → delimited OrderLines streams: one message per ORDER
+    (file = orderkey % n, ascending key order; lines sorted by
+    linenumber inside each message, quantities positionally aligned).
+    Same stats contract as write_proto_files: n_records counts ORDER
+    messages, record_bytes sums message bodies (no length prefixes),
+    proto_bytes the framed file size."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["__file"].iloc[0])
+        pdf = pdf.sort_values(["l_orderkey", "l_linenumber"])
+        msgs = []
+        for key, grp in pdf.groupby("l_orderkey", sort=True):
+            lines = [
+                (int(n), int(p), str(f))
+                for n, p, f in zip(
+                    grp["l_linenumber"], grp["l_partkey"], grp["l_returnflag"]
+                )
+            ]
+            qtys = [int(q) for q in grp["l_quantity"]]
+            msgs.append(encode_order_lines(int(key), lines, qtys))
+        blob = b"".join(write_uvarint(len(m)) + m for m in msgs)
+        if out_dir is not None:
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{out_dir}/nested_{fid:05d}.pb.tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, f"{out_dir}/nested_{fid:05d}.pb")
+        return pd.DataFrame(
+            [(fid, len(msgs), sum(len(m) for m in msgs), len(blob))],
+            columns=["file_id", "n_records", "record_bytes", "proto_bytes"],
+        )
+
+    assigned = lineitem.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_partkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        (F.col("l_orderkey") % n_files).cast("int").alias("__file"),
+    )
+    return assigned.groupBy("__file").applyInPandas(
+        build, schema=PROTO_STATS_SCHEMA
+    )
+
+
+def _walk_nested_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in PROTO_NESTED_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            for key, lines, qtys in decode_order_lines_delimited(bytes(blob)):
+                for (n, p, f), q in zip(lines, qtys):
+                    rows.append((key, n, p, f, q))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def scan_proto_nested(spark, proto_dir: str) -> DataFrame:
+    """Delimited OrderLines streams → flattened line rows (the scan
+    unnests: one output row per embedded Line, quantity taken from the
+    packed array at the same position)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "nested_*.pb")
+        .load(proto_dir)
+        .select("content")
+    )
+    return files.mapInPandas(_walk_nested_batches, schema=PROTO_NESTED_SCHEMA)
+
+
 def decode_delimited_tolerant(blob: bytes) -> tuple[list, bool]:
     """Greedy walk that STOPS at the first incomplete message instead
     of raising — the ingest-recovery contract (a truncated tail file

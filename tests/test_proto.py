@@ -110,6 +110,104 @@ def test_order_message_roundtrip_bits():
             assert want[3] == got[3]
 
 
+@settings(max_examples=50)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),  # orderkey
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=10**7),
+                    st.integers(min_value=0, max_value=2**50),
+                    st.text(max_size=8),
+                ),
+                max_size=7,
+            ),
+            st.lists(
+                st.integers(min_value=0, max_value=2**40), max_size=7
+            ),
+        ),
+        max_size=10,
+    )
+)
+def test_nested_stream_roundtrip(msgs):
+    """OrderLines: embedded-message recursion + packed repeated varints
+    round-trip through the delimited stream for arbitrary shapes
+    (empty line lists, empty packed blocks, unicode flags)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        decode_order_lines_delimited,
+        encode_order_lines,
+    )
+
+    blob = b"".join(
+        write_uvarint(len(m)) + m
+        for m in (encode_order_lines(k, ls, qs) for k, ls, qs in msgs)
+    )
+    assert list(decode_order_lines_delimited(blob)) == [
+        (k, ls, qs) for k, ls, qs in msgs
+    ]
+
+
+def test_nested_accepts_expanded_and_multibyte_tags():
+    """Spec conformance: repeated int64 field 3 arriving EXPANDED
+    (one varint per occurrence, wire type 0) accumulates with packed
+    occurrences, and unknown fields with numbers >= 16 (multi-byte
+    tags) skip cleanly at both nesting levels."""
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        decode_line,
+        decode_order_lines_delimited,
+        encode_line,
+        encode_order_lines,
+    )
+
+    base = encode_order_lines(42, [(1, 100, "N")], [5])
+    extra = (
+        bytes([0x18]) + write_uvarint(9)          # field 3 expanded
+        + write_uvarint(16 << 3 | 0) + write_uvarint(77)   # field 16 varint
+        + write_uvarint(300 << 3 | 2) + write_uvarint(2) + b"zz"  # field 300
+        + write_uvarint(17 << 3 | 1) + b"\x00" * 8          # fixed64
+        + write_uvarint(18 << 3 | 5) + b"\x00" * 4          # fixed32
+    )
+    m = base + extra
+    blob = write_uvarint(len(m)) + m
+    assert list(decode_order_lines_delimited(blob)) == [
+        (42, [(1, 100, "N")], [5, 9])
+    ]
+    # nested level: unknown multi-byte tag inside a Line body
+    lb = (
+        encode_line(3, 4, "R")
+        + write_uvarint(200 << 3 | 0) + write_uvarint(1)
+    )
+    assert decode_line(lb) == (3, 4, "R")
+
+
+def test_nested_export_scan_identity_distributed(spark, tmp_path):
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        scan_proto_nested,
+        write_proto_nested_files,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    flat = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_partkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+    )
+    out = str(tmp_path / "pb_nested")
+    stats = write_proto_nested_files(li, n_files=4, out_dir=out).collect()
+    # n_records counts ORDER messages, not line rows
+    assert sum(s.n_records for s in stats) == li.select(
+        "l_orderkey"
+    ).distinct().count()
+    back = scan_proto_nested(spark, out)
+    assert back.count() == flat.count()
+    assert back.exceptAll(flat).count() == 0
+    assert flat.exceptAll(back).count() == 0
+
+
 def test_tolerant_decoder_every_cut_point():
     """Cutting the stream at EVERY byte offset recovers exactly the
     messages wholly before the cut — no exception, no partial rows."""
