@@ -1,0 +1,160 @@
+"""Exact global ranks WITHOUT a single-partition window.
+
+``ROW_NUMBER()/NTILE(k) OVER (ORDER BY ...)`` with no PARTITION BY is
+the one window shape that cannot scale: Spark moves every row to one
+reducer (the WindowExec "moving all data to a single partition"
+warning).  When the ORDER BY is a TOTAL order (unique tiebreaker),
+the same values are computable with no global sort:
+
+1. **Boundary probe** — ~``n_buckets`` percentile cuts of the primary
+   order column, collected to the driver ONCE (an O(n_buckets)
+   action, the audited O(1)-driver-decision pattern).  The cuts
+   become plan LITERALS, so every later step sees identical
+   boundaries — no dependence on exchange reuse or recompute
+   determinism.
+2. **Bucket assignment** — each row's bucket is the count of cuts
+   strictly below (above, for DESC) its primary value: a codegen'd
+   chain of literal comparisons, order-preserving because rows tied
+   on the primary always share a bucket.
+3. **Counts → literal offsets** — per-bucket row counts via one
+   map-side-combined aggregate, collected (O(n_buckets) rows) and
+   turned into a LITERAL offsets array — no unpartitioned window at
+   any grain, no join.
+4. **Local ranks** — ``row_number`` partitioned BY BUCKET (balanced
+   hash exchange, per-group sort) + ``element_at`` of the literal
+   offsets = the exact global row number; NTILE follows by
+   closed-form integer arithmetic on (rn, N).
+
+Every step is deterministic and value-identical to the global-window
+form for ANY total order — the five formerly single-partition
+production plans (equi-depth histogram, calibration deciles, quartile
+contingency, systematic sample, CCNet buckets) are pytest-pinned
+equal to their NTILE twins and share their unchanged DuckDB oracles.
+
+100 TB: two narrow scans of the fact (probe + counts; the rank pass
+reuses the counts scan's lineage) and one balanced shuffle on bucket.
+Skew bound: rows tied with a percentile cut on the primary column
+collapse into one bucket — raise ``n_buckets`` or pre-split on a
+secondary column if the primary is near-constant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def _bucketed_counts(
+    df: DataFrame,
+    primary: str,
+    descending: bool,
+    n_buckets: int,
+) -> tuple[DataFrame, list[int], int]:
+    """(df + __bkt column, per-bucket cumulative offsets, total rows).
+
+    Runs the two driver actions (percentile probe, bucket counts);
+    both collect O(n_buckets) rows, never data.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(primary, probs, 10_000).alias("b")
+    ).head()
+    cuts = sorted(set(cuts_row["b"] or []), reverse=descending)
+
+    col = F.col(primary)
+    bucket = F.lit(0)
+    for c in cuts:
+        cond = (col > F.lit(c)) if not descending else (col < F.lit(c))
+        bucket = bucket + cond.cast("int")
+    b_df = df.withColumn("__bkt", bucket)
+
+    by_bucket = dict(
+        b_df.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, run = [], 0
+    for b in range(len(cuts) + 1):
+        offsets.append(run)
+        run += by_bucket.get(b, 0)
+    return b_df, offsets, run
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    primary: str,
+    descending: bool = False,
+    rn: str = "rn",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """df + exact ``ROW_NUMBER() OVER (ORDER BY order_by)`` as ``rn``.
+
+    ``order_by`` must be a total order whose first key is the numeric
+    non-null column ``primary`` (direction given by ``descending``);
+    ``order_by`` carries the full Column list including direction.
+    """
+    out, _ = _global_row_number_with_total(
+        df, order_by, primary, descending, rn, n_buckets
+    )
+    return out
+
+
+def _global_row_number_with_total(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    primary: str,
+    descending: bool,
+    rn: str,
+    n_buckets: int,
+) -> tuple[DataFrame, int]:
+    b_df, offsets, total = _bucketed_counts(
+        df, primary, descending, n_buckets
+    )
+    w_local = Window.partitionBy("__bkt").orderBy(*order_by)
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("__bkt") + 1
+    )
+    out = (
+        b_df.withColumn("__lrn", F.row_number().over(w_local))
+        .withColumn(rn, (F.col("__lrn") + off).cast("long"))
+        .drop("__bkt", "__lrn")
+    )
+    return out, total
+
+
+def ntile_expr(rn: Column, n_total: int, k: int) -> Column:
+    """SQL-standard ``NTILE(k)`` from a 1-based exact global row
+    number and the total row count: the first ``N mod k`` buckets take
+    ``ceil(N/k)`` rows, the rest ``floor(N/k)`` — pure integer
+    arithmetic, bit-equal to the window function on any engine."""
+    base, rem = divmod(int(n_total), k)
+    thresh = rem * (base + 1)
+    r = rn.cast("long")
+    lo = F.floor((r - 1) / (base + 1)).cast("long") + 1
+    hi = rem + F.floor((r - thresh - 1) / max(base, 1)).cast("long") + 1
+    return F.when(r <= thresh, lo).otherwise(hi).cast("int")
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    primary: str,
+    k: int,
+    descending: bool = False,
+    alias: str = "bucket",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """df + exact ``NTILE(k) OVER (ORDER BY order_by)`` as ``alias``,
+    via the boundary-cut global row number (no single-partition
+    window; the total count comes from the same O(n_buckets)
+    counts collect)."""
+    ranked, total = _global_row_number_with_total(
+        df, order_by, primary, descending, "__grn", n_buckets
+    )
+    return ranked.withColumn(
+        alias, ntile_expr(F.col("__grn"), total, k)
+    ).drop("__grn")

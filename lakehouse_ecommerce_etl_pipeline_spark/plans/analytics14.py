@@ -130,17 +130,46 @@ def q_kmeans_clusters(spark, sf_dir):
     """,
 )
 def q_histogram_equidepth(spark, sf_dir):
-    """Equi-depth (decile) histogram of extended price via ntile over
-    a totally-ordered window — the quantile-bucket companion to the
-    fixed-width q_histogram. Raw double min/max per bucket (no float
-    arithmetic), full (value, orderkey, linenumber) tiebreak so both
-    engines cut identical buckets.
+    """Equi-depth (decile) histogram of extended price — the quantile-
+    bucket companion to the fixed-width q_histogram. Raw double
+    min/max per bucket (no float arithmetic), full (value, orderkey,
+    linenumber) tiebreak so both engines cut identical buckets.
 
-    100 TB: an unpartitioned ntile is a single-reducer sort — fine
-    for a profile pass, wrong as a data path. At scale, derive bucket
-    BOUNDARIES from approx_percentile (one-pass mergeable sketch) and
-    assign buckets with a narrow range filter — same output shape,
-    no global sort."""
+    PRODUCTION PLAN: the boundary-cut exact global ntile
+    (operators/ranks.py) — percentile probe → literal bucket cuts →
+    balanced per-bucket windows → closed-form NTILE arithmetic. No
+    single-partition window at data grain; bit-equal to the NTILE
+    form for this total order (pytest-pinned via
+    q_histogram_equidepth_window_form, oracle unchanged)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("val"), "l_orderkey", "l_linenumber"
+    )
+    tiled = with_global_ntile(
+        li,
+        ["val", "l_orderkey", "l_linenumber"],
+        primary="val",
+        k=10,
+        alias="bucket",
+    )
+    return (
+        tiled.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_histogram_equidepth_window_form(spark, sf_dir):
+    """The NTILE oracle-exactness twin (the former production plan):
+    single-reducer global sort — kept as the semantics witness the
+    boundary-cut plan is pytest-pinned against."""
     from pyspark.sql import Window
 
     w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")

@@ -125,11 +125,54 @@ def q_quartile_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (off-diagonal), which two separate univariate ntile reports can't
     show. Both ntiles carry the orderkey tiebreak for total order.
 
-    100 TB: one basket-size aggregate, a co-partitioned join, and two
-    global ntiles — at real scale replace the global ntile sorts with
-    the two-phase quantile-boundary assignment
-    (q_quantile_bucket_assign) and bucket by computed boundaries
-    instead."""
+    PRODUCTION PLAN: both quartile assignments run through the
+    boundary-cut exact global ntile (operators/ranks.py) — two
+    percentile probes become literal cuts, local windows stay
+    balanced per bucket, and the closed-form NTILE arithmetic is
+    bit-equal to the window form under each total order (basket_lines
+    ties collapse to ≤ |distinct sizes| buckets, each a bounded
+    fraction of orders).  NTILE twin below pytest-pinned; oracle
+    unchanged."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket_lines"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    j = b.join(o, "l_orderkey")
+    j = with_global_ntile(
+        j,
+        ["basket_lines", "l_orderkey"],
+        primary="basket_lines",
+        k=4,
+        alias="size_quartile",
+    )
+    j = with_global_ntile(
+        j,
+        ["o_totalprice", "l_orderkey"],
+        primary="o_totalprice",
+        k=4,
+        alias="value_quartile",
+    )
+    return (
+        j.select(
+            F.col("size_quartile").cast("int").alias("size_quartile"),
+            F.col("value_quartile").cast("int").alias("value_quartile"),
+        )
+        .groupBy("size_quartile", "value_quartile")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_quartile_contingency_window_form(spark: SparkSession, sf_dir: str):
+    """NTILE oracle-exactness twin (former production plan),
+    pytest-pinned equal to the boundary-cut form."""
     b = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")

@@ -243,11 +243,48 @@ def q_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration).  Scores aggregate as integer cents; each output
     rate is one division of exact integers.
 
-    100 TB: NTILE needs a global order — at real scale the bucket
-    edges come from approx/exact percentiles computed in one pass
-    (q_percentile's path) and buckets are then assigned by codegen'd
-    range comparison with NO global sort; the aggregation itself is
-    partial-combined.  The NTILE form here keeps the oracle exact."""
+    PRODUCTION PLAN: boundary-cut exact global ntile
+    (operators/ranks.py — percentile probe → literal cuts → balanced
+    per-bucket windows → closed-form NTILE arithmetic), bit-equal to
+    the window form for this total order; no single-partition window
+    at data grain.  The NTILE twin below stays as the semantics
+    witness, pytest-pinned equal; the DuckDB oracle is unchanged."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey", "o_orderstatus"
+    )
+    s = with_global_ntile(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        primary="o_totalprice",
+        k=10,
+        alias="decile",
+    ).select(
+        "decile",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return s.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (
+            F.sum("pos").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pos_rate"),
+        (
+            F.sum("cents").cast("double")
+            / (100 * F.count(F.lit(1))).cast("double")
+        ).alias("avg_score"),
+    )
+
+
+def q_calibration_deciles_window_form(spark: SparkSession, sf_dir: str):
+    """NTILE oracle-exactness twin of q_calibration_deciles (the
+    former single-reducer production plan), pytest-pinned equal to
+    the boundary-cut form."""
     w = Window.orderBy("o_totalprice", "o_orderkey")
     s = load(spark, sf_dir, "orders").select(
         F.ntile(10).over(w).alias("decile"),
@@ -258,8 +295,7 @@ def q_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("n_pos"),
         (
-            F.sum("pos").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("pos_rate"),
         (
             F.sum("cents").cast("double")

@@ -60,11 +60,34 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive REPARTITIONING, this one survives EYEBALLING — an auditor
     can recompute it by hand.
 
-    100 TB: on sorted/bucketed storage the row number is derivable
-    from per-file row counts (scan-local arithmetic, no global sort);
-    the window form here is the semantics spec.  Output is 1/k of the
-    input — the sample leaves the cluster, the population never
-    does."""
+    PRODUCTION PLAN: the boundary-cut exact global row number
+    (operators/ranks.py) — key-range cuts from a percentile probe
+    become literals, positions are per-bucket row_number + broadcast
+    offsets; no global sort, bit-equal to ROW_NUMBER for the unique
+    key order (window twin pytest-pinned; oracle unchanged).  Output
+    is 1/k of the input — the sample leaves the cluster, the
+    population never does."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_row_number,
+    )
+
+    return (
+        with_global_row_number(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            ["o_orderkey"],
+            primary="o_orderkey",
+            rn="rn",
+        )
+        .filter(F.col("rn") % _EVERY_K == 1)
+        .drop("rn")
+    )
+
+
+def q_systematic_sample_window_form(spark: SparkSession, sf_dir: str):
+    """ROW_NUMBER oracle-exactness twin (former production plan),
+    pytest-pinned equal to the boundary-cut form."""
     w = Window.orderBy("o_orderkey")
     return (
         load(spark, sf_dir, "orders")

@@ -185,11 +185,49 @@ def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges are engine-exact. head = most corpus-like text.
 
     100 TB: model training and scoring are q_lm_score_docs's plan
-    (uniqueness-sized count tables, map-side-combined doc sums). The
-    single global NTILE is the honest cost of exact equal-depth
-    buckets — one rangepartition-style sort of (doc, score) pairs,
-    corpus-COUNT-sized not corpus-BYTES-sized; at 100 TB you'd accept
-    it (it's the artifact) or swap to approx percentile cuts."""
+    (uniqueness-sized count tables, map-side-combined doc sums).
+    PRODUCTION PLAN: the boundary-cut exact global ntile
+    (operators/ranks.py, DESC direction) — score cuts from a
+    percentile probe become literals, per-bucket windows stay
+    balanced, closed-form NTILE arithmetic bit-equal to the window
+    form under the (score DESC, doc_id) total order; NTILE twin
+    pytest-pinned, oracle unchanged."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm16 import (
+        q_lm_score_docs,
+    )
+
+    scores = q_lm_score_docs(spark, sf_dir)
+    per_doc = scores.select(
+        "doc_id",
+        F.expr("lm_score_q div n_bigrams").cast("long").alias("per_bigram_q"),
+    )
+    tiled = with_global_ntile(
+        per_doc,
+        [F.col("per_bigram_q").desc(), "doc_id"],
+        primary="per_bigram_q",
+        k=3,
+        descending=True,
+        alias="__tile",
+    )
+    tile = F.col("__tile")
+    return tiled.select(
+        "doc_id",
+        "per_bigram_q",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def q_ccnet_quality_buckets_window_form(spark: SparkSession, sf_dir: str):
+    """NTILE oracle-exactness twin (former production plan),
+    pytest-pinned equal to the boundary-cut form."""
+    from pyspark.sql import Window
+
     from lakehouse_ecommerce_etl_pipeline_spark.plans.llm16 import (
         q_lm_score_docs,
     )

@@ -1,0 +1,110 @@
+"""Boundary-cut exact global ranks (operators/ranks.py): the five
+de-weaked production plans pinned value-equal to their NTILE /
+ROW_NUMBER window twins, plus helper-level properties."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+    with_global_ntile,
+    with_global_row_number,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _assert_df_equal(a, b):
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_global_row_number_matches_window(spark):
+    df = spark.read.parquet(f"{SF0001}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = with_global_row_number(
+        df, ["o_totalprice", "o_orderkey"], primary="o_totalprice", rn="rn"
+    ).select("o_orderkey", "rn")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = df.select(
+        "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+    _assert_df_equal(got, want)
+
+
+def test_global_row_number_descending_and_ties(spark):
+    # heavy ties on the primary (mod 7) exercise the strictly-beyond
+    # bucket rule and the tiebreak ordering, DESC direction
+    df = (
+        spark.range(0, 5000)
+        .select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+    )
+    got = with_global_row_number(
+        df,
+        [F.col("v").desc(), "k"],
+        primary="v",
+        descending=True,
+        rn="rn",
+        n_buckets=16,
+    ).select("k", "rn")
+    w = Window.orderBy(F.col("v").desc(), "k")
+    want = df.select("k", F.row_number().over(w).cast("long").alias("rn"))
+    _assert_df_equal(got, want)
+
+
+@pytest.mark.parametrize("k,n", [(3, 5000), (10, 4999), (7, 7), (4, 3)])
+def test_global_ntile_matches_window_all_remainders(spark, k, n):
+    df = spark.range(0, n).select(
+        F.col("id").alias("key"), ((F.col("id") * 37) % 101).alias("v")
+    )
+    got = with_global_ntile(
+        df, ["v", "key"], primary="v", k=k, alias="b", n_buckets=8
+    ).select("key", "b")
+    w = Window.orderBy("v", "key")
+    want = df.select("key", F.ntile(k).over(w).alias("b"))
+    _assert_df_equal(got, want)
+
+
+def test_five_deweaked_plans_equal_window_twins(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics14 import (
+        q_histogram_equidepth,
+        q_histogram_equidepth_window_form,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics33 import (
+        q_quartile_contingency,
+        q_quartile_contingency_window_form,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics46 import (
+        q_calibration_deciles,
+        q_calibration_deciles_window_form,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics48 import (
+        q_systematic_sample,
+        q_systematic_sample_window_form,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm29 import (
+        q_ccnet_quality_buckets,
+        q_ccnet_quality_buckets_window_form,
+    )
+
+    pairs = [
+        (q_histogram_equidepth, q_histogram_equidepth_window_form),
+        (q_calibration_deciles, q_calibration_deciles_window_form),
+        (q_quartile_contingency, q_quartile_contingency_window_form),
+        (q_systematic_sample, q_systematic_sample_window_form),
+        (q_ccnet_quality_buckets, q_ccnet_quality_buckets_window_form),
+    ]
+    for prod, twin in pairs:
+        _assert_df_equal(prod(spark, SF0001), twin(spark, SF0001))
