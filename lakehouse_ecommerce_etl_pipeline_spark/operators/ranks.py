@@ -126,6 +126,61 @@ def _global_row_number_with_total(
     return out, total
 
 
+def with_global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    primary: str,
+    value_col: str,
+    alias: str = "running",
+    descending: bool = False,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """df + exact ``SUM(value_col) OVER (ORDER BY order_by ROWS
+    UNBOUNDED PRECEDING..CURRENT ROW)`` as ``alias`` — the parallel
+    prefix-sum: bucket by literal cuts of ``primary``, local running
+    sums per bucket, plus the literal cumulative bucket totals of
+    ``value_col`` collected once (O(n_buckets) driver rows).  Within
+    groups tied on the whole ``order_by`` the local row order is
+    engine-chosen, exactly as with the window form — released results
+    must be tie-invariant in the same way."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(primary, probs, 10_000).alias("b")
+    ).head()
+    cuts = sorted(set(cuts_row["b"] or []), reverse=descending)
+
+    col = F.col(primary)
+    bucket = F.lit(0)
+    for c in cuts:
+        cond = (col > F.lit(c)) if not descending else (col < F.lit(c))
+        bucket = bucket + cond.cast("int")
+    b_df = df.withColumn("__bkt", bucket)
+
+    by_bucket = dict(
+        b_df.groupBy("__bkt")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    )
+    offsets, run = [], 0
+    for b in range(len(cuts) + 1):
+        offsets.append(run)
+        run += int(by_bucket.get(b) or 0)
+    w_local = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("__bkt") + 1
+    )
+    return (
+        b_df.withColumn(
+            alias, (F.sum(value_col).over(w_local) + off).cast("long")
+        )
+        .drop("__bkt")
+    )
+
+
 def ntile_expr(rn: Column, n_total: int, k: int) -> Column:
     """SQL-standard ``NTILE(k)`` from a 1-based exact global row
     number and the total row count: the first ``N mod k`` buckets take

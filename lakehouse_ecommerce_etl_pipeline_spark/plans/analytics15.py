@@ -207,11 +207,66 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak) and monetary is the associative decimal sum, so both
     engines cut identical quintiles.
 
-    100 TB: three unpartitioned ntiles = three single-reducer sorts
-    over one row per customer — acceptable for a scoring pass over an
-    aggregate, not for raw facts. At scale, replace ntile with
-    approx_percentile boundary lookup (mergeable sketch, no global
-    sort), same output contract."""
+    PRODUCTION PLAN: all three quintiles run through the boundary-cut
+    exact global ntile (operators/ranks.py, DESC) — no unpartitioned
+    window at customer grain; the timestamp probes on unix_micros and
+    the decimal probe on a monotone double cast, with the in-bucket
+    order still the true (col DESC, custkey) total order, so scores
+    are bit-equal to the NTILE twin (pytest-pinned; oracle
+    unchanged)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .withColumn("__r_us", F.unix_micros("last_order"))
+        .withColumn("__m_dbl", F.col("monetary").cast("double"))
+    )
+    tiled = with_global_ntile(
+        base,
+        [F.desc("last_order"), "o_custkey"],
+        primary="__r_us",
+        k=5,
+        descending=True,
+        alias="r_score",
+    )
+    tiled = with_global_ntile(
+        tiled,
+        [F.desc("frequency"), "o_custkey"],
+        primary="frequency",
+        k=5,
+        descending=True,
+        alias="f_score",
+    )
+    tiled = with_global_ntile(
+        tiled,
+        [F.desc("monetary"), "o_custkey"],
+        primary="__m_dbl",
+        k=5,
+        descending=True,
+        alias="m_score",
+    )
+    return tiled.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+    )
+
+
+def q_rfm_segments_window_form(spark: SparkSession, sf_dir: str):
+    """NTILE oracle-exactness twin (former production plan),
+    pytest-pinned equal to the boundary-cut form."""
     base = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")

@@ -81,13 +81,39 @@ def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     within an equal-(t,delta) group all deltas are equal, so the set
     of prefix values is permutation-independent.
 
-    100 TB: the sweep is the textbook parallel-prefix-sum shape —
-    range-partition endpoints by t, per-partition local running sums,
-    then a tiny per-partition-offset broadcast fixes them up (Spark's
-    single-partition global window is the local[?] shortcut; the
-    two-phase rewrite is mechanical and the output contract is
-    identical). Endpoint count is 2x sessions, ~1000x smaller than
-    events."""
+    PRODUCTION PLAN: the sweep runs the boundary-cut parallel prefix
+    sum (operators/ranks.py with_global_running_sum) — endpoint-time
+    cuts become plan literals, per-bucket local running sums, literal
+    cumulative delta offsets; no single-partition window even at the
+    endpoint grain (2x sessions, ~1000x smaller than events).  The
+    per-hour MAX stays tie-invariant exactly as with the window form;
+    twin pytest-pinned equal, oracle unchanged."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_running_sum,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sess = sessionize(ev, "user_id", "ts", 1800, order_tiebreak=["event_id"])
+    iv = (
+        sess.withColumn("tus", F.expr("unix_micros(ts)"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("tus").alias("st"), F.max("tus").alias("en"))
+    )
+    sweep = iv.select(F.col("st").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("en").alias("t"), F.lit(-1).alias("d"))
+    )
+    run = with_global_running_sum(
+        sweep, ["t", "d"], primary="t", value_col="d", alias="conc"
+    )
+    return (
+        run.groupBy(F.expr("t div 3600000000").alias("hour_idx"))
+        .agg(F.max("conc").cast("long").alias("max_concurrency"))
+    )
+
+
+def q_concurrency_sweep_window_form(spark: SparkSession, sf_dir: str):
+    """Running-sum oracle-exactness twin (former production plan),
+    pytest-pinned equal to the boundary-cut prefix sum."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     sess = sessionize(ev, "user_id", "ts", 1800, order_tiebreak=["event_id"])
     iv = (

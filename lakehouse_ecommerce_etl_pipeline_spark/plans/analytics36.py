@@ -316,12 +316,56 @@ def q_shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     favors shard 0.  Emits the assignment plus the resulting per-shard
     token totals.
 
-    100 TB: the global rank is a total sort — but of the (doc_id,
-    n_tokens) projection, not documents; Spark range-partitions the
-    sort so it scales, and the serpentine shard is pure arithmetic on
-    the rank (no second shuffle beyond the window).  When rank-exact
+    PRODUCTION PLAN: the rank comes from the boundary-cut exact
+    global row number (operators/ranks.py, DESC on n_tokens) — token-
+    count cuts become plan literals, per-bucket windows stay balanced,
+    and the serpentine shard is pure arithmetic on the exact rank;
+    the shard-total window is already PARTITIONed (8 groups).  Window
+    twin pytest-pinned equal; oracle unchanged.  When rank-exact
     balance isn't required, the md5-hash shard (q_split_train_val) is
     the shuffle-free alternative."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_row_number,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    ranked = with_global_row_number(
+        d,
+        [F.desc("n_tokens"), "doc_id"],
+        primary="n_tokens",
+        descending=True,
+        rn="__rn",
+    )
+    pos = F.col("__rn") - 1
+    assigned = ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.floor(pos / _N_SHARDS) % 2 == 0, pos % _N_SHARDS
+        )
+        .otherwise(F.lit(_N_SHARDS - 1) - pos % _N_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    return assigned.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.sum("n_tokens")
+        .over(Window.partitionBy("shard"))
+        .cast("bigint")
+        .alias("shard_tokens"),
+    )
+
+
+def q_shard_assignment_balanced_window_form(
+    spark: SparkSession, sf_dir: str
+):
+    """ROW_NUMBER oracle-exactness twin (former production plan),
+    pytest-pinned equal to the boundary-cut form."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),

@@ -108,3 +108,49 @@ def test_five_deweaked_plans_equal_window_twins(spark):
     ]
     for prod, twin in pairs:
         _assert_df_equal(prod(spark, SF0001), twin(spark, SF0001))
+
+
+def test_straggler_plans_equal_window_twins(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics15 import (
+        q_rfm_segments,
+        q_rfm_segments_window_form,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics22 import (
+        q_concurrency_sweep,
+        q_concurrency_sweep_window_form,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics36 import (
+        q_shard_assignment_balanced,
+        q_shard_assignment_balanced_window_form,
+    )
+
+    pairs = [
+        (q_rfm_segments, q_rfm_segments_window_form),
+        (q_shard_assignment_balanced, q_shard_assignment_balanced_window_form),
+        (q_concurrency_sweep, q_concurrency_sweep_window_form),
+    ]
+    for prod, twin in pairs:
+        _assert_df_equal(prod(spark, SF0001), twin(spark, SF0001))
+
+
+def test_global_running_sum_matches_window(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_running_sum,
+    )
+
+    # unique (t, d) order so per-row prefix sums compare exactly
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 997).alias("t"),
+        (F.col("id") % 5 - 2).alias("d"),
+        F.col("id").alias("uid"),
+    )
+    got = with_global_running_sum(
+        df, ["t", "d", "uid"], primary="t", value_col="d", alias="run"
+    ).select("uid", "run")
+    w = Window.orderBy("t", "d", "uid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select(
+        "uid", F.sum("d").over(w).cast("long").alias("run")
+    )
+    _assert_df_equal(got, want)
