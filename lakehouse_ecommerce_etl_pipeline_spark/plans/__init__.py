@@ -134,8 +134,8 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 # queries the driver has never value-checked, so the hard per-value
 # signal accumulates across the registry over rounds instead of
 # re-proving the same extension rows.  Cumulative driver-checked
-# set after r4: 102 distinct queries (CORRECTNESS_r01–r04, all
-# green); the round-5 block below adds 24 more.
+# set after r5: 126 distinct queries (CORRECTNESS_r01–r05, all
+# green); the round-6 block below adds 24 more.
 _FIRST_WINDOW = [
     # --- fixed §2 parity rows (driver-green r1+r2, keep forever) ---
     "q_scan_csv",
@@ -164,45 +164,42 @@ _FIRST_WINDOW = [
     "q_merge_upsert_storage",
     "q_write_partitioned",
     "q_scan_excel",
-    # --- round-5 rotation: never driver-checked before (VERDICT r3
-    # rotation discipline, continued).  Targets: the round-4 tiers that
-    # so far carry only builder+judge signal (geofencing/IoC, schema
-    # profiling, exact A/B test, weighted SSSP, sorted-neighborhood
-    # blocking, SimHash-vs-MinHash calibration panels, the md5
-    # cross-family dedup witness chain, the 64-perm/16-band production
-    # recall layout, the web-corpus e2e composition, the watermark
-    # late-drop oracle), the three rows whose oracles were pinned in r4
-    # (kcore / freq_items / stream_dedup), the r4 fixed-point PageRank
-    # rework, and the three queries touched by this round's ADVICE
-    # fixes (tree rollup conf scoping; embedding rep-collapse zero-norm
-    # guard via q_embedding_near_dup; asof-join null-key contract is
-    # pytest-pinned).  Rows rotated OUT were driver-green in r1-r4
-    # (CORRECTNESS_r0{1..4}); everything stays registered and
-    # full-swept locally (scripts/check_oracle.py).
-    "q_tree_rollup",
-    "q_interval_union_length",
-    "q_nearest_view_join",
-    "q_embedding_near_dup",
-    "q_minhash_64perm",
-    "q_near_dup_pairs_16band",
-    "q_minhash_md5",
-    "q_near_dup_pairs_md5",
-    "q_dedup_clusters_md5",
-    "q_web_corpus_pipeline_e2e",
-    "q_stream_late_drop",
-    "q_stream_dedup",
-    "q_kcore",
-    "q_freq_items",
-    "q_pagerank",
-    "q_sssp_weighted",
-    "q_ab_test_exact",
-    "q_point_in_polygon",
-    "q_char_ioc",
-    "q_functional_deps",
-    "q_candidate_keys",
-    "q_sorted_neighborhood_pairs",
-    "q_simhash_hamming_pairs",
-    "q_minhash_calibration",
+    # --- round-6 rotation: never driver-checked before (the recorded
+    # r5 queue, VERDICT r5 item 1).  Targets, priority order: the
+    # TPC-H tail — the largest never-checked block and the one a real
+    # analyst hits first (16 queries: q2/q4/q7/q8/q10-q20/q22; q21 and
+    # q1/q3/q5/q6/q9 were driver-green in r1-r4), the round-5 tiers
+    # (pairwise-preference statistics + the protobuf wire-format trio),
+    # and the SCD2 pair.  The streaming batch-twins and
+    # q_pack_sequences/q_token_budget_mixture stay at the head of the
+    # round-7 queue (SURVEY §8) — 24 slots is the cap.  Rows rotated
+    # OUT were driver-green in r1-r5 (CORRECTNESS_r0{1..5});
+    # everything stays registered and full-swept locally
+    # (scripts/check_oracle.py --json -> docs/SWEEP_r06.json).
+    "q_tpch_q2_min_acctbal_supplier",
+    "q_tpch_q4_order_priority",
+    "q_tpch_q7_nation_volume",
+    "q_tpch_q8_market_share",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q11_important_value_share",
+    "q_tpch_q12_late_lines",
+    "q_tpch_q13_customer_distribution",
+    "q_tpch_q14_promo_share",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_supplier_count",
+    "q_tpch_q17_small_quantity_revenue",
+    "q_tpch_q18_large_volume",
+    "q_tpch_q19_brand_revenue",
+    "q_tpch_q20_heavy_shippers",
+    "q_tpch_q22_idle_customers",
+    "q_mann_whitney_u",
+    "q_rank_centrality",
+    "q_gate_agreement_kappa",
+    "q_export_protobuf",
+    "q_scan_protobuf",
+    "q_stream_protobuf_ingest",
+    "q_scd2_history",
+    "q_scd2_incremental_apply",
 ]
 
 

@@ -4,7 +4,13 @@
 over the same parquet tables; compare row count, column names, and
 order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--window]\n(--window = exactly the driver's 50-entry gate)
+Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--window]
+           [--json PATH]
+
+--window      run exactly the driver's 50-entry gate
+--json PATH   also write a machine-readable sweep artifact:
+              {query: {status: pass|rows_only|fail, rows, secs, why}}
+              (the per-round docs/SWEEP_r{N}.json the judge reads)
 """
 
 from __future__ import annotations
@@ -114,7 +120,13 @@ def frames_equal(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--window"]
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--window"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if "--window" in sys.argv[1:]:
@@ -138,6 +150,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -147,11 +160,16 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            why = f"spark error {type(e).__name__}: {e}"
+            results[name] = {"status": "fail", "why": why[:500]}
+            print(f"FAIL  {name}: {why}")
             continue
-        dt = time.time() - t0
+        dt = round(time.time() - t0, 2)
         if name not in oracles:
             n_rows_only += 1
+            results[name] = {
+                "status": "rows_only", "rows": len(sp_df), "secs": dt,
+            }
             print(f"rows  {name}: {len(sp_df)} rows ({dt:.1f}s) [no oracle]")
             continue
         try:
@@ -159,20 +177,44 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            why = f"duckdb error {type(e).__name__}: {e}"
+            results[name] = {"status": "fail", "why": why[:500]}
+            print(f"FAIL  {name}: {why}")
             continue
         ok, why = frames_equal(sp_df, du_df)
         if ok:
             n_pass += 1
+            results[name] = {"status": "pass", "rows": len(sp_df), "secs": dt}
             print(f"PASS  {name}: {len(sp_df)} rows ({dt:.1f}s)")
         else:
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "status": "fail", "rows": len(sp_df), "secs": dt,
+                "why": why[:500],
+            }
             print(f"FAIL  {name}: {why}")
     print(
         f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, {n_fail} fail"
         + (f" -> {failures}" if failures else "")
     )
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_rows_only": n_rows_only,
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 
