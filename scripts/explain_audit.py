@@ -95,6 +95,17 @@ DEFAULT_QUERIES = [
     "q_rank_centrality",
     "q_gate_agreement_kappa",
     "q_scan_protobuf",
+    # round-6: the de-weaked boundary-cut plans (must show NO
+    # unpartitioned Window at data grain) + the nested protobuf scan
+    "q_histogram_equidepth",
+    "q_calibration_deciles",
+    "q_quartile_contingency",
+    "q_systematic_sample",
+    "q_ccnet_quality_buckets",
+    "q_rfm_segments",
+    "q_shard_assignment_balanced",
+    "q_concurrency_sweep",
+    "q_scan_protobuf_nested",
 ]
 
 
