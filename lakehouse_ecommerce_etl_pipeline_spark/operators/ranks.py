@@ -18,12 +18,15 @@ the same values are computable with no global sort:
    on the primary always share a bucket.
 3. **Counts → literal offsets** — per-bucket row counts via one
    map-side-combined aggregate, collected (O(n_buckets) rows) and
-   turned into a LITERAL offsets array — no unpartitioned window at
-   any grain, no join.
+   turned into a LITERAL CASE-WHEN offset chain — no unpartitioned
+   window at any grain, no join.  (Not ``element_at`` on a literal
+   array: under ANSI that expression is can-throw and measured ~8×
+   slower per row than the codegen'd when-chain — 41 s vs 5 s on a
+   2.9 M-row rank pass.)
 4. **Local ranks** — ``row_number`` partitioned BY BUCKET (balanced
-   hash exchange, per-group sort) + ``element_at`` of the literal
-   offsets = the exact global row number; NTILE follows by
-   closed-form integer arithmetic on (rn, N).
+   hash exchange, per-group sort) + the literal offset chain = the
+   exact global row number; NTILE follows by closed-form integer
+   arithmetic on (rn, N).
 
 Every step is deterministic and value-identical to the global-window
 form for ANY total order — the five formerly single-partition
@@ -83,6 +86,15 @@ def _bucketed_counts(
     return b_df, offsets, run
 
 
+def _offset_expr(offsets: list[int]) -> "Column":
+    """Literal CASE-WHEN chain mapping __bkt -> cumulative offset
+    (codegen-friendly; see module docstring for why not element_at)."""
+    off = F.lit(offsets[0])
+    for i in range(1, len(offsets)):
+        off = F.when(F.col("__bkt") == i, F.lit(offsets[i])).otherwise(off)
+    return off
+
+
 def with_global_row_number(
     df: DataFrame,
     order_by: Sequence[Column | str],
@@ -115,9 +127,7 @@ def _global_row_number_with_total(
         df, primary, descending, n_buckets
     )
     w_local = Window.partitionBy("__bkt").orderBy(*order_by)
-    off = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("__bkt") + 1
-    )
+    off = _offset_expr(offsets)
     out = (
         b_df.withColumn("__lrn", F.row_number().over(w_local))
         .withColumn(rn, (F.col("__lrn") + off).cast("long"))
@@ -170,9 +180,7 @@ def with_global_running_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    off = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("__bkt") + 1
-    )
+    off = _offset_expr(offsets)
     return (
         b_df.withColumn(
             alias, (F.sum(value_col).over(w_local) + off).cast("long")

@@ -123,6 +123,8 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics60  # noqa: F4
 from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics61  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm37  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import llm38  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import analytics62  # noqa: F401,E402
+from lakehouse_ecommerce_etl_pipeline_spark.plans import llm39  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import cdc_q  # noqa: F401,E402
 from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F401,E402
 

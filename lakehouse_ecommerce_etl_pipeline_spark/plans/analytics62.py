@@ -1,0 +1,213 @@
+"""Tier XXXIX: rank statistics & robust trend — Spearman rank
+correlation and the Theil-Sen median-slope estimator.
+
+Both are the rank-based robust twins of moments the corpus already
+ships (q_groupwise_regression's OLS slope, q_autocorr_lag's Pearson
+form): Spearman asks "is the relationship monotone" without assuming
+linearity, Theil-Sen fits a trend a single outlier day can't drag.
+Both become EXACT integer computations once ranks are exact, and the
+boundary-cut global-rank machinery built for the de-weak work
+(operators/ranks.py) is precisely what makes them scale-safe: no
+single-partition window anywhere.
+
+Oracle discipline ([[oracle-exactness-rules]] in spirit): every
+released aggregate is BIGINT integer arithmetic on exact ranks; the
+one DOUBLE per query is a SINGLE IEEE division of exact integers —
+bit-stable cross-engine.  Ordering of Theil-Sen slopes uses the
+(slope, num, den) total order, where the double `slope` is itself a
+single division of the same integer pair on both engines, so the
+median pick is engine-exact.
+
+Integer-headroom bound (the llm37 pattern): Spearman's Σd² is
+bounded by n³ — exact under int64 to n ≈ 2.0 M joined orders; beyond
+that widen the d² sum to DECIMAL(38,0) on both sides (values remain
+exact integers, so the release stays bit-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+    _global_row_number_with_total,
+    with_global_row_number,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    load,
+    spill_final,
+)
+from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "q_spearman_corr",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS basket_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey AS k, b.basket_lines AS x, o.o_totalprice AS y
+      FROM orders o JOIN b ON b.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY x, k) AS BIGINT) AS rx,
+             CAST(ROW_NUMBER() OVER (ORDER BY y, k) AS BIGINT) AS ry
+      FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1)
+                - 6 * SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+             / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+             AS rho
+    FROM r
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between basket size and order value
+    at order grain: are bigger baskets monotonically pricier?  Ranks
+    are exact ROW_NUMBERs over the (value, orderkey) TOTAL orders —
+    the convention the quartile/calibration family already pins — so
+    Σd² is exact integer arithmetic and
+    rho = (n(n²-1) − 6Σd²) / (n(n²-1)) releases through ONE double
+    division of exact integers (bit-stable cross-engine).
+
+    PRODUCTION PLAN: both rank passes run the boundary-cut exact
+    global row number (operators/ranks.py) — literal percentile cuts,
+    balanced per-bucket windows, no single-partition sort; the d²
+    reduction is one map-side-combined aggregate.
+
+    100 TB: two boundary-cut rank passes over (key, x, y) triples +
+    one scalar aggregate; Σd² stays in int64 to ~2.0 M orders, then
+    widen the sum to DECIMAL(38,0) (module docstring)."""
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("basket_lines"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    j = b.join(o, "l_orderkey").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("basket_lines").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    rx = with_global_row_number(j, ["x", "k"], primary="x", rn="rx")
+    both = with_global_row_number(rx, ["y", "k"], primary="y", rn="ry")
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    agg = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+    )
+    denom = F.col("n") * (F.col("n") * F.col("n") - 1)
+    return agg.select(
+        "n",
+        "sum_d2",
+        (
+            (denom - 6 * F.col("sum_d2")).cast("double")
+            / denom.cast("double")
+        ).alias("rho"),
+    )
+
+
+@register(
+    "q_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {_US_PER_DAY} AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT b.cents - a.cents AS num, b.day - a.day AS den
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    q AS (
+      SELECT num, den,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope
+      FROM pairs
+    ),
+    r AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, num, den) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM q
+    )
+    SELECT CAST(cnt AS BIGINT) AS n_pairs,
+           slope AS median_slope_cents_per_day
+    FROM r WHERE rn = (cnt + 1) // 2
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend: the median over all
+    pairwise day-to-day slopes — the estimator a single promo-day
+    spike can't drag (OLS twin: q_groupwise_regression).  Slopes are
+    integer-cents / integer-days rationals; each double is ONE IEEE
+    division of the same integer pair on both engines, and the median
+    is picked under the (slope, num, den) TOTAL order (lower middle
+    for even counts), so the released value is engine-exact.
+
+    PRODUCTION PLAN: the pair table is DAY-domain-bounded (|days|²/2
+    rows — ~3 M at a 7-year span — regardless of order volume), and
+    the median-rank pass is the boundary-cut exact global row number
+    (operators/ranks.py), not a single-partition sort.
+
+    100 TB: the only full-data pass is the daily cents aggregate
+    (map-side combined); everything after runs on the bounded day
+    domain."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(f"unix_micros(o_orderdate) div {_US_PER_DAY}").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    # structurally distinct column names on the two sides: self-join
+    # alias resolution can collapse a.day/b.day to one attribute,
+    # which would make den = 0 (observed as an ANSI DIVIDE_BY_ZERO)
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("cents").alias("cents_a")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("cents").alias("cents_b")
+    )
+    pairs = b.join(a, F.col("day_b") > F.col("day_a")).select(
+        (F.col("cents_b") - F.col("cents_a")).alias("num"),
+        (F.col("day_b") - F.col("day_a")).alias("den"),
+    )
+    # try_divide, not /: the rn == mid filter downstream makes
+    # Catalyst infer isnotnull(bucket(slope)) and push it INTO the
+    # join condition, where ANSI division would evaluate on the
+    # den = 0 pairs the day_b > day_a comparison exists to reject
+    # (observed DIVIDE_BY_ZERO inside BroadcastNestedLoopJoin).
+    # den >= 1 for every surviving pair, so values are identical.
+    q = pairs.withColumn(
+        "slope",
+        F.try_divide(F.col("num").cast("double"), F.col("den").cast("double")),
+    )
+    # Materialize the bounded pair table before ranking: the spill
+    # cuts lineage so the probe/counts/rank passes read one parquet
+    # instead of re-running the day-pair join, and the inferred
+    # isnotnull(bucket(slope)) constraint lands on the scan rather
+    # than bloating the join condition with the 63-cut division
+    # chain (measured 87 s -> seconds at sf0.01).
+    q = spill_final(q, sf_dir, "theil_sen_pairs")
+    ranked, total = _global_row_number_with_total(
+        q, ["slope", "num", "den"], primary="slope", descending=False,
+        rn="rn", n_buckets=64,
+    )
+    mid = (total + 1) // 2
+    return ranked.filter(F.col("rn") == mid).select(
+        F.lit(total).cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("median_slope_cents_per_day"),
+    )
