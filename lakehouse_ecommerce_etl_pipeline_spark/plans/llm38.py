@@ -331,6 +331,61 @@ def q_scan_protobuf_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_protobuf_nested_ingest",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_partkey, l_returnflag,
+           CAST(l_quantity AS BIGINT) AS l_quantity
+    FROM lineitem
+    """,
+)
+def q_stream_protobuf_nested_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NESTED wire format through the drop-zone streaming pattern
+    (completing the tier's trio: export, scan, stream — as the flat
+    Doc and typed Order messages have): a file stream discovers the
+    OrderLines streams, every micro-batch flattens through the same
+    recursive walker into a parquet sink via availableNow + a
+    checkpoint, and the identity oracle holds regardless of
+    micro-batch split — embedded-message recursion and packed-
+    repeated decode are batching-invariant because framing is
+    per-file.
+
+    100 TB: file-source streams scale by file count; the decode is
+    stateless, so only source-discovery state checkpoints."""
+    import uuid
+
+    from lakehouse_ecommerce_etl_pipeline_spark.sources.proto import (
+        stream_scan_proto_nested,
+        write_proto_nested_files,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    streams = os.path.join(work_dir(sf_dir, "proto_files"), "nested")
+    with artifact_lock(streams):
+        if not artifact_fresh(src, streams):
+            write_proto_nested_files(
+                load(spark, sf_dir, "lineitem"), n_files=_N_FILES,
+                out_dir=streams,
+            ).collect()
+    run = os.path.join(
+        work_dir(sf_dir, "proto_stream_nested"), uuid.uuid4().hex[:8]
+    )
+    sink, ckpt = os.path.join(run, "sink"), os.path.join(run, "ckpt")
+    q = (
+        stream_scan_proto_nested(spark, streams)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+@register(
     "q_protobuf_corrupt_recovery",
     oracle=f"""
     WITH m AS (

@@ -582,6 +582,31 @@ def scan_proto_nested(spark, proto_dir: str) -> DataFrame:
     return files.mapInPandas(_walk_nested_batches, schema=PROTO_NESTED_SCHEMA)
 
 
+def stream_scan_proto_nested(spark, proto_dir: str) -> DataFrame:
+    """The nested decode as a STREAMING source (the drop-zone pattern
+    stream_scan_proto runs for the flat Doc message): a file stream
+    watches the nested_*.pb directory and each discovered stream
+    flattens through the identical recursive walker — embedded-message
+    and packed-repeated decode are batching-invariant because the
+    framing is per-file."""
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "nested_*.pb")
+        .load(proto_dir)
+        .select("content")
+    )
+    return files.mapInPandas(_walk_nested_batches, schema=PROTO_NESTED_SCHEMA)
+
+
 def decode_delimited_tolerant(blob: bytes) -> tuple[list, bool]:
     """Greedy walk that STOPS at the first incomplete message instead
     of raising — the ingest-recovery contract (a truncated tail file
