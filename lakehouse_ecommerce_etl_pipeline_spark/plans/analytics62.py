@@ -116,6 +116,66 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mann_kendall_s",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {_US_PER_DAY} AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                         WHEN b.cents < a.cents THEN -1
+                         ELSE 0 END) AS BIGINT) AS s
+    FROM daily a JOIN daily b ON b.day > a.day
+    """,
+)
+def q_mann_kendall_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic S = Σ sign(x_j − x_i) over all
+    ordered day pairs of daily revenue — the nonparametric
+    significance companion to q_theil_sen_trend (same pair domain:
+    the test says WHETHER a monotone trend exists, Theil-Sen says how
+    steep).  S, the pair count, and the day count are pure integers —
+    no division anywhere, bit-exact by construction; the normal
+    approximation (needs sqrt) stays client-side by design.
+
+    100 TB: one map-side-combined daily aggregate; the pair pass is
+    DAY-domain-bounded exactly as Theil-Sen's."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(f"unix_micros(o_orderdate) div {_US_PER_DAY}").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("cents").alias("cents_a")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("cents").alias("cents_b")
+    )
+    pairs = b.join(a, F.col("day_b") > F.col("day_a"))
+    n_days = daily.count()
+    return pairs.agg(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("cents_b") > F.col("cents_a"), 1)
+            .when(F.col("cents_b") < F.col("cents_a"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+
+
+@register(
     "q_theil_sen_trend",
     oracle=f"""
     WITH daily AS (

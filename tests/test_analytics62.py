@@ -48,6 +48,29 @@ def test_spearman_matches_pure_python(spark):
     assert row.rho == (denom - 6 * sum_d2) / denom
 
 
+def test_mann_kendall_matches_pure_python(spark):
+    import calendar
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics62 import (
+        q_mann_kendall_s,
+    )
+
+    row = q_mann_kendall_s(spark, SF0001).collect()[0]
+    o = spark.read.parquet(f"{SF0001}/orders.parquet")
+    daily = {}
+    for r in o.select("o_orderdate", "o_totalprice").collect():
+        day = calendar.timegm(r.o_orderdate.timetuple()) // 86_400
+        daily[day] = daily.get(day, 0) + round(r.o_totalprice * 100)
+    days = sorted(daily)
+    s = n_pairs = 0
+    for i, da in enumerate(days):
+        for db in days[i + 1:]:
+            n_pairs += 1
+            d = daily[db] - daily[da]
+            s += (d > 0) - (d < 0)
+    assert (row.n_days, row.n_pairs, row.s) == (len(days), n_pairs, s)
+
+
 def test_theil_sen_matches_pure_python(spark):
     from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics62 import (
         q_theil_sen_trend,
