@@ -77,6 +77,49 @@ def test_global_ntile_matches_window_all_remainders(spark, k, n):
     _assert_df_equal(got, want)
 
 
+def test_global_rank_hypothesis_fuzz(spark):
+    """Property fuzz: arbitrary multisets (heavy ties, negatives,
+    tiny/degenerate sizes), random k and direction — boundary-cut
+    ranks and ntiles must equal the window forms exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50),
+            min_size=1,
+            max_size=300,
+        ),
+        k=st.integers(min_value=1, max_value=9),
+        descending=st.booleans(),
+        n_buckets=st.sampled_from([2, 5, 16]),
+    )
+    def check(vals, k, descending, n_buckets):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "key long, v long"
+        )
+        order = [F.col("v").desc() if descending else F.col("v"), "key"]
+        got = with_global_ntile(
+            df, order, primary="v", k=k, descending=descending,
+            alias="b", n_buckets=n_buckets,
+        ).select("key", "b")
+        w = Window.orderBy(*order)
+        want = df.select("key", F.ntile(k).over(w).alias("b"))
+        _assert_df_equal(got, want)
+
+        got_rn = with_global_row_number(
+            df, order, primary="v", descending=descending,
+            rn="rn", n_buckets=n_buckets,
+        ).select("key", "rn")
+        want_rn = df.select(
+            "key", F.row_number().over(w).cast("long").alias("rn")
+        )
+        _assert_df_equal(got_rn, want_rn)
+
+    check()
+
+
 def test_five_deweaked_plans_equal_window_twins(spark):
     from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics14 import (
         q_histogram_equidepth,
