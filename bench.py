@@ -60,6 +60,9 @@ HEADLINE = [
     "q_mann_whitney_u",     # histogram-decomposed pairwise U statistic
     "q_rank_centrality",    # integer-lattice preference fixpoint
     "q_scan_protobuf",      # varint wire-format walker throughput
+    # round-6 additions, r6 baseline
+    "q_spearman_corr",      # boundary-cut double rank pass + integer sum-d2
+    "q_scan_protobuf_nested",  # recursive embed + packed-varint walker
 ]
 
 
