@@ -154,6 +154,7 @@ def q_histogram_equidepth(spark, sf_dir):
         primary="val",
         k=10,
         alias="bucket",
+        secondary="l_orderkey",
     )
     return (
         tiled.groupBy(F.col("bucket").cast("int").alias("bucket"))

@@ -236,6 +236,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         descending=True,
         alias="r_score",
+        secondary="o_custkey",
     )
     tiled = with_global_ntile(
         tiled,
@@ -244,6 +245,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         descending=True,
         alias="f_score",
+        # order counts per customer: a narrow integer domain whose
+        # modal value is a fat tie class — split on the customer key
+        secondary="o_custkey",
     )
     tiled = with_global_ntile(
         tiled,
@@ -252,6 +256,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         descending=True,
         alias="m_score",
+        secondary="o_custkey",
     )
     return tiled.select(
         "o_custkey",

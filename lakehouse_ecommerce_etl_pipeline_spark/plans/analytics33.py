@@ -152,6 +152,9 @@ def q_quartile_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         primary="basket_lines",
         k=4,
         alias="size_quartile",
+        # basket_lines has ~7 distinct values: every value is a fat
+        # tie class at scale — auto-split on the unique order key
+        secondary="l_orderkey",
     )
     j = with_global_ntile(
         j,
@@ -159,6 +162,7 @@ def q_quartile_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         primary="o_totalprice",
         k=4,
         alias="value_quartile",
+        secondary="l_orderkey",
     )
     return (
         j.select(

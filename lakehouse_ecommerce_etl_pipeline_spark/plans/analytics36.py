@@ -338,6 +338,7 @@ def q_shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         primary="n_tokens",
         descending=True,
         rn="__rn",
+        secondary="doc_id",
     )
     pos = F.col("__rn") - 1
     assigned = ranked.select(

@@ -262,6 +262,7 @@ def q_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         primary="o_totalprice",
         k=10,
         alias="decile",
+        secondary="o_orderkey",
     ).select(
         "decile",
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),

@@ -102,8 +102,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beats paying a parquet write per invocation — measured 2.8 s
     # recompute vs 3.4 s spilled at sf0.1; revisit if the upstream
     # ever grows an expensive lineage.
-    rx = with_global_row_number(j, ["x", "k"], primary="x", rn="rx")
-    both = with_global_row_number(rx, ["y", "k"], primary="y", rn="ry")
+    # x = basket size has ~7 distinct values: every value is a fat
+    # tie class at scale — the rank pass auto-splits on the unique
+    # order key so no bucket's window partition carries a constant
+    # fraction of the orders
+    rx = with_global_row_number(
+        j, ["x", "k"], primary="x", rn="rx", secondary="k"
+    )
+    both = with_global_row_number(
+        rx, ["y", "k"], primary="y", rn="ry", secondary="k"
+    )
     d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
     agg = both.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -269,7 +277,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = spill_final(q, sf_dir, "theil_sen_pairs")
     ranked, total = _global_row_number_with_total(
         q, ["slope", "num", "den"], primary="slope", descending=False,
-        rn="rn", n_buckets=64,
+        rn="rn", n_buckets=64, secondary="num",
     )
     mid = (total + 1) // 2
     return ranked.filter(F.col("rn") == mid).select(

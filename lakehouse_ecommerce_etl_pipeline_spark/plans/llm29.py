@@ -211,6 +211,7 @@ def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         descending=True,
         alias="__tile",
+        secondary="doc_id",
     )
     tile = F.col("__tile")
     return tiled.select(

@@ -176,6 +176,145 @@ def test_straggler_plans_equal_window_twins(spark):
         _assert_df_equal(prod(spark, SF0001), twin(spark, SF0001))
 
 
+def test_null_and_nan_primary_raise(spark):
+    """The total-order contract (non-null, non-NaN primary) is now a
+    guard, not a docstring: both violations fail fast (ADVICE r6)."""
+    nulls = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "k long, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        with_global_row_number(nulls, ["v", "k"], primary="v").collect()
+    nans = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 3.0)], "k long, v double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        with_global_row_number(nans, ["v", "k"], primary="v").collect()
+
+
+def test_running_sum_float_value_raises(spark):
+    """Float value columns would silently reorder addition vs the
+    window twin — the exact-dtype contract raises instead (ADVICE r6)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_running_sum,
+    )
+
+    df = spark.createDataFrame([(1, 0.5)], "t long, d double")
+    with pytest.raises(TypeError, match="non-exact dtype"):
+        with_global_running_sum(df, ["t"], primary="t", value_col="d")
+
+
+def test_tie_class_auto_split(spark, monkeypatch):
+    """Near-constant primary: the skew guard detects the fat tie
+    classes; with a numeric secondary they are split by secondary
+    cuts (bit-equal ranks, more balanced buckets); without one the
+    helper raises instead of silently producing one fat bucket."""
+    import lakehouse_ecommerce_etl_pipeline_spark.operators.ranks as ranks
+
+    monkeypatch.setattr(ranks, "SKEW_FLOOR_ROWS", 10)
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("v")
+    )
+    w = Window.orderBy("v", "k")
+    want = df.select("k", F.row_number().over(w).cast("long").alias("rn"))
+
+    got = ranks.with_global_row_number(
+        df, ["v", "k"], primary="v", rn="rn", n_buckets=16, secondary="k"
+    ).select("k", "rn")
+    _assert_df_equal(got, want)
+
+    # the split genuinely engaged: final buckets far exceed the 2
+    # tie classes, and no bucket holds a constant fraction of rows
+    b_df, rows, total = ranks._assign_buckets(
+        df, "v", False, 16, "k", "raise", []
+    )
+    assert total == 5000
+    assert len(rows) > 4
+    assert max(r[1] for r in rows) < 1000
+
+    with pytest.raises(ValueError, match="skewed buckets"):
+        ranks.with_global_row_number(
+            df, ["v", "k"], primary="v", rn="rn", n_buckets=16
+        ).collect()
+
+    # explicit acceptance keeps the fat bucket but stays exact
+    accepted = ranks.with_global_row_number(
+        df, ["v", "k"], primary="v", rn="rn", n_buckets=16,
+        on_skew="accept",
+    ).select("k", "rn")
+    _assert_df_equal(accepted, want)
+
+
+def test_ntile_expr_exact_at_huge_counts(spark):
+    """ADVICE r6: the former float-division NTILE could misassign a
+    boundary row by one tile once rows-per-tile exceeds 2^26.  The
+    integer `div` form is checked at N = 10^12 against Python's exact
+    integer arithmetic on tile-boundary row numbers."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        ntile_expr,
+    )
+
+    n_total, k = 10**12, 10
+    base, rem = divmod(n_total, k)
+    thresh = rem * (base + 1)
+
+    def py_ntile(rn: int) -> int:
+        if rn <= thresh:
+            return (rn - 1) // (base + 1) + 1
+        return rem + (rn - thresh - 1) // max(base, 1) + 1
+
+    # probe every tile boundary and its neighbours
+    probes = sorted(
+        {
+            max(1, min(n_total, r + d))
+            for t in range(1, k + 1)
+            for r in (t * base + min(t, rem),)
+            for d in (-1, 0, 1)
+        }
+    )
+    df = spark.createDataFrame([(r,) for r in probes], "rn long")
+    got = {
+        row["rn"]: row["t"]
+        for row in df.select(
+            "rn", ntile_expr(F.col("rn"), n_total, k).alias("t")
+        ).collect()
+    }
+    for r in probes:
+        assert got[r] == py_ntile(r), (r, got[r], py_ntile(r))
+
+
+def test_running_sums_decimal_and_multi(spark):
+    """Decimal value columns run exactly (no silent long truncation —
+    ADVICE r6), and the multi-column form shares one probe/counts
+    pass while matching per-column window sums."""
+    from decimal import Decimal
+
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_running_sums,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 701).alias("t"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 9 - 4).alias("d"),
+        (F.col("id") % 13)
+        .cast("decimal(20,2)")
+        .alias("amt"),
+    ).withColumn("amt", F.col("amt") / F.lit(4))  # fractional cents
+    got = with_global_running_sums(
+        df, ["t", "uid"], primary="t",
+        value_cols=["d", "amt"], aliases=["run_d", "run_amt"],
+    ).select("uid", "run_d", F.col("run_amt").cast("decimal(38,6)"))
+    w = Window.orderBy("t", "uid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select(
+        "uid",
+        F.sum("d").over(w).cast("long").alias("run_d"),
+        F.sum("amt").over(w).cast("decimal(38,6)").alias("run_amt"),
+    )
+    _assert_df_equal(got, want)
+
+
 def test_global_running_sum_matches_window(spark):
     from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
         with_global_running_sum,
