@@ -330,11 +330,55 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumulative share ≤ 80%") — no float threshold anywhere a class
     label depends on. A = first 80% of revenue, B = next 15%, C = tail.
 
-    100 TB: one shuffle for the per-part aggregate; the cumulative
-    window is an unpartitioned ordered sum over one row per part —
-    single reducer, fine for catalog-sized dimensions, and the
-    decimal(25,4) downcast keeps the *5/*20 products inside 38 digits
-    (Spark silently drops scale past 38 — the allowPrecisionLoss trap)."""
+    PRODUCTION PLAN: the cumulative revenue is the boundary-cut
+    parallel prefix sum (operators/ranks.py — literal percentile cuts
+    of revenue, per-bucket windows, exact decimal offsets); the grand
+    total is a 1-row aggregate broadcast back.  No unpartitioned
+    window at any grain: a 100 TB part catalog is 10^7-10^8 rows, not
+    a single-reducer dimension.  Bit-equal to the window form (decimal
+    sums are exact under any grouping); twin pytest-pinned, oracle
+    unchanged.  The decimal(25,4) downcast keeps the *5/*20 products
+    inside 38 digits (Spark silently drops scale past 38 — the
+    allowPrecisionLoss trap)."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_running_sum,
+    )
+
+    r = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.expr(f"SUM({_REV})").cast("decimal(25,4)").alias("rev_d"))
+    )
+    run = with_global_running_sum(
+        r,
+        [F.desc("rev_d"), "l_partkey"],
+        primary="rev_d",
+        value_col="rev_d",
+        alias="cum",
+        descending=True,
+        secondary="l_partkey",
+    )
+    total = r.agg(F.sum("rev_d").cast("decimal(25,4)").alias("total"))
+    c = run.select(
+        "l_partkey",
+        "rev_d",
+        F.col("cum").cast("decimal(25,4)").alias("cum"),
+    ).crossJoin(F.broadcast(total))
+    return c.select(
+        "l_partkey",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+def q_abc_classification_window_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative-window oracle-exactness twin (former production
+    plan), pytest-pinned equal to the boundary-cut prefix sum."""
     r = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")

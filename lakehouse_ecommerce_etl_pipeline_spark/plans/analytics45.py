@@ -454,11 +454,56 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires when a numeric feature's distribution moves.
 
     100 TB: per-value counts are a partial-aggregable groupBy on the
-    quantized value (support-sized, not row-count-sized); the
-    cumulative pass is one global sort over the DISTINCT support —
-    the honest cost of an exact sup; at 100 TB you either accept it
-    (support is usually ≪ rows) or bucket the support first and get
-    a bounded-error D."""
+    quantized value (support-sized, not row-count-sized); both ECDF
+    cumulatives then run as ONE boundary-cut parallel prefix-sum pass
+    over the distinct support (operators/ranks.py — shared percentile
+    cuts, balanced per-bucket windows, literal long offsets), so no
+    single-partition window remains even when the support itself is
+    large; twin pytest-pinned, oracle unchanged."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_running_sums,
+    )
+
+    s = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1997, 1998))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.when(F.year("o_orderdate") == 1997, 1).otherwise(0).alias("is1"),
+        )
+    )
+    pts = s.groupBy("cents").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(1 - F.col("is1")).alias("c2"),
+    )
+    cum = with_global_running_sums(
+        pts, ["cents"], primary="cents",
+        value_cols=["c1", "c2"], aliases=["f1", "f2"],
+    ).select("f1", "f2")
+    n = s.agg(
+        F.sum("is1").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("is1")).cast("bigint").alias("n2"),
+    )
+    gap = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(gap).cast("bigint").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+def q_ks_drift_window_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-window oracle-exactness twin (former production
+    plan), pytest-pinned equal to the boundary-cut prefix sums."""
     s = (
         load(spark, sf_dir, "orders")
         .filter(F.year("o_orderdate").isin(1997, 1998))

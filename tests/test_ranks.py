@@ -315,6 +315,28 @@ def test_running_sums_decimal_and_multi(spark):
     _assert_df_equal(got, want)
 
 
+def test_promoted_cumulative_plans_equal_window_twins(spark):
+    """VERDICT r6 task 2: the last two global cumulative windows
+    (ABC classification at part grain, KS drift at support grain) now
+    run the boundary-cut prefix sum — pinned equal to their former
+    window-form plans."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics15 import (
+        q_abc_classification,
+        q_abc_classification_window_form,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics45 import (
+        q_ks_drift,
+        q_ks_drift_window_form,
+    )
+
+    pairs = [
+        (q_abc_classification, q_abc_classification_window_form),
+        (q_ks_drift, q_ks_drift_window_form),
+    ]
+    for prod, twin in pairs:
+        _assert_df_equal(prod(spark, SF0001), twin(spark, SF0001))
+
+
 def test_global_running_sum_matches_window(spark):
     from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
         with_global_running_sum,
