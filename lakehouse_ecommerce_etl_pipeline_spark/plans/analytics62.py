@@ -19,9 +19,15 @@ single division of the same integer pair on both engines, so the
 median pick is engine-exact.
 
 Integer-headroom bound (the llm37 pattern): Spearman's Σd² is
-bounded by n³ — exact under int64 to n ≈ 2.0 M joined orders; beyond
-that widen the d² sum to DECIMAL(38,0) on both sides (values remain
-exact integers, so the release stays bit-stable).
+bounded by n³ — exact under int64 to n ≈ 2.0 M joined orders.  The
+release is SIZE-GATED on the driver-known total (the same O(1)
+decision shape as PageRank's broadcast/shuffle gate): below
+``_INT64_SAFE_N`` the original long arithmetic runs; above it the d²
+products and their sum widen to DECIMAL(38,0) and rho's n(n²−1)
+denominator is computed as an exact Python int emitted as a decimal
+literal — every value stays an exact integer, so rho (one IEEE
+division of the same exact integers) is bit-equal on both paths
+(pytest-pinned; decimal headroom to n ≈ 2.5·10^12 joined orders).
 """
 
 from __future__ import annotations
@@ -40,6 +46,51 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 _US_PER_DAY = 86_400_000_000
+
+# Σd² < n³ stays inside int64 while n ≤ ~2.09 M; gate with margin
+_INT64_SAFE_N = 2_000_000
+
+
+def _spearman_release(both: DataFrame, total: int) -> DataFrame:
+    """(n, sum_d2, rho) from the double-ranked rows — size-gated dual
+    release: long arithmetic below _INT64_SAFE_N, DECIMAL(38,0) above
+    (same exact integers ⇒ rho bit-equal; pytest-pinned)."""
+    if total <= _INT64_SAFE_N:
+        d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        agg = both.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d2).cast("bigint").alias("sum_d2"),
+        )
+        denom = F.col("n") * (F.col("n") * F.col("n") - 1)
+        return agg.select(
+            "n",
+            "sum_d2",
+            (
+                (denom - 6 * F.col("sum_d2")).cast("double")
+                / denom.cast("double")
+            ).alias("rho"),
+        )
+    # wide path: d² products and their sum in DECIMAL(38,0); the
+    # n(n²−1) denominator is exact Python-int arithmetic emitted as a
+    # decimal literal (n is driver-known from the rank pass's counts)
+    d = (F.col("rx") - F.col("ry")).cast("decimal(19,0)")
+    denom_py = total * (total * total - 1)
+    agg = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((d * d).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_d2"),
+    )
+    denom_lit = F.lit(str(denom_py)).cast("decimal(38,0)")
+    return agg.select(
+        "n",
+        "sum_d2",
+        (
+            (denom_lit - F.lit(6).cast("decimal(38,0)") * F.col("sum_d2"))
+            .cast("double")
+            / denom_lit.cast("double")
+        ).alias("rho"),
+    )
 
 
 @register(
@@ -109,23 +160,11 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = with_global_row_number(
         j, ["x", "k"], primary="x", rn="rx", secondary="k"
     )
-    both = with_global_row_number(
-        rx, ["y", "k"], primary="y", rn="ry", secondary="k"
+    both, total = _global_row_number_with_total(
+        rx, ["y", "k"], primary="y", descending=False, rn="ry",
+        n_buckets=64, secondary="k",
     )
-    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
-    agg = both.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(d2).cast("bigint").alias("sum_d2"),
-    )
-    denom = F.col("n") * (F.col("n") * F.col("n") - 1)
-    return agg.select(
-        "n",
-        "sum_d2",
-        (
-            (denom - 6 * F.col("sum_d2")).cast("double")
-            / denom.cast("double")
-        ).alias("rho"),
-    )
+    return _spearman_release(both, total)
 
 
 @register(

@@ -35,11 +35,15 @@ Integer-headroom bound (ANSI mode throws on int64 overflow rather
 than wrapping): w ≤ 2·n_i·n_j, so ``w * P_SCALE`` in the transition
 build stays under 2^63 while n_i·n_j < ~4.6·10^12 — per-source doc
 counts up to ~2.1 M (and ``w * 10000`` in Mann-Whitney up to ~21 M
-per source).  Beyond that, move the two released quotients to
-DECIMAL(38,0) arithmetic (numerator CAST(w AS DECIMAL(38,0)) *
-scale) — same floor-division values, wider intermediate lattice; the
-fixed-point iteration itself is unaffected (v·p products are bounded
-by V_SCALE·P_SCALE = 10^15 by construction, not by data volume).
+per source).  The release is SIZE-GATED on the driver-collected
+per-source counts (k rows — the PageRank-style O(k) gate decision,
+``_needs_decimal``): below the bound the original long arithmetic
+runs; above it the win-table aggregate and the scaled quotients run
+in DECIMAL(38,0) with the SAME floor divisions (``div`` on decimals
+returns the identical integral quotient), so every released value is
+bit-equal on both paths (pytest-pinned).  The fixed-point iteration
+itself is unaffected (v·p products are bounded by V_SCALE·P_SCALE =
+10^15 by construction, not by data volume).
 """
 
 from __future__ import annotations
@@ -88,7 +92,17 @@ def _hist(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return h, n
 
 
-def _doubled_wins(h: DataFrame) -> DataFrame:
+def _needs_decimal(n_df: DataFrame, scale: int) -> bool:
+    """True when ``w·scale`` (w ≤ 2·n_i·n_j doubled wins) can escape
+    int64 for SOME source pair — decided from the k driver-collected
+    per-source counts (the PageRank-style O(k) gate)."""
+    counts = sorted((r["n"] for r in n_df.collect()), reverse=True)
+    if len(counts) < 2:
+        return False
+    return 2 * counts[0] * counts[1] * scale >= 2**63
+
+
+def _doubled_wins(h: DataFrame, wide: bool = False) -> DataFrame:
     """(si, sj, w): doubled comparisons si wins against sj (ties count
     once).
 
@@ -128,14 +142,20 @@ def _doubled_wins(h: DataFrame) -> DataFrame:
     a = h.select(
         F.col("source").alias("si"), "v", F.col("c").alias("ca")
     )
+    term = F.col("ca") * (2 * F.col("cum_lt") + F.col("cb"))
+    if wide:  # w ≤ 2·n_i·n_j can escape int64 — same sum in decimal
+        term = (
+            F.col("ca").cast("decimal(38,0)")
+            * (2 * F.col("cum_lt") + F.col("cb")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)")
+    agg = F.sum(term)
     return (
         a.join(cum, "v")
         .filter(F.col("si") != F.col("sj"))
         .groupBy("si", "sj")
         .agg(
-            F.sum(
-                F.col("ca") * (2 * F.col("cum_lt") + F.col("cb"))
-            ).cast("bigint").alias("w")
+            (agg.cast("decimal(38,0)") if wide else agg.cast("bigint"))
+            .alias("w")
         )
     )
 
@@ -162,9 +182,26 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen; u2 = 2·U keeps tie half-credit integral."""
     docs = load(spark, sf_dir, "documents")
     h, n = _hist(docs)
-    u = _doubled_wins(h).filter(F.col("si") < F.col("sj"))
+    wide = _needs_decimal(n, 10_000)
+    u = _doubled_wins(h, wide=wide).filter(F.col("si") < F.col("sj"))
     na = n.select(F.col("source").alias("si"), F.col("n").alias("n_a"))
     nb = n.select(F.col("source").alias("sj"), F.col("n").alias("n_b"))
+    if wide:
+        # same floor divisions on the DECIMAL(38,0) lattice (div on
+        # decimals returns the identical integral quotient); u2_* are
+        # released as decimal because their VALUES can escape int64
+        u2_b = (
+            2 * F.col("n_a").cast("decimal(38,0)")
+            * F.col("n_b").cast("decimal(38,0)")
+            - F.col("w")
+        ).cast("decimal(38,0)")
+        win = F.expr(
+            "CAST(CAST(w AS DECIMAL(38,0)) * 10000 DIV "
+            "(CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)"
+        )
+    else:
+        u2_b = 2 * F.col("n_a") * F.col("n_b") - F.col("w")
+        win = F.expr("CAST(w * 10000 DIV (2 * n_a * n_b) AS BIGINT)")
     return (
         u.join(F.broadcast(na), "si")
         .join(F.broadcast(nb), "sj")
@@ -174,10 +211,8 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.col("w").alias("u2_a"),
-            (2 * F.col("n_a") * F.col("n_b") - F.col("w")).alias("u2_b"),
-            F.expr("CAST(w * 10000 DIV (2 * n_a * n_b) AS BIGINT)").alias(
-                "win_per_10k_a"
-            ),
+            u2_b.alias("u2_b"),
+            win.alias("win_per_10k_a"),
         )
     )
 
@@ -229,10 +264,22 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     h, n = _hist(docs)
-    u = _doubled_wins(h)
+    wide = _needs_decimal(n, _P_SCALE)
+    u = _doubled_wins(h, wide=wide)
     k = n.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     ni = n.select(F.col("source").alias("sj_key"), F.col("n").alias("ni"))
     nj = n.select(F.col("source").alias("si_key"), F.col("n").alias("nj"))
+    if wide:
+        # identical floor division on the DECIMAL(38,0) lattice; p
+        # itself is ≤ P_SCALE so the BIGINT release never overflows
+        p_expr = F.expr(
+            f"CAST(CAST(w AS DECIMAL(38,0)) * {_P_SCALE} DIV "
+            "(CAST(2 AS DECIMAL(38,0)) * ni * nj * (k - 1)) AS BIGINT)"
+        )
+    else:
+        p_expr = F.expr(
+            f"CAST(w * {_P_SCALE} DIV (2 * ni * nj * (k - 1)) AS BIGINT)"
+        )
     poff = (
         u.join(F.broadcast(ni), u["sj"] == ni["sj_key"])
         .join(F.broadcast(nj), u["si"] == nj["si_key"])
@@ -240,9 +287,7 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("sj").alias("i"),
             F.col("si").alias("j"),
-            F.expr(
-                f"CAST(w * {_P_SCALE} DIV (2 * ni * nj * (k - 1)) AS BIGINT)"
-            ).alias("p"),
+            p_expr.alias("p"),
         )
     )
     pself = poff.groupBy("i").agg(
