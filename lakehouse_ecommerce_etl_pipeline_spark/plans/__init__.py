@@ -130,78 +130,80 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 
 # ------------------------------------------------------------------
 # The external driver truncates its correctness gate at the first 50
-# registry entries in insertion order.  Curation policy (VERDICT r2
-# "rotate the window"): the ~26 SURVEY §2 reference-parity rows stay
-# FIXED every round; the remaining ~24 slots ROTATE each round to
-# queries the driver has never value-checked, so the hard per-value
-# signal accumulates across the registry over rounds instead of
-# re-proving the same extension rows.  Cumulative driver-checked
-# set after r5: 126 distinct queries (CORRECTNESS_r01–r05, all
-# green); the round-6 block below adds 24 more.
+# registry entries in insertion order.  Curation policy (VERDICT r6
+# task 1): the fixed §2-parity block SHRINKS to ~10 rotating
+# sentinels (every parity row already carries MULTIPLE driver passes
+# from r1–r6), freeing 40 slots per round for rows the driver has
+# never value-checked.  This round's 40 = the recorded r7 queue
+# (SURVEY §8: the de-weaked five whose production plans changed in
+# r6, the streaming batch twins, packing/sharding/mixture, the
+# nested-protobuf trio, the round-6 rank-stat/ROUGE tiers) + 18 more
+# never-checked rows spanning CDC, UDF/UDTF surface, governance,
+# Avro, behavior analytics, sketches, and graph ops + 2 stale-pass
+# re-certifications (q_embedding_clusters — rep-collapse landed after
+# its r3 pass; q_ks_drift — promoted onto the prefix-sum primitive
+# THIS round).  38 of the 40 are absent from CORRECTNESS_r01–r06
+# (target ≥35); cumulative driver-checked grows 150 → 188.
 _FIRST_WINDOW = [
-    # --- fixed §2 parity rows (driver-green r1+r2, keep forever) ---
+    # --- §2-parity sentinels (10 of the 26, rotating per round; all
+    # 26 are driver-green in r1–r6, full list stays registered) ---
     "q_scan_csv",
-    "q_scan_parquet",
-    "q_project",
-    "q_filter_notnull",
-    "q_filter_null_complement",
-    "q_filter_string_predicate",
-    "q_dedup_by_key",
-    "q_distinct",
-    "q_count",
-    "q_count_star_sql",
-    "q_join_leftsemi",
-    "q_join_leftanti",
-    "q_except",
-    "q_union_all",
-    "q_intersect",
-    "q_fn_cast_timestamp",
-    "q_fn_to_date",
-    "q_fn_string_split",
-    "q_fn_current_timestamp",
-    "q_rejected_records",
-    "q_scan_table",
+    "q_scan_excel",
     "q_scan_delta",
     "q_merge_upsert",
-    "q_merge_upsert_storage",
-    "q_write_partitioned",
-    "q_scan_excel",
-    # --- round-6 rotation: never driver-checked before (the recorded
-    # r5 queue, VERDICT r5 item 1).  Targets, priority order: the
-    # TPC-H tail — the largest never-checked block and the one a real
-    # analyst hits first (16 queries: q2/q4/q7/q8/q10-q20/q22; q21 and
-    # q1/q3/q5/q6/q9 were driver-green in r1-r4), the round-5 tiers
-    # (pairwise-preference statistics + the protobuf wire-format trio),
-    # and the SCD2 pair.  The streaming batch-twins and
-    # q_pack_sequences/q_token_budget_mixture stay at the head of the
-    # round-7 queue (SURVEY §8) — 24 slots is the cap.  Rows rotated
-    # OUT were driver-green in r1-r5 (CORRECTNESS_r0{1..5});
-    # everything stays registered and full-swept locally
-    # (scripts/check_oracle.py --json -> docs/SWEEP_r06.json).
-    "q_tpch_q2_min_acctbal_supplier",
-    "q_tpch_q4_order_priority",
-    "q_tpch_q7_nation_volume",
-    "q_tpch_q8_market_share",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q11_important_value_share",
-    "q_tpch_q12_late_lines",
-    "q_tpch_q13_customer_distribution",
-    "q_tpch_q14_promo_share",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_supplier_count",
-    "q_tpch_q17_small_quantity_revenue",
-    "q_tpch_q18_large_volume",
-    "q_tpch_q19_brand_revenue",
-    "q_tpch_q20_heavy_shippers",
-    "q_tpch_q22_idle_customers",
-    "q_mann_whitney_u",
-    "q_rank_centrality",
-    "q_gate_agreement_kappa",
-    "q_export_protobuf",
-    "q_scan_protobuf",
-    "q_stream_protobuf_ingest",
-    "q_scd2_history",
-    "q_scd2_incremental_apply",
+    "q_rejected_records",
+    "q_filter_notnull",
+    "q_join_leftsemi",
+    "q_dedup_by_key",
+    "q_union_all",
+    "q_count_star_sql",
+    # --- re-certification: production plans changed after their last
+    # driver pass (r3 / r4) ---
+    "q_embedding_clusters",
+    "q_ks_drift",
+    # --- recorded r7 queue (never driver-checked) ---
+    "q_stream_tumbling_agg",
+    "q_stream_stateful_totals",
+    "q_stream_session_window",
+    "q_pack_sequences",
+    "q_shard_assignment_balanced",
+    "q_token_budget_mixture",
+    "q_export_protobuf_nested",
+    "q_scan_protobuf_nested",
+    "q_stream_protobuf_nested_ingest",
+    "q_histogram_equidepth",
+    "q_calibration_deciles",
+    "q_quartile_contingency",
+    "q_systematic_sample",
+    "q_ccnet_quality_buckets",
+    "q_rfm_segments",
+    "q_concurrency_sweep",
+    "q_spearman_corr",
+    "q_theil_sen_trend",
+    "q_mann_kendall_s",
+    "q_rouge2_pairs",
+    # --- breadth fill (never driver-checked): CDC + incremental
+    # maintenance, stateful/UDF/UDTF/datasource surface, governance,
+    # Avro export, behavior analytics, sketch + graph ops, and the
+    # ABC promotion from THIS round ---
+    "q_abc_classification",
+    "q_cdc_agg_maintenance",
+    "q_merge_apply_changes",
+    "q_table_changes",
+    "q_capped_running_balance",
+    "q_pandas_udf_tokens",
+    "q_udtf_bigrams",
+    "q_variant_extract",
+    "q_python_datasource",
+    "q_mask_pii",
+    "q_pseudonymize_keys",
+    "q_export_avro",
+    "q_cohort_retention",
+    "q_market_basket",
+    "q_funnel_ordered",
+    "q_hll_mergeable",
+    "q_connected_components",
+    "q_topk_per_group",
 ]
 
 
