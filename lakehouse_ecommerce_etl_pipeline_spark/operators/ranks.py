@@ -75,9 +75,20 @@ from pyspark.sql import types as T
 DEFAULT_BUCKETS = 64
 
 # a bucket is "fat" when it holds more than 4× its fair share AND
-# more than this many rows (below the floor, one window partition
-# handles it trivially — unit tests and tiny scale factors never trip)
-SKEW_FLOOR_ROWS = 10_000
+# more than this many rows.  The floor is sized to the actual hazard:
+# a per-bucket window partition is one task's sort — a few million
+# rows sort comfortably in one task, so splitting below that would
+# pay two extra data passes to fix a non-problem.  Above it (real
+# 100 TB tie classes), the auto-split engages and its extra passes
+# are amortized.  Tests exercise the split by lowering the floor.
+SKEW_FLOOR_ROWS = 4_000_000
+
+# percentile_approx accuracy for the boundary probes.  Cut PLACEMENT
+# never affects rank exactness (ranks are recomputed per bucket with
+# exact offsets) — only bucket balance — so a coarse sketch suffices;
+# accuracy 10_000 measured ~5× the per-action cost of 1_000 on a
+# 150 k-row probe with 63 percentiles, for no balance benefit.
+PROBE_ACCURACY = 1_000
 
 
 def _idiv(a: Column, b: int) -> Column:
@@ -101,7 +112,7 @@ def _probe_cuts(
     dt = df.schema[primary].dataType
     probs = [i / n_buckets for i in range(1, n_buckets)]
     aggs = [
-        F.percentile_approx(primary, probs, 10_000).alias("b"),
+        F.percentile_approx(primary, probs, PROBE_ACCURACY).alias("b"),
         F.sum(F.col(primary).isNull().cast("long")).alias("nulls"),
     ]
     if _is_float(dt):
@@ -143,25 +154,25 @@ def _assign_buckets(
     secondary: str | None,
     on_skew: str,
     agg_cols: Sequence[Column],
+    agg_aliases: Sequence[str] = (),
 ) -> tuple[DataFrame, list[list], int]:
     """df + ``__bkt`` (order-consistent, skew-split) and the per-bucket
-    aggregate rows ``[bkt, count, *agg_cols]`` in bucket order, plus
-    total row count.  Driver actions collect O(n_buckets) rows only.
+    aggregate rows ``[bkt, count, *agg values]`` in bucket order, plus
+    total row count.  Driver actions collect O(n_buckets) rows each:
+    probe, counts (+ caller aggregates), and — ONLY when a bucket is
+    fat — a targeted tie-class stats pass over the fat buckets and a
+    recount of the split assignment.  2 actions in the common case.
     """
     if on_skew not in ("raise", "accept"):
         raise ValueError(f"on_skew must be 'raise' or 'accept': {on_skew!r}")
     cuts = _probe_cuts(df, primary, descending, n_buckets)
     pcol = F.col(primary)
-    b_df = df.withColumn("__bkt", _cut_count_expr(pcol, cuts, descending))
+    bkt0 = _cut_count_expr(pcol, cuts, descending)
+    b_df = df.withColumn("__bkt", bkt0)
 
     stats = (
         b_df.groupBy("__bkt")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.min(primary).alias("__lo"),
-            F.max(primary).alias("__hi"),
-            *agg_cols,
-        )
+        .agg(F.count(F.lit(1)).alias("__c"), *agg_cols)
         .collect()
     )
     by_bucket = {r["__bkt"]: r for r in stats}
@@ -171,108 +182,68 @@ def _assign_buckets(
         )
     total = sum(r["__c"] for r in stats)
 
-    def _rows(bucket_map: dict) -> list[list]:
-        # normalized layout: [bkt, count, *agg values] (lo/hi dropped)
-        out = []
-        for b in sorted(bucket_map):
-            vals = list(bucket_map[b])
-            out.append(
-                [vals[0], vals[1]] + vals[4:]
-                if len(vals) >= 4 and "__lo" in bucket_map[b].__fields__
-                else vals
-            )
-        return out
+    def _rows(counts_map: dict, rows_map: dict) -> list[list]:
+        # normalized layout: [bkt, count, *agg values]
+        return [
+            [b, counts_map[b]] + [rows_map[b][a] for a in agg_aliases]
+            for b in sorted(counts_map)
+        ]
 
+    counts0 = {b: by_bucket[b]["__c"] for b in by_bucket}
     fat_thresh = max(4 * total // max(n_buckets, 1), SKEW_FLOOR_ROWS)
-    fat = [b for b, r in by_bucket.items() if r["__c"] > fat_thresh]
+    fat = [b for b in by_bucket if counts0[b] > fat_thresh]
     if not fat:
-        return b_df, _rows(by_bucket), total
+        return b_df, _rows(counts0, by_bucket), total
 
-    # --- tie-class auto-split -------------------------------------
-    splittable = [b for b in fat if by_bucket[b]["__lo"] == by_bucket[b]["__hi"]]
-    unsplit = [b for b in fat if b not in splittable]
+    # --- targeted tie-class stats over the fat buckets only ---------
     sec_ok = (
         secondary is not None
         and secondary in df.columns
         and not _is_float(df.schema[secondary].dataType)
     )
-    if (unsplit or not sec_ok) and on_skew == "raise":
-        detail = (
-            f"fat buckets {sorted(fat)} (> {fat_thresh} rows of {total}); "
-            f"tie-class-splittable: {sorted(splittable)}"
+    probs = [j / n_buckets for j in range(1, n_buckets)]
+    fat_stats = {
+        r["__bkt"]: r
+        for r in (
+            b_df.filter(F.col("__bkt").isin(fat))
+            .groupBy("__bkt")
+            .agg(
+                F.min(pcol.cast("double")).alias("__lo"),
+                F.max(pcol.cast("double")).alias("__hi"),
+                *(
+                    [
+                        F.percentile_approx(
+                            F.col(secondary).cast("double"),
+                            probs,
+                            PROBE_ACCURACY,
+                        ).alias("__sb"),
+                        F.sum(F.col(secondary).isNull().cast("long"))
+                        .alias("__snulls"),
+                    ]
+                    if sec_ok
+                    else []
+                ),
+            )
+            .collect()
         )
-        hint = (
-            "pass a numeric non-null `secondary` order key to auto-split "
-            "tie classes, raise n_buckets, or set on_skew='accept' with a "
-            "documented bound on the tie-class mass"
-        )
-        raise ValueError(f"boundary-cut rank: skewed buckets — {detail}; {hint}")
-    if not sec_ok or not splittable:
-        return b_df, _rows(by_bucket), total
-
-    # probe secondary percentiles WITHIN each fat tie class (one pass
-    # filtered to the fat classes; O(n_fat × n_buckets) driver rows)
-    fat_vals = [by_bucket[b]["__lo"] for b in splittable]
-    sub_probs = [i / n_buckets for i in range(1, n_buckets)]
-    sub_rows = (
-        b_df.filter(pcol.isin(fat_vals))
-        .groupBy(pcol.alias("__v"))
-        .agg(
-            F.percentile_approx(secondary, sub_probs, 10_000).alias("b"),
-            F.sum(F.col(secondary).isNull().cast("long")).alias("nulls"),
-        )
-        .collect()
+    }
+    sub_cuts, splittable, unsplit = _split_decisions(
+        fat, fat_stats, counts0, fat_thresh, sec_ok, on_skew,
+        primary, secondary,
     )
-    sub_cuts: dict = {}
-    for r in sub_rows:
-        if (r["nulls"] or 0) > 0:
-            if on_skew == "raise":
-                raise ValueError(
-                    f"boundary-cut rank: secondary {secondary!r} has NULLs "
-                    f"inside fat tie class {r['__v']!r} — cannot split"
-                )
-            continue
-        sub_cuts[r["__v"]] = sorted(set(r["b"] or []))
-
-    if not any(sub_cuts.values()):
-        if on_skew == "raise" and not sub_cuts:
+    if (unsplit or not sec_ok) and on_skew == "raise":
+        _raise_skew(primary, fat, fat_thresh, total, splittable)
+    if not sub_cuts:
+        if splittable and sec_ok and on_skew == "raise":
             raise ValueError(
                 "boundary-cut rank: no fat tie class could be split on "
                 f"secondary {secondary!r}"
             )
-        return b_df, _rows(by_bucket), total
+        return b_df, _rows(counts0, by_bucket), total
 
-    # final bucket id: buckets renumbered so (old bucket, sub bucket)
-    # stays consecutive and order-consistent; non-split buckets keep
-    # one slot.  The id expression is a literal CASE-WHEN over the fat
-    # primary values (bounded by n_fat), codegen-friendly.
-    base_of: dict[int, int] = {}
-    next_id = 0
-    width: dict[int, int] = {}
-    for b in sorted(by_bucket):
-        base_of[b] = next_id
-        v = by_bucket[b]["__lo"]
-        w = len(sub_cuts[v]) + 1 if b in splittable and v in sub_cuts else 1
-        width[b] = w
-        next_id += w
-    scol = F.col(secondary)
-    bkt0 = _cut_count_expr(pcol, cuts, descending)
-    # otherwise-accumulated when-chain over the original bucket id:
-    # conditions are mutually exclusive, so evaluation order is free
-    final: Column | None = None
-    for b in sorted(by_bucket):
-        v = by_bucket[b]["__lo"]
-        if width[b] > 1:
-            sub = F.lit(0)
-            for c in sub_cuts[v]:
-                sub = sub + (scol > F.lit(c)).cast("int")
-            expr = F.lit(base_of[b]) + sub
-        else:
-            expr = F.lit(base_of[b])
-        final = (
-            expr if final is None
-            else F.when(bkt0 == F.lit(b), expr).otherwise(final)
-        )
+    final = _split_expr(
+        sorted(by_bucket), sub_cuts, bkt0, F.col(secondary)
+    )
     b_df = df.withColumn("__bkt", final.cast("int"))
     # recount on the final buckets (offsets must be exact)
     stats2 = (
@@ -281,11 +252,114 @@ def _assign_buckets(
         .collect()
     )
     by2 = {r["__bkt"]: r for r in stats2}
-    return b_df, _rows(by2), total
+    counts2 = {b: by2[b]["__c"] for b in by2}
+    return b_df, _rows(counts2, by2), total
 
 
-def _offset_expr(ids: list[int], offsets: list) -> Column:
-    """Literal CASE-WHEN chain mapping __bkt -> cumulative offset
+def _split_decisions(
+    fat: list,
+    fat_stats: dict,
+    counts: dict,
+    fat_thresh: int,
+    sec_ok: bool,
+    on_skew: str,
+    primary: str,
+    secondary: str | None,
+) -> tuple[dict, list, list]:
+    """(sub_cuts per splittable bucket, splittable, unsplit): a fat
+    bucket is a splittable TIE CLASS when its double-cast primary
+    min == max AND sits below 2^53 (int→double is monotone but not
+    injective above 2^53, so equality there cannot prove a tie — such
+    buckets stay unsplit rather than risk an order-breaking split);
+    each class's sketched secondary cuts are thinned to its fair-share
+    bucket count (every retained cut is one more per-row comparison in
+    the codegen'd bucket expression)."""
+    splittable, unsplit = [], []
+    for b in fat:
+        r = fat_stats[b]
+        lo, hi = r["__lo"], r["__hi"]
+        if lo == hi and abs(lo) < 2.0**53:
+            splittable.append(b)
+        else:
+            unsplit.append(b)
+    sub_cuts: dict = {}
+    if not sec_ok:
+        return sub_cuts, splittable, unsplit
+    for b in splittable:
+        r = fat_stats[b]
+        if (r["__snulls"] or 0) > 0:
+            if on_skew == "raise":
+                raise ValueError(
+                    f"boundary-cut rank: secondary {secondary!r} has "
+                    f"NULLs inside fat tie class of {primary!r} — "
+                    "cannot split"
+                )
+            continue
+        cuts_all = sorted(set(r["__sb"] or []))
+        want = min(
+            len(cuts_all), max(1, -(-4 * counts[b] // fat_thresh) - 1)
+        )
+        if want < len(cuts_all):
+            step = len(cuts_all) / (want + 1)
+            keep = sorted(
+                {cuts_all[int((jj + 1) * step) - 1] for jj in range(want)}
+            )
+        else:
+            keep = cuts_all
+        if keep:
+            sub_cuts[b] = keep
+    return sub_cuts, splittable, unsplit
+
+
+def _raise_skew(primary, fat, fat_thresh, total, splittable):
+    detail = (
+        f"primary {primary!r}: fat buckets {sorted(fat)} "
+        f"(> {fat_thresh} rows of {total}); tie-class-splittable: "
+        f"{sorted(splittable)}"
+    )
+    hint = (
+        "pass a numeric non-null `secondary` order key to auto-split "
+        "tie classes, raise n_buckets, or set on_skew='accept' with a "
+        "documented bound on the tie-class mass"
+    )
+    raise ValueError(f"boundary-cut rank: skewed buckets — {detail}; {hint}")
+
+
+def _split_expr(
+    all_buckets: list,
+    sub_cuts: dict,
+    bkt0: Column,
+    scol: Column,
+) -> Column:
+    """Final bucket id: buckets renumbered so (old bucket, sub bucket)
+    stays consecutive and order-consistent; non-split buckets keep one
+    slot.  Literal CASE-WHEN over the original bucket id (conditions
+    mutually exclusive — evaluation order free), codegen-friendly."""
+    base_of: dict = {}
+    next_id = 0
+    for b in all_buckets:
+        base_of[b] = next_id
+        next_id += len(sub_cuts[b]) + 1 if b in sub_cuts else 1
+    final: Column | None = None
+    for b in all_buckets:
+        if b in sub_cuts:
+            sub = F.lit(0)
+            for c in sub_cuts[b]:
+                sub = sub + (scol > F.lit(c)).cast("int")
+            expr = F.lit(base_of[b]) + sub
+        else:
+            expr = F.lit(base_of[b])
+        final = (
+            expr if final is None
+            else F.when(bkt0 == F.lit(b), expr).otherwise(final)
+        )
+    return final
+
+
+def _offset_expr(
+    ids: list[int], offsets: list, bkt_col: str = "__bkt"
+) -> Column:
+    """Literal CASE-WHEN chain mapping ``bkt_col`` -> cumulative offset
     (codegen-friendly; see module docstring for why not element_at).
     Offsets are emitted as LONG (or exact Decimal) literals so the
     later ``local + offset`` add can never overflow int32 (ADVICE r6).
@@ -295,8 +369,289 @@ def _offset_expr(ids: list[int], offsets: list) -> Column:
 
     off = lit(offsets[0])
     for i in range(1, len(ids)):
-        off = F.when(F.col("__bkt") == ids[i], lit(offsets[i])).otherwise(off)
+        off = F.when(F.col(bkt_col) == ids[i], lit(offsets[i])).otherwise(off)
     return off
+
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RankSpec:
+    """One global rank/ntile over the SAME rows: ``order_by`` is the
+    full total order (Columns with direction), ``primary`` its first
+    key (numeric, non-null, direction = ``descending``), ``secondary``
+    the optional numeric second key enabling tie-class auto-split,
+    ``k`` turns the released column into NTILE(k) instead of a row
+    number, released as ``rn``."""
+
+    order_by: Sequence = field(default_factory=list)
+    primary: str = ""
+    descending: bool = False
+    rn: str = "rn"
+    secondary: str | None = None
+    k: int | None = None
+
+
+def _multi_assign(
+    df: DataFrame,
+    specs: Sequence[RankSpec],
+    n_buckets: int,
+    on_skew: str,
+) -> tuple[list[Column], list[list[int]], list[list[int]], int]:
+    """Shared bucket assignment for d INDEPENDENT global ranks of the
+    same rows in O(1) driver actions TOTAL (not per rank):
+
+    1. ONE probe action sketches every spec's primary percentiles and
+       enforces the non-null/non-NaN contract.
+    2. ONE counts action computes every dim's per-bucket row counts by
+       exploding d bare (dim int, bucket int) structs per row — the
+       data is READ ONCE for all dims (at scale the scan dominates,
+       so this beats d sequential counting passes), and the exploded
+       payload is two ints.
+    3. ONLY when a bucket is fat: one targeted stats pass over the fat
+       buckets (tie-class detection + secondary percentile sketch on
+       the fat rows only) and one recount of the split assignment.
+
+    Returns (final bucket exprs, ids per dim, row-count offsets per
+    dim, total).  The tie-class split compares the secondary against
+    double-cast cuts: cut PLACEMENT only affects balance, and
+    int/decimal→double is monotone, so sub-buckets stay
+    order-consistent (rows collapsed by the cast tie together,
+    exactly like primary ties).
+    """
+    if on_skew not in ("raise", "accept"):
+        raise ValueError(f"on_skew must be 'raise' or 'accept': {on_skew!r}")
+    probs = [j / n_buckets for j in range(1, n_buckets)]
+
+    # --- probe: one action for all dims -----------------------------
+    aggs: list[Column] = []
+    for i, sp in enumerate(specs):
+        dt = df.schema[sp.primary].dataType
+        aggs.append(
+            F.percentile_approx(sp.primary, probs, PROBE_ACCURACY)
+            .alias(f"__b{i}")
+        )
+        aggs.append(
+            F.sum(F.col(sp.primary).isNull().cast("long")).alias(f"__nulls{i}")
+        )
+        if _is_float(dt):
+            aggs.append(
+                F.sum(
+                    F.isnan(F.coalesce(sp.primary, F.lit(0.0))).cast("long")
+                ).alias(f"__nans{i}")
+            )
+    row = df.agg(*aggs).head()
+    cuts: list[list] = []
+    for i, sp in enumerate(specs):
+        if (row[f"__nulls{i}"] or 0) > 0:
+            raise ValueError(
+                f"boundary-cut rank: primary column {sp.primary!r} has "
+                f"{row[f'__nulls{i}']} NULLs — the total-order contract "
+                "requires a non-null primary (filter or coalesce first)"
+            )
+        if _is_float(df.schema[sp.primary].dataType) and (
+            row[f"__nans{i}"] or 0
+        ) > 0:
+            raise ValueError(
+                f"boundary-cut rank: primary column {sp.primary!r} has "
+                f"{row[f'__nans{i}']} NaNs — NaN ordering is "
+                "engine-specific; filter or quantize first"
+            )
+        cuts.append(sorted(set(row[f"__b{i}"] or []), reverse=sp.descending))
+
+    bkt0 = [
+        _cut_count_expr(F.col(sp.primary), cuts[i], sp.descending)
+        for i, sp in enumerate(specs)
+    ]
+    sec_ok = [
+        sp.secondary is not None
+        and sp.secondary in df.columns
+        and not _is_float(df.schema[sp.secondary].dataType)
+        for sp in specs
+    ]
+
+    # --- counts: one light action (bare int structs) ----------------
+    def _marginal_counts(bucket_exprs: list[Column]) -> list[dict]:
+        pairs = [
+            F.struct(F.lit(i).alias("d"), bucket_exprs[i].cast("int").alias("b"))
+            for i in range(len(specs))
+        ]
+        rows = (
+            df.select(F.explode(F.array(*pairs)).alias("e"))
+            .groupBy(F.col("e.d").alias("d"), F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per: list[dict] = [{} for _ in specs]
+        for r in rows:
+            if r["b"] is None:
+                raise ValueError(
+                    "boundary-cut rank: NULL bucket for primary "
+                    f"{specs[r['d']].primary!r}"
+                )
+            per[r["d"]][r["b"]] = r["c"]
+        return per
+
+    per_dim = _marginal_counts(bkt0)
+    total = sum(per_dim[0].values())
+    fat_thresh = max(4 * total // max(n_buckets, 1), SKEW_FLOOR_ROWS)
+    fat_per_dim = [
+        [b for b, c in per_dim[i].items() if c > fat_thresh]
+        for i in range(len(specs))
+    ]
+
+    if not any(fat_per_dim):
+        final_exprs = [e.cast("int") for e in bkt0]
+    else:
+        # --- targeted tie-class stats over fat buckets only ---------
+        structs = [
+            F.struct(
+                F.lit(i).alias("d"),
+                bkt0[i].cast("int").alias("b"),
+                F.col(sp.primary).cast("double").alias("pd"),
+                (
+                    F.col(sp.secondary).cast("double")
+                    if sec_ok[i]
+                    else F.lit(None).cast("double")
+                ).alias("s"),
+                (
+                    F.col(sp.secondary).isNull()
+                    if sec_ok[i]
+                    else F.lit(False)
+                ).alias("snull"),
+            )
+            for i, sp in enumerate(specs)
+        ]
+        arr = F.array(*structs)
+
+        def _is_fat(e: Column) -> Column:
+            expr = F.lit(False)
+            for i, fats in enumerate(fat_per_dim):
+                if fats:
+                    expr = expr | ((e["d"] == i) & e["b"].isin(fats))
+            return expr
+
+        fat_rows = (
+            df.select(F.explode(F.filter(arr, _is_fat)).alias("e"))
+            .groupBy(F.col("e.d").alias("d"), F.col("e.b").alias("b"))
+            .agg(
+                F.min("e.pd").alias("__lo"),
+                F.max("e.pd").alias("__hi"),
+                F.percentile_approx("e.s", probs, PROBE_ACCURACY)
+                .alias("__sb"),
+                F.sum(F.col("e.snull").cast("long")).alias("__snulls"),
+            )
+            .collect()
+        )
+        fat_stats: list[dict] = [{} for _ in specs]
+        for r in fat_rows:
+            fat_stats[r["d"]][r["b"]] = r
+        final_exprs = []
+        any_split = False
+        for i, sp in enumerate(specs):
+            if not fat_per_dim[i]:
+                final_exprs.append(bkt0[i].cast("int"))
+                continue
+            sub_cuts, splittable, unsplit = _split_decisions(
+                fat_per_dim[i], fat_stats[i], per_dim[i], fat_thresh,
+                sec_ok[i], on_skew, sp.primary, sp.secondary,
+            )
+            if (unsplit or not sec_ok[i]) and on_skew == "raise":
+                _raise_skew(
+                    sp.primary, fat_per_dim[i], fat_thresh, total, splittable
+                )
+            if not sub_cuts:
+                if splittable and sec_ok[i] and on_skew == "raise":
+                    raise ValueError(
+                        "boundary-cut rank: no fat tie class could be "
+                        f"split on secondary {sp.secondary!r}"
+                    )
+                final_exprs.append(bkt0[i].cast("int"))
+                continue
+            any_split = True
+            final_exprs.append(
+                _split_expr(
+                    sorted(per_dim[i]), sub_cuts, bkt0[i],
+                    F.col(sp.secondary),
+                ).cast("int")
+            )
+        if any_split:
+            per_dim = _marginal_counts(final_exprs)
+
+    ids_per_dim: list[list[int]] = []
+    offsets_per_dim: list[list[int]] = []
+    for i in range(len(specs)):
+        ids = sorted(per_dim[i])
+        offsets, run = [], 0
+        for b in ids:
+            offsets.append(run)
+            run += per_dim[i][b]
+        ids_per_dim.append(ids)
+        offsets_per_dim.append(offsets)
+    return final_exprs, ids_per_dim, offsets_per_dim, total
+
+
+def with_global_row_numbers(
+    df: DataFrame,
+    specs: Sequence[RankSpec],
+    n_buckets: int = DEFAULT_BUCKETS,
+    on_skew: str = "raise",
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+) -> tuple[DataFrame, int]:
+    """df + one exact ``ROW_NUMBER() OVER (ORDER BY spec.order_by)``
+    column PER SPEC, all computed in O(1) shared driver actions (2,
+    or 3 under a tie-class split) — NOT O(specs): Spearman's two rank
+    passes, RFM's three ntiles, and the quartile contingency's two
+    all pay one probe + one counts pass total.  The final plan chains
+    one balanced per-bucket window per spec (d hash exchanges, zero
+    single-partition windows) and executes once.  Returns (df, total
+    row count)."""
+    if materialize is not None:
+        df = materialize(df)
+    final_exprs, ids_pd, offs_pd, total = _multi_assign(
+        df, specs, n_buckets, on_skew
+    )
+    out = df
+    for i in range(len(specs)):
+        out = out.withColumn(f"__bkt{i}", final_exprs[i])
+    for i, sp in enumerate(specs):
+        bc = f"__bkt{i}"
+        w_local = Window.partitionBy(bc).orderBy(*sp.order_by)
+        out = out.withColumn(
+            sp.rn,
+            F.row_number().over(w_local).cast("long")
+            + _offset_expr(ids_pd[i], offs_pd[i], bc),
+        )
+    return out.drop(*[f"__bkt{i}" for i in range(len(specs))]), total
+
+
+def with_global_ntiles(
+    df: DataFrame,
+    specs: Sequence[RankSpec],
+    n_buckets: int = DEFAULT_BUCKETS,
+    on_skew: str = "raise",
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """df + one exact ``NTILE(spec.k) OVER (ORDER BY spec.order_by)``
+    per spec (``k`` required), sharing the O(1) action budget of
+    :func:`with_global_row_numbers`."""
+    tmp = [
+        RankSpec(sp.order_by, sp.primary, descending=sp.descending,
+                 rn=f"__grn{i}", secondary=sp.secondary)
+        for i, sp in enumerate(specs)
+    ]
+    ranked, total = with_global_row_numbers(
+        df, tmp, n_buckets=n_buckets, on_skew=on_skew,
+        materialize=materialize,
+    )
+    for i, sp in enumerate(specs):
+        if sp.k is None:
+            raise ValueError(f"spec {i} needs k for with_global_ntiles")
+        ranked = ranked.withColumn(
+            sp.rn, ntile_expr(F.col(f"__grn{i}"), total, sp.k)
+        )
+    return ranked.drop(*[f"__grn{i}" for i in range(len(specs))])
 
 
 def with_global_row_number(
@@ -339,24 +694,12 @@ def _global_row_number_with_total(
     on_skew: str = "raise",
     materialize: Callable[[DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, int]:
-    if materialize is not None:
-        df = materialize(df)
-    b_df, rows, total = _assign_buckets(
-        df, primary, descending, n_buckets, secondary, on_skew, []
+    return with_global_row_numbers(
+        df,
+        [RankSpec(order_by, primary, descending=descending, rn=rn,
+                  secondary=secondary)],
+        n_buckets=n_buckets, on_skew=on_skew, materialize=materialize,
     )
-    ids = [r[0] for r in rows]
-    offsets, run = [], 0
-    for r in rows:
-        offsets.append(run)
-        run += r[1]
-    w_local = Window.partitionBy("__bkt").orderBy(*order_by)
-    off = _offset_expr(ids, offsets)
-    out = (
-        b_df.withColumn("__lrn", F.row_number().over(w_local))
-        .withColumn(rn, F.col("__lrn").cast("long") + off)
-        .drop("__bkt", "__lrn")
-    )
-    return out, total
 
 
 def with_global_running_sums(
@@ -409,7 +752,8 @@ def with_global_running_sums(
     if materialize is not None:
         df = materialize(df)
     b_df, rows, _total = _assign_buckets(
-        df, primary, descending, n_buckets, secondary, on_skew, sum_aggs
+        df, primary, descending, n_buckets, secondary, on_skew, sum_aggs,
+        agg_aliases=[f"__s_{vc}" for vc in value_cols],
     )
     ids = [r[0] for r in rows]
     out = b_df

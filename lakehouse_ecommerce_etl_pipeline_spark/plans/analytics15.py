@@ -31,7 +31,10 @@ from lakehouse_ecommerce_etl_pipeline_spark.operators.aggregates import (
     dsum,
     sql_dsum,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load, order_part_pairs
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    load,
+    order_part_pairs,
+)
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 
@@ -215,7 +218,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-equal to the NTILE twin (pytest-pinned; oracle
     unchanged)."""
     from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
-        with_global_ntile,
+        RankSpec,
+        with_global_ntiles,
     )
 
     base = (
@@ -229,34 +233,26 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__r_us", F.unix_micros("last_order"))
         .withColumn("__m_dbl", F.col("monetary").cast("double"))
     )
-    tiled = with_global_ntile(
+    # all three scores are independent orders of the same customer-
+    # grain rows: ONE multi-ntile call shares the probe/counts actions
+    # across the three dims instead of three sequential passes (each
+    # of which would re-execute everything upstream under its own
+    # driver actions).  frequency is a narrow integer domain whose
+    # modal value is a fat tie class at scale — its dim auto-splits on
+    # the customer key.
+    tiled = with_global_ntiles(
         base,
-        [F.desc("last_order"), "o_custkey"],
-        primary="__r_us",
-        k=5,
-        descending=True,
-        alias="r_score",
-        secondary="o_custkey",
-    )
-    tiled = with_global_ntile(
-        tiled,
-        [F.desc("frequency"), "o_custkey"],
-        primary="frequency",
-        k=5,
-        descending=True,
-        alias="f_score",
-        # order counts per customer: a narrow integer domain whose
-        # modal value is a fat tie class — split on the customer key
-        secondary="o_custkey",
-    )
-    tiled = with_global_ntile(
-        tiled,
-        [F.desc("monetary"), "o_custkey"],
-        primary="__m_dbl",
-        k=5,
-        descending=True,
-        alias="m_score",
-        secondary="o_custkey",
+        [
+            RankSpec([F.desc("last_order"), "o_custkey"], primary="__r_us",
+                     descending=True, rn="r_score", secondary="o_custkey",
+                     k=5),
+            RankSpec([F.desc("frequency"), "o_custkey"], primary="frequency",
+                     descending=True, rn="f_score", secondary="o_custkey",
+                     k=5),
+            RankSpec([F.desc("monetary"), "o_custkey"], primary="__m_dbl",
+                     descending=True, rn="m_score", secondary="o_custkey",
+                     k=5),
+        ],
     )
     return tiled.select(
         "o_custkey",

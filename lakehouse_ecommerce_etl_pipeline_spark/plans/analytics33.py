@@ -134,7 +134,8 @@ def q_quartile_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of orders).  NTILE twin below pytest-pinned; oracle
     unchanged."""
     from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
-        with_global_ntile,
+        RankSpec,
+        with_global_ntiles,
     )
 
     b = (
@@ -146,23 +147,19 @@ def q_quartile_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
     )
     j = b.join(o, "l_orderkey")
-    j = with_global_ntile(
+    # both quartile axes are independent orders of the same order-
+    # grain rows: ONE multi-ntile call shares the probe/counts
+    # actions.  basket_lines has ~7 distinct values — every value a
+    # fat tie class at scale — so its dim auto-splits on the unique
+    # order key.
+    j = with_global_ntiles(
         j,
-        ["basket_lines", "l_orderkey"],
-        primary="basket_lines",
-        k=4,
-        alias="size_quartile",
-        # basket_lines has ~7 distinct values: every value is a fat
-        # tie class at scale — auto-split on the unique order key
-        secondary="l_orderkey",
-    )
-    j = with_global_ntile(
-        j,
-        ["o_totalprice", "l_orderkey"],
-        primary="o_totalprice",
-        k=4,
-        alias="value_quartile",
-        secondary="l_orderkey",
+        [
+            RankSpec(["basket_lines", "l_orderkey"], primary="basket_lines",
+                     rn="size_quartile", secondary="l_orderkey", k=4),
+            RankSpec(["o_totalprice", "l_orderkey"], primary="o_totalprice",
+                     rn="value_quartile", secondary="l_orderkey", k=4),
+        ],
     )
     return (
         j.select(

@@ -36,8 +36,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+    RankSpec,
     _global_row_number_with_total,
-    with_global_row_number,
+    with_global_row_numbers,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     load,
@@ -148,21 +149,21 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("basket_lines").alias("x"),
         F.col("o_totalprice").alias("y"),
     )
-    # NOT spilled (unlike Theil-Sen's pair table): the basket join is
-    # cheap enough that re-executing it under the probe/counts actions
-    # beats paying a parquet write per invocation — measured 2.8 s
-    # recompute vs 3.4 s spilled at sf0.1; revisit if the upstream
-    # ever grows an expensive lineage.
-    # x = basket size has ~7 distinct values: every value is a fat
-    # tie class at scale — the rank pass auto-splits on the unique
-    # order key so no bucket's window partition carries a constant
-    # fraction of the orders
-    rx = with_global_row_number(
-        j, ["x", "k"], primary="x", rn="rx", secondary="k"
-    )
-    both, total = _global_row_number_with_total(
-        rx, ["y", "k"], primary="y", descending=False, rn="ry",
-        n_buckets=64, secondary="k",
+    # Both ranks are INDEPENDENT orders of the same rows, so they run
+    # through the multi-rank form: ONE probe action sketches x and y
+    # together, ONE counts action computes both dims' marginals, and
+    # the final plan chains the two balanced per-bucket windows — the
+    # driver-action budget of a single rank pass (two sequential
+    # passes measured 2-3× this).  x = basket size has ~7 distinct
+    # values, every one a fat tie class at scale: dim 0 auto-splits on
+    # the unique order key, so no window partition carries a constant
+    # fraction of the orders.
+    both, total = with_global_row_numbers(
+        j,
+        [
+            RankSpec(["x", "k"], primary="x", rn="rx", secondary="k"),
+            RankSpec(["y", "k"], primary="y", rn="ry", secondary="k"),
+        ],
     )
     return _spearman_release(both, total)
 

@@ -85,8 +85,15 @@ _WINS_SQL = """
 
 
 def _hist(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    h = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # the histogram is the ONLY full-data pass and it is tiny (value
+    # domain × sources rows); localCheckpoint materializes it once so
+    # the widening gate's n-collect, the broadcast n joins, AND the
+    # win-table build all read the checkpoint instead of re-running
+    # the corpus groupBy (the gate otherwise added one full pass)
+    h = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
     n = h.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     return h, n
