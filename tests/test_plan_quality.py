@@ -105,3 +105,46 @@ def test_partitioned_fact_join_gets_dynamic_partition_pruning(spark, tmp_path):
     ).count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_rank_machinery_has_no_single_partition_window(spark):
+    """The boundary-cut de-weak contract, as a committed plan check
+    (it was an ad-hoc audit in r6): in every consumer of
+    operators/ranks.py, no Window operator may execute over an
+    Exchange SinglePartition — 1-row scalar-aggregate merges are the
+    only legitimate single-partition exchanges in these plans."""
+    consumers = [
+        "q_histogram_equidepth",
+        "q_calibration_deciles",
+        "q_quartile_contingency",
+        "q_systematic_sample",
+        "q_ccnet_quality_buckets",
+        "q_rfm_segments",
+        "q_shard_assignment_balanced",
+        "q_concurrency_sweep",
+        "q_abc_classification",
+        "q_ks_drift",
+        "q_spearman_corr",
+        "q_theil_sen_trend",
+    ]
+
+    def _window_over_single_partition(plan: str) -> bool:
+        lines = plan.splitlines()
+
+        def indent(ln: str) -> int:
+            return len(ln) - len(ln.lstrip(" +-:*"))
+
+        for i, ln in enumerate(lines):
+            if "Window" not in ln or "WindowGroupLimit" in ln:
+                continue
+            base = indent(ln)
+            for sub in lines[i + 1:]:
+                if sub.strip() and indent(sub) <= base:
+                    break
+                if "Exchange SinglePartition" in sub:
+                    return True
+        return False
+
+    for name in consumers:
+        plan = _plan(spark, name)
+        assert not _window_over_single_partition(plan), name
