@@ -85,18 +85,20 @@ _WINS_SQL = """
 
 
 def _hist(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    # the histogram is the ONLY full-data pass and it is tiny (value
-    # domain × sources rows); localCheckpoint materializes it once so
-    # the widening gate's n-collect, the broadcast n joins, AND the
-    # win-table build all read the checkpoint instead of re-running
-    # the corpus groupBy (the gate otherwise added one full pass)
-    h = (
-        docs.groupBy("source", F.col("n_chars").alias("v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+    h = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
     n = h.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     return h, n
+
+
+def _gate_counts(docs: DataFrame) -> DataFrame:
+    """Per-source row counts for the widening gate, as the CHEAPEST
+    possible pass: a one-column scan (column pruning keeps everything
+    but `source` out of the read) + map-side-combined count — NOT the
+    full histogram lineage, whose exchange the downstream plan reuses
+    and a driver collect here would force early."""
+    return docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _needs_decimal(n_df: DataFrame, scale: int) -> bool:
@@ -189,7 +191,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen; u2 = 2·U keeps tie half-credit integral."""
     docs = load(spark, sf_dir, "documents")
     h, n = _hist(docs)
-    wide = _needs_decimal(n, 10_000)
+    wide = _needs_decimal(_gate_counts(docs), 10_000)
     u = _doubled_wins(h, wide=wide).filter(F.col("si") < F.col("sj"))
     na = n.select(F.col("source").alias("si"), F.col("n").alias("n_a"))
     nb = n.select(F.col("source").alias("sj"), F.col("n").alias("n_b"))
@@ -271,7 +273,7 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     h, n = _hist(docs)
-    wide = _needs_decimal(n, _P_SCALE)
+    wide = _needs_decimal(_gate_counts(docs), _P_SCALE)
     u = _doubled_wins(h, wide=wide)
     k = n.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     ni = n.select(F.col("source").alias("sj_key"), F.col("n").alias("ni"))
