@@ -315,6 +315,61 @@ def test_running_sums_decimal_and_multi(spark):
     _assert_df_equal(got, want)
 
 
+def test_multi_rank_fuzz_with_split_engaged(spark, monkeypatch):
+    """Property fuzz of the MULTI-rank form: two independent orders of
+    the same rows (one tie-heavy, one near-unique), random directions
+    and bucket counts, with the skew floor lowered so the tie-class
+    auto-split engages — both released ranks must equal the window
+    forms exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import lakehouse_ecommerce_etl_pipeline_spark.operators.ranks as ranks
+
+    monkeypatch.setattr(ranks, "SKEW_FLOOR_ROWS", 5)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=-3, max_value=3),   # tie-heavy
+                st.integers(min_value=-50, max_value=50),  # near-unique
+            ),
+            min_size=1,
+            max_size=250,
+        ),
+        desc_a=st.booleans(),
+        desc_b=st.booleans(),
+        n_buckets=st.sampled_from([2, 5, 16]),
+    )
+    def check(vals, desc_a, desc_b, n_buckets):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(vals)],
+            "key long, a long, b long",
+        )
+        oa = [F.col("a").desc() if desc_a else F.col("a"), "key"]
+        ob = [F.col("b").desc() if desc_b else F.col("b"), "key"]
+        got, total = ranks.with_global_row_numbers(
+            df,
+            [
+                ranks.RankSpec(oa, primary="a", descending=desc_a,
+                               rn="ra", secondary="key"),
+                ranks.RankSpec(ob, primary="b", descending=desc_b,
+                               rn="rb", secondary="key"),
+            ],
+            n_buckets=n_buckets,
+        )
+        assert total == len(vals)
+        want = df.select(
+            "key",
+            F.row_number().over(Window.orderBy(*oa)).cast("long").alias("ra"),
+            F.row_number().over(Window.orderBy(*ob)).cast("long").alias("rb"),
+        )
+        _assert_df_equal(got.select("key", "ra", "rb"), want)
+
+    check()
+
+
 def test_promoted_cumulative_plans_equal_window_twins(spark):
     """VERDICT r6 task 2: the last two global cumulative windows
     (ABC classification at part grain, KS drift at support grain) now
