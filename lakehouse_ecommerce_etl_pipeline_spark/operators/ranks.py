@@ -801,6 +801,77 @@ def with_global_running_sum(
     )
 
 
+def global_kth_with_total(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    primary: str,
+    k,
+    descending: bool = False,
+    n_buckets: int = DEFAULT_BUCKETS,
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+) -> tuple[DataFrame, int]:
+    """(rows whose exact global ROW_NUMBER == k, total) — distributed
+    SELECTION without ranking everything (the quickselect shape): the
+    probe + counts passes locate the ONE bucket containing global rank
+    k; the final pass filters to that bucket by a TWO-COMPARISON range
+    predicate on the primary (pushed to the scan — re-evaluating the
+    63-term bucket chain inside a filter measured 8× slower: the
+    duplicated chain blows past whole-stage-codegen limits into
+    interpreted evaluation) and sorts only those rows.  ``k`` is an
+    int or a callable receiving the exact total (the median's
+    ``lambda n: (n + 1) // 2``).  Value-identical to filtering the
+    full boundary-cut rank (pytest-pinned).  The sorted slice is ONE
+    task bounded by the largest bucket (~total/n_buckets plus tie
+    mass) — the documented quickselect cost, far below the full-rank
+    exchange."""
+    if materialize is not None:
+        df = materialize(df)
+    cuts = _probe_cuts(df, primary, descending, n_buckets)
+    pcol = F.col(primary)
+    bkt0 = _cut_count_expr(pcol, cuts, descending)
+    counts_rows = (
+        df.withColumn("__bkt", bkt0)
+        .groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = {r["__bkt"]: r["c"] for r in counts_rows}
+    total = sum(counts.values())
+    kk = k(total) if callable(k) else int(k)
+    run = 0
+    target = None
+    for b in sorted(counts):
+        if run < kk <= run + counts[b]:
+            target, local_k = b, kk - run
+            break
+        run += counts[b]
+    if target is None:  # k out of [1, total]
+        return df.filter(F.lit(False)), total
+    # bucket ``target`` = rows with exactly ``target`` cuts strictly
+    # beyond the value, i.e. the half-open primary range between the
+    # neighbouring cuts (inclusive on the near side — ties with a cut
+    # land in the bucket NOT beyond it)
+    pred = F.lit(True)
+    if not descending:
+        if target >= 1:
+            pred = pred & (pcol > F.lit(cuts[target - 1]))
+        if target < len(cuts):
+            pred = pred & (pcol <= F.lit(cuts[target]))
+    else:
+        if target >= 1:
+            pred = pred & (pcol < F.lit(cuts[target - 1]))
+        if target < len(cuts):
+            pred = pred & (pcol >= F.lit(cuts[target]))
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_by)
+    out = (
+        df.filter(pred)
+        .withColumn("__lrn", F.row_number().over(w))
+        .filter(F.col("__lrn") == F.lit(local_k))
+        .drop("__lrn")
+    )
+    return out, total
+
+
 def ntile_expr(rn: Column, n_total: int, k: int) -> Column:
     """SQL-standard ``NTILE(k)`` from a 1-based exact global row
     number and the total row count: the first ``N mod k`` buckets take

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
     RankSpec,
     _global_row_number_with_total,
+    global_kth_with_total,
     with_global_row_numbers,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
@@ -315,6 +316,51 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than bloating the join condition with the 63-cut division
     # chain (measured 87 s -> seconds at sf0.01).
     q = spill_final(q, sf_dir, "theil_sen_pairs")
+    # the median is ONE order statistic — distributed SELECTION, not a
+    # full rank: probe + counts locate the single bucket containing
+    # global rank (n+1)//2, and only that ~1/64 slice is sorted; every
+    # other pair is filtered before any exchange.  Value-identical to
+    # ranking everything and filtering rn == mid (pytest-pinned twin).
+    row, total = global_kth_with_total(
+        q, ["slope", "num", "den"], primary="slope",
+        k=lambda n: (n + 1) // 2,
+    )
+    return row.select(
+        F.lit(total).cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("median_slope_cents_per_day"),
+    )
+
+
+def q_theil_sen_trend_rank_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-rank oracle-exactness twin (former production plan):
+    boundary-cut global row number over ALL pairs, filter to the
+    median rank — pytest-pinned equal to the selection form."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(f"unix_micros(o_orderdate) div {_US_PER_DAY}").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("cents").alias("cents_a")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("cents").alias("cents_b")
+    )
+    pairs = b.join(a, F.col("day_b") > F.col("day_a")).select(
+        (F.col("cents_b") - F.col("cents_a")).alias("num"),
+        (F.col("day_b") - F.col("day_a")).alias("den"),
+    )
+    q = pairs.withColumn(
+        "slope",
+        F.try_divide(F.col("num").cast("double"), F.col("den").cast("double")),
+    )
+    q = spill_final(q, sf_dir, "theil_sen_pairs_twin")
     ranked, total = _global_row_number_with_total(
         q, ["slope", "num", "den"], primary="slope", descending=False,
         rn="rn", n_buckets=64, secondary="num",

@@ -413,3 +413,43 @@ def test_global_running_sum_matches_window(spark):
         "uid", F.sum("d").over(w).cast("long").alias("run")
     )
     _assert_df_equal(got, want)
+
+
+def test_theil_sen_selection_equals_rank_form(spark):
+    """The distributed-selection median (global_kth_with_total) must
+    equal the full-rank-then-filter form exactly."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics62 import (
+        q_theil_sen_trend,
+        q_theil_sen_trend_rank_form,
+    )
+
+    _assert_df_equal(
+        q_theil_sen_trend(spark, SF0001),
+        q_theil_sen_trend_rank_form(spark, SF0001),
+    )
+
+
+def test_global_kth_with_total_matches_window(spark):
+    """Selection fuzz across k positions incl. boundaries and
+    out-of-range."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        global_kth_with_total,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("key"), ((F.col("id") * 131) % 97).alias("v")
+    )
+    w = Window.orderBy("v", "key")
+    ranked = df.select("key", F.row_number().over(w).alias("rn"))
+    for k in [1, 2, 1499, 1500, 3000, lambda n: (n + 1) // 2]:
+        got, total = global_kth_with_total(
+            df, ["v", "key"], primary="v", k=k, n_buckets=8
+        )
+        assert total == 3000
+        kk = k(total) if callable(k) else k
+        want = ranked.filter(F.col("rn") == kk).select("key")
+        _assert_df_equal(got.select("key"), want)
+    empty, total = global_kth_with_total(
+        df, ["v", "key"], primary="v", k=3001, n_buckets=8
+    )
+    assert total == 3000 and empty.count() == 0
