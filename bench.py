@@ -63,6 +63,8 @@ HEADLINE = [
     # round-6 additions, r6 baseline
     "q_spearman_corr",      # boundary-cut double rank pass + integer sum-d2
     "q_scan_protobuf_nested",  # recursive embed + packed-varint walker
+    # round-7 addition, r7 baseline
+    "q_theil_sen_trend",    # day-pair spill + selection-by-cuts median
 ]
 
 
