@@ -129,14 +129,17 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = (n(n²-1) − 6Σd²) / (n(n²-1)) releases through ONE double
     division of exact integers (bit-stable cross-engine).
 
-    PRODUCTION PLAN: both rank passes run the boundary-cut exact
-    global row number (operators/ranks.py) — literal percentile cuts,
-    balanced per-bucket windows, no single-partition sort; the d²
-    reduction is one map-side-combined aggregate.
+    PRODUCTION PLAN: both rank passes run the MULTI-rank boundary-cut
+    form (operators/ranks.py with_global_row_numbers) — one shared
+    probe action, one shared counts action, tie-class auto-split on
+    the order key for the ~7-value basket-size dim, chained balanced
+    per-bucket windows in a single final plan; the d² reduction is one
+    map-side-combined aggregate.
 
-    100 TB: two boundary-cut rank passes over (key, x, y) triples +
-    one scalar aggregate; Σd² stays in int64 to ~2.0 M orders, then
-    widen the sum to DECIMAL(38,0) (module docstring)."""
+    100 TB: one shared probe + one shared counts pass over (key, x,
+    y) triples + one scalar aggregate; Σd² is SIZE-GATED — int64 to
+    ~2.0 M orders, DECIMAL(38,0) above, bit-equal either way
+    (_spearman_release; pinned in tests/test_widening.py)."""
     b = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
