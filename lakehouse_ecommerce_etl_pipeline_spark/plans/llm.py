@@ -596,11 +596,11 @@ def q_similarity_topk(spark, sf_dir):
              AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(
-            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
     """,
 )
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.8) via the EXACT
+    """Embedding-cosine near-dup pairs (threshold 0.45) via the EXACT
     blocked plan: IVF cells + angular triangle-inequality cell-pair
     pruning + in-cell exact verify (llm/similarity.py
     cosine_near_dup_pairs_blocked) — identical result to the all-pairs
@@ -621,7 +621,13 @@ def q_embedding_near_dup(spark, sf_dir):
     chain's empty-token singletons."""
     emb = load(spark, sf_dir, "embeddings")
     mm, rep_emb = distinct_vector_reps(emb)
-    rp = cosine_near_dup_pairs_blocked(rep_emb, 0.8)
+    # threshold 0.45: the synthetic embeddings are near-uniform on the
+    # sphere (max pairwise cosine ≈ 0.51 at sf0.01), so the production
+    # 0.8 threshold returned ZERO rows at every SF — a vacuous oracle
+    # row (r5 ADVICE).  0.45 yields real verified pairs at sf0.001 AND
+    # sf0.01; the blocked plan is exact at ANY threshold (the angular
+    # bound widens with θ_t), so nothing else changes.
+    rp = cosine_near_dup_pairs_blocked(rep_emb, 0.45)
     ma = mm.select(F.col("vec_id").alias("u"), F.col("rep_id").alias("id_a"))
     mb = mm.select(F.col("vec_id").alias("v"), F.col("rep_id").alias("id_b"))
     cross = (
