@@ -39,14 +39,20 @@ def test_spearman_wide_path_bit_equal(spark, monkeypatch):
 def test_mann_whitney_and_rank_centrality_wide_bit_equal(spark, monkeypatch):
     import lakehouse_ecommerce_etl_pipeline_spark.plans.llm37 as llm37
 
-    mw_narrow = _rows(llm37.q_mann_whitney_u(spark, SF0001))
+    mw_narrow_df = llm37.q_mann_whitney_u(spark, SF0001)
+    assert mw_narrow_df.schema["u2_a"].dataType.simpleString() == "bigint"
+    mw_narrow = _rows(mw_narrow_df)
     rc_narrow = _rows(llm37.q_rank_centrality(spark, SF0001))
 
-    monkeypatch.setattr(llm37, "_needs_decimal", lambda n_df, scale: True)
-    mw_wide = _rows(
-        llm37.q_mann_whitney_u(spark, SF0001),
-        cast_decimal_to_long=["u2_a", "u2_b"],
+    # patch the CACHED wrapper (the gate verdict is memoized per table
+    # mtime, so patching the inner fn would be short-circuited)
+    monkeypatch.setattr(
+        llm37, "_needs_decimal_cached", lambda docs, sf_dir, scale: True
     )
+    mw_wide_df = llm37.q_mann_whitney_u(spark, SF0001)
+    # prove the wide path genuinely engaged before comparing values
+    assert mw_wide_df.schema["u2_a"].dataType.simpleString() == "decimal(38,0)"
+    mw_wide = _rows(mw_wide_df, cast_decimal_to_long=["u2_a", "u2_b"])
     rc_wide = _rows(llm37.q_rank_centrality(spark, SF0001))
 
     assert mw_narrow == mw_wide
