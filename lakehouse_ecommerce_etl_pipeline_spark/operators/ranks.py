@@ -808,6 +808,8 @@ def global_kth_with_total(
     k,
     descending: bool = False,
     n_buckets: int = DEFAULT_BUCKETS,
+    secondary: str | None = None,
+    on_skew: str = "raise",
     materialize: Callable[[DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, int]:
     """(rows whose exact global ROW_NUMBER == k, total) — distributed
@@ -817,13 +819,15 @@ def global_kth_with_total(
     predicate on the primary (pushed to the scan — re-evaluating the
     63-term bucket chain inside a filter measured 8× slower: the
     duplicated chain blows past whole-stage-codegen limits into
-    interpreted evaluation) and sorts only those rows.  ``k`` is an
+    interpreted evaluation) and ranks only those rows.  ``k`` is an
     int or a callable receiving the exact total (the median's
     ``lambda n: (n + 1) // 2``).  Value-identical to filtering the
-    full boundary-cut rank (pytest-pinned).  The sorted slice is ONE
-    task bounded by the largest bucket (~total/n_buckets plus tie
-    mass) — the documented quickselect cost, far below the full-rank
-    exchange."""
+    full boundary-cut rank (pytest-pinned).  The slice is ranked with
+    the boundary-cut machinery RECURSIVELY (probe/counts over
+    ~total/n_buckets rows, balanced per-bucket windows) — no
+    single-partition window anywhere, so the selection survives the
+    committed plan check and a 100× scale-up alike; ``secondary``
+    passes through for tie-class auto-splitting inside the slice."""
     if materialize is not None:
         df = materialize(df)
     cuts = _probe_cuts(df, primary, descending, n_buckets)
@@ -862,13 +866,14 @@ def global_kth_with_total(
             pred = pred & (pcol < F.lit(cuts[target - 1]))
         if target < len(cuts):
             pred = pred & (pcol >= F.lit(cuts[target]))
-    w = Window.partitionBy(F.lit(0)).orderBy(*order_by)
-    out = (
-        df.filter(pred)
-        .withColumn("__lrn", F.row_number().over(w))
-        .filter(F.col("__lrn") == F.lit(local_k))
-        .drop("__lrn")
+    sliced = df.filter(pred)
+    ranked, _slice_total = with_global_row_numbers(
+        sliced,
+        [RankSpec(order_by, primary, descending=descending,
+                  rn="__lrn", secondary=secondary)],
+        n_buckets=n_buckets, on_skew=on_skew,
     )
+    out = ranked.filter(F.col("__lrn") == F.lit(local_k)).drop("__lrn")
     return out, total
 
 

@@ -326,7 +326,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking everything and filtering rn == mid (pytest-pinned twin).
     row, total = global_kth_with_total(
         q, ["slope", "num", "den"], primary="slope",
-        k=lambda n: (n + 1) // 2,
+        k=lambda n: (n + 1) // 2, secondary="num",
     )
     return row.select(
         F.lit(total).cast("bigint").alias("n_pairs"),
