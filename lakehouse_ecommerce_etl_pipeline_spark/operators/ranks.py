@@ -202,14 +202,18 @@ def _assign_buckets(
         and not _is_float(df.schema[secondary].dataType)
     )
     probs = [j / n_buckets for j in range(1, n_buckets)]
+    # primary min/max collected on the NATIVE type: a double cast is
+    # monotone but not injective (two distinct decimals — or longs
+    # past 2^53 — can collide in double), so native equality is the
+    # only valid proof of a pure tie class (ADVICE r7).
     fat_stats = {
         r["__bkt"]: r
         for r in (
             b_df.filter(F.col("__bkt").isin(fat))
             .groupBy("__bkt")
             .agg(
-                F.min(pcol.cast("double")).alias("__lo"),
-                F.max(pcol.cast("double")).alias("__hi"),
+                F.min(pcol).alias("__lo"),
+                F.max(pcol).alias("__hi"),
                 *(
                     [
                         F.percentile_approx(
@@ -253,7 +257,33 @@ def _assign_buckets(
     )
     by2 = {r["__bkt"]: r for r in stats2}
     counts2 = {b: by2[b]["__c"] for b in by2}
+    _verify_split(counts2, fat_thresh, on_skew, primary, secondary)
     return b_df, _rows(counts2, by2), total
+
+
+def _verify_split(
+    counts: dict, fat_thresh: int, on_skew: str, primary: str,
+    secondary: str | None,
+) -> None:
+    """The documented balance guarantee is re-CHECKED after the split
+    recount (ADVICE r7): a near-constant secondary inside a tie class
+    collapses the sketched cuts into ineffective ones, and the fat
+    bucket would otherwise be silently accepted under on_skew='raise'
+    (ranks stay exact either way — this guards the BALANCE contract,
+    not correctness)."""
+    if on_skew != "raise":
+        return
+    fat2 = sorted(b for b, c in counts.items() if c > fat_thresh)
+    if fat2:
+        raise ValueError(
+            "boundary-cut rank: tie-class split left skewed buckets "
+            f"{fat2} (> {fat_thresh} rows) for primary {primary!r} — "
+            f"the sketched cuts of secondary {secondary!r} were "
+            "ineffective (near-constant secondary inside a tie "
+            "class); use a higher-cardinality secondary or set "
+            "on_skew='accept' with a documented bound on the "
+            "tie-class mass"
+        )
 
 
 def _split_decisions(
@@ -267,18 +297,22 @@ def _split_decisions(
     secondary: str | None,
 ) -> tuple[dict, list, list]:
     """(sub_cuts per splittable bucket, splittable, unsplit): a fat
-    bucket is a splittable TIE CLASS when its double-cast primary
-    min == max AND sits below 2^53 (int→double is monotone but not
-    injective above 2^53, so equality there cannot prove a tie — such
-    buckets stay unsplit rather than risk an order-breaking split);
-    each class's sketched secondary cuts are thinned to its fair-share
+    bucket is a splittable TIE CLASS when its primary min == max
+    compared on the NATIVE type — the former double-cast-under-2^53
+    shortcut proved ties only for integer-valued primaries; two
+    distinct DECIMALS with fractional scale can collide in double
+    while abs < 2^53, and a misdeclared tie class split by the
+    secondary would reorder rows with distinct primaries (ADVICE r7).
+    Native min/max collect as exact Python values (int / Decimal /
+    date), so equality IS the tie proof, at any magnitude.  Each
+    class's sketched secondary cuts are thinned to its fair-share
     bucket count (every retained cut is one more per-row comparison in
     the codegen'd bucket expression)."""
     splittable, unsplit = [], []
     for b in fat:
         r = fat_stats[b]
         lo, hi = r["__lo"], r["__hi"]
-        if lo == hi and abs(lo) < 2.0**53:
+        if lo == hi:
             splittable.append(b)
         else:
             unsplit.append(b)
@@ -505,48 +539,51 @@ def _multi_assign(
         final_exprs = [e.cast("int") for e in bkt0]
     else:
         # --- targeted tie-class stats over fat buckets only ---------
-        structs = [
-            F.struct(
-                F.lit(i).alias("d"),
-                bkt0[i].cast("int").alias("b"),
-                F.col(sp.primary).cast("double").alias("pd"),
-                (
-                    F.col(sp.secondary).cast("double")
-                    if sec_ok[i]
-                    else F.lit(None).cast("double")
-                ).alias("s"),
-                (
-                    F.col(sp.secondary).isNull()
-                    if sec_ok[i]
-                    else F.lit(False)
-                ).alias("snull"),
-            )
-            for i, sp in enumerate(specs)
-        ]
-        arr = F.array(*structs)
-
-        def _is_fat(e: Column) -> Column:
-            expr = F.lit(False)
-            for i, fats in enumerate(fat_per_dim):
-                if fats:
-                    expr = expr | ((e["d"] == i) & e["b"].isin(fats))
-            return expr
-
-        fat_rows = (
-            df.select(F.explode(F.filter(arr, _is_fat)).alias("e"))
-            .groupBy(F.col("e.d").alias("d"), F.col("e.b").alias("b"))
-            .agg(
-                F.min("e.pd").alias("__lo"),
-                F.max("e.pd").alias("__hi"),
-                F.percentile_approx("e.s", probs, PROBE_ACCURACY)
-                .alias("__sb"),
-                F.sum(F.col("e.snull").cast("long")).alias("__snulls"),
-            )
-            .collect()
-        )
+        # ONE flat conditional-aggregate pass (the data is still READ
+        # ONCE for all dims; fat (dim, bucket) pairs are few, so the
+        # aggregate list stays small).  The primary min/max collect on
+        # the NATIVE type: a shared double-cast struct was how the
+        # former pass unified dims, but double is not injective for
+        # decimals / longs past 2^53 — native equality is the only
+        # valid tie-class proof (ADVICE r7).  The secondary keeps its
+        # double sketch: cut PLACEMENT only affects balance.
+        aggs2: list[Column] = []
+        for i, sp in enumerate(specs):
+            for b in fat_per_dim[i]:
+                cond = bkt0[i].cast("int") == F.lit(b)
+                pv = F.when(cond, F.col(sp.primary))
+                aggs2.append(F.min(pv).alias(f"__lo_{i}_{b}"))
+                aggs2.append(F.max(pv).alias(f"__hi_{i}_{b}"))
+                if sec_ok[i]:
+                    aggs2.append(
+                        F.percentile_approx(
+                            F.when(
+                                cond, F.col(sp.secondary).cast("double")
+                            ),
+                            probs,
+                            PROBE_ACCURACY,
+                        ).alias(f"__sb_{i}_{b}")
+                    )
+                    aggs2.append(
+                        F.sum(
+                            F.when(
+                                cond,
+                                F.col(sp.secondary).isNull().cast("long"),
+                            )
+                        ).alias(f"__snulls_{i}_{b}")
+                    )
+        frow = df.agg(*aggs2).head()
         fat_stats: list[dict] = [{} for _ in specs]
-        for r in fat_rows:
-            fat_stats[r["d"]][r["b"]] = r
+        for i, sp in enumerate(specs):
+            for b in fat_per_dim[i]:
+                fat_stats[i][b] = {
+                    "__lo": frow[f"__lo_{i}_{b}"],
+                    "__hi": frow[f"__hi_{i}_{b}"],
+                    "__sb": frow[f"__sb_{i}_{b}"] if sec_ok[i] else None,
+                    "__snulls": (
+                        frow[f"__snulls_{i}_{b}"] if sec_ok[i] else 0
+                    ),
+                }
         final_exprs = []
         any_split = False
         for i, sp in enumerate(specs):
@@ -578,6 +615,13 @@ def _multi_assign(
             )
         if any_split:
             per_dim = _marginal_counts(final_exprs)
+            # re-check the balance guarantee on the recount (ADVICE
+            # r7): ineffective cuts must not pass silently
+            for i, sp in enumerate(specs):
+                _verify_split(
+                    per_dim[i], fat_thresh, on_skew, sp.primary,
+                    sp.secondary,
+                )
 
     ids_per_dim: list[list[int]] = []
     offsets_per_dim: list[list[int]] = []

@@ -453,3 +453,92 @@ def test_global_kth_with_total_matches_window(spark):
         df, ["v", "key"], primary="v", k=3001, n_buckets=8
     )
     assert total == 3000 and empty.count() == 0
+
+
+def test_decimal_tie_class_not_misdeclared(spark, monkeypatch):
+    """ADVICE r7 (medium): two DISTINCT decimal(25,4) primaries that
+    collide in double while abs < 2^53 must NOT be declared a pure tie
+    class — the former double-cast min==max proof would have split the
+    bucket by the secondary, reordering rows with distinct primaries
+    and corrupting ranks.  Native min/max equality is the only valid
+    proof; a mixed fat bucket now raises under on_skew='raise' and is
+    kept (exactly) under 'accept'."""
+    from decimal import Decimal
+
+    import lakehouse_ecommerce_etl_pipeline_spark.operators.ranks as ranks
+
+    monkeypatch.setattr(ranks, "SKEW_FLOOR_ROWS", 10)
+    a = Decimal("100000000000000.0001")
+    b = Decimal("100000000000000.0002")
+    assert a != b and float(a) == float(b) and abs(float(a)) < 2.0**53
+    rows = [(i, a if i % 2 == 0 else b) for i in range(2000)]
+    rows += [(2000 + i, Decimal(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v decimal(25,4)")
+    # pin the probe so BOTH colliding decimals land in one fat bucket
+    monkeypatch.setattr(
+        ranks, "_probe_cuts",
+        lambda *args, **kwargs: [Decimal(50), Decimal(90)],
+    )
+    with pytest.raises(ValueError, match="skewed buckets"):
+        ranks.with_global_row_number(
+            df, ["v", "k"], primary="v", rn="rn", n_buckets=64,
+            secondary="k",
+        )
+    got = ranks.with_global_row_number(
+        df, ["v", "k"], primary="v", rn="rn", n_buckets=64,
+        secondary="k", on_skew="accept",
+    ).select("k", "rn")
+    w = Window.orderBy("v", "k")
+    want = df.select("k", F.row_number().over(w).cast("long").alias("rn"))
+    _assert_df_equal(got, want)
+
+
+def test_split_reverify_raises_on_ineffective_secondary(spark, monkeypatch):
+    """ADVICE r7: a near-constant secondary inside a fat tie class
+    collapses the sketched cuts to ineffective ones; the recount must
+    re-check the balance guarantee and raise under on_skew='raise'
+    instead of silently keeping the fat bucket."""
+    import lakehouse_ecommerce_etl_pipeline_spark.operators.ranks as ranks
+
+    monkeypatch.setattr(ranks, "SKEW_FLOOR_ROWS", 10)
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("v"),
+        F.lit(7).cast("long").alias("s"),
+    )
+    with pytest.raises(ValueError, match="ineffective"):
+        ranks.with_global_row_number(
+            df, ["v", "s", "k"], primary="v", rn="rn", n_buckets=16,
+            secondary="s",
+        )
+    # explicit acceptance keeps the fat bucket and ranks stay exact
+    got = ranks.with_global_row_number(
+        df, ["v", "s", "k"], primary="v", rn="rn", n_buckets=16,
+        secondary="s", on_skew="accept",
+    ).select("k", "rn")
+    w = Window.orderBy("v", "s", "k")
+    want = df.select("k", F.row_number().over(w).cast("long").alias("rn"))
+    _assert_df_equal(got, want)
+
+
+def test_r8_promoted_plans_equal_window_twins(spark):
+    """VERDICT r8 tasks 3-4: the two plans the registry-wide audit
+    caught (fact-grain cumulative window in the decision stump,
+    dimension-grain row_numbers in surrogate assignment) now run the
+    boundary-cut machinery — pinned equal to their former window-form
+    plans."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics47 import (
+        q_decision_stump,
+        q_decision_stump_window_form,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics52 import (
+        q_surrogate_keys,
+        q_surrogate_keys_window_form,
+    )
+
+    pairs = [
+        (q_decision_stump, q_decision_stump_window_form),
+        (q_surrogate_keys, q_surrogate_keys_window_form),
+    ]
+    for prod, twin in pairs:
+        _assert_df_equal(prod(spark, SF0001), twin(spark, SF0001))
