@@ -459,7 +459,14 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the distinct support (operators/ranks.py — shared percentile
     cuts, balanced per-bucket windows, literal long offsets), so no
     single-partition window remains even when the support itself is
-    large; twin pytest-pinned, oracle unchanged."""
+    large; twin pytest-pinned, oracle unchanged.  The supremum lattice
+    |f1·n2 − f2·n1| is evaluated on DECIMAL(38,0) (ADVICE r7): once
+    n1·n2 reaches 2^63 (~3e9 rows per slice) the int64 cross products
+    would throw under ANSI; the decimal products are the identical
+    integers below that bound (bit-equal release) and stay exact far
+    beyond it — support-grain rows, so the widening costs nothing
+    measurable.  d_num's BIGINT release is the output contract and
+    holds while the supremum itself fits int64."""
     from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
         with_global_running_sums,
     )
@@ -484,7 +491,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is1").cast("bigint").alias("n1"),
         F.sum(1 - F.col("is1")).cast("bigint").alias("n2"),
     )
-    gap = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.col("f1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("f2").cast(dec) * F.col("n1").cast(dec)
+    )
     return (
         cum.crossJoin(F.broadcast(n))
         .groupBy("n1", "n2")

@@ -114,16 +114,29 @@ def _needs_decimal(n_df: DataFrame, scale: int) -> bool:
 _GATE_CACHE: dict = {}
 
 
-def _needs_decimal_cached(docs: DataFrame, sf_dir: str, scale: int) -> bool:
+def _needs_decimal_cached(
+    spark: SparkSession, sf_dir: str, scale: int
+) -> bool:
     """The gate verdict is a pure property of the input table, so it
-    is memoized per (documents path, mtime, scale) — the repo's
-    standard mtime-freshness pattern — and the counting pass runs once
-    per table generation instead of once per invocation."""
+    is memoized per table generation.  The docs are loaded HERE (not
+    passed in) so the cache key and the gated data cannot diverge
+    (ADVICE r7: a caller-supplied filtered df would silently reuse the
+    full-table verdict), and the key derives from the DataFrame's
+    ACTUAL input files plus their mtime+size — a same-second in-place
+    regeneration changes the file list or size even when mtime
+    granularity hides it."""
     import os
 
+    docs = load(spark, sf_dir, "documents")
     path = os.path.join(sf_dir, "documents.parquet")
     try:
-        key = (os.path.abspath(path), os.path.getmtime(path), scale)
+        stat = os.stat(path)
+        key = (
+            tuple(sorted(docs.inputFiles())),
+            stat.st_mtime,
+            stat.st_size,
+            scale,
+        )
     except OSError:
         key = None
     if key is not None and key in _GATE_CACHE:
@@ -214,7 +227,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen; u2 = 2·U keeps tie half-credit integral."""
     docs = load(spark, sf_dir, "documents")
     h, n = _hist(docs)
-    wide = _needs_decimal_cached(docs, sf_dir, 10_000)
+    wide = _needs_decimal_cached(spark, sf_dir, 10_000)
     u = _doubled_wins(h, wide=wide).filter(F.col("si") < F.col("sj"))
     na = n.select(F.col("source").alias("si"), F.col("n").alias("n_a"))
     nb = n.select(F.col("source").alias("sj"), F.col("n").alias("n_b"))
@@ -296,7 +309,7 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     h, n = _hist(docs)
-    wide = _needs_decimal_cached(docs, sf_dir, _P_SCALE)
+    wide = _needs_decimal_cached(spark, sf_dir, _P_SCALE)
     u = _doubled_wins(h, wide=wide)
     k = n.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     ni = n.select(F.col("source").alias("sj_key"), F.col("n").alias("ni"))

@@ -47,7 +47,7 @@ def test_mann_whitney_and_rank_centrality_wide_bit_equal(spark, monkeypatch):
     # patch the CACHED wrapper (the gate verdict is memoized per table
     # mtime, so patching the inner fn would be short-circuited)
     monkeypatch.setattr(
-        llm37, "_needs_decimal_cached", lambda docs, sf_dir, scale: True
+        llm37, "_needs_decimal_cached", lambda spark_, sf_dir, scale: True
     )
     mw_wide_df = llm37.q_mann_whitney_u(spark, SF0001)
     # prove the wide path genuinely engaged before comparing values
