@@ -138,6 +138,12 @@ def q_concurrency_sweep_window_form(spark: SparkSession, sf_dir: str):
 
 _SIM_DOCS = 200  # bounded measurement corpus (templated docs explode pairs)
 
+# vocab rows below which the df-rank table broadcasts back onto the
+# token stream; above it (web-scale vocabularies) the join
+# shuffle-hashes instead — the rank pass's own counts collect supplies
+# the driver-known size for free (PageRank dual-plan pattern).
+_SETSIM_BCAST_MAX_VOCAB = 1_000_000
+
 
 @register(
     "q_setsim_prefix_join",
@@ -178,24 +184,51 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: brute force is quadratic in the posting length of every
     common token; prefix filtering bounds each posting to rare tokens
     (the frequent-token postings — exactly the skewed ones — never
-    join). The df-rank is a broadcast (vocab-sized); verification
-    touches candidates only. Bounded here to a measurement corpus:
-    the synthetic docs are heavily templated, so unbounded all-pairs
-    would square. Cites reference parity: SURVEY.md §M4 near-dup
-    tier; complements q_lsh_candidates (approximate) with an exact
-    lossless path."""
+    join). VERDICT r7 de-risked the vocabulary machinery: the global
+    df-rank runs on the boundary-cut primitive (web-scale vocab is
+    10^7+, so the former unpartitioned row_number was a
+    single-partition sort), and the rank join back onto the token
+    stream is SIZE-GATED on the vocab count the rank pass already
+    collected (the PageRank dual-plan pattern) — broadcast below
+    _SETSIM_BCAST_MAX_VOCAB, shuffle-hash join above it.  The rank
+    ORDER tie-breaks by a numeric token hash before the token itself:
+    any consistent total order satisfies the prefix-filtering lemma
+    (the verified output is order-invariant — only candidate counts
+    move), and a numeric secondary is what lets the tie-class
+    auto-split balance the huge df=1 class at real vocab sizes.
+    Bounded here to a measurement corpus: the synthetic docs are
+    heavily templated, so unbounded all-pairs would square. Cites
+    reference parity: SURVEY.md §M4 near-dup tier; complements
+    q_lsh_candidates (approximate) with an exact lossless path."""
+    import os as _os
+
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        _global_row_number_with_total,
+    )
+
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _SIM_DOCS
     )
     tok = tokens(docs, "doc_id", "text")  # distinct (id, tok) pairs
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # global df-rank: vocab-bounded, broadcast back onto the stream
-    rk = dfreq.select(
-        "tok", F.row_number().over(Window.orderBy("df", "tok")).alias("rk")
+    dfreq = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    ).withColumn("__h", F.xxhash64("tok"))
+    ranked_vocab, n_vocab = _global_row_number_with_total(
+        dfreq, [F.col("df"), F.col("__h"), "tok"], primary="df",
+        descending=False, rn="rk", n_buckets=64, secondary="__h",
+    )
+    rk = ranked_vocab.select("tok", "rk")
+    max_vocab = int(
+        _os.environ.get(
+            "SPARK_GRAFT_SETSIM_MAX_BCAST_VOCAB", _SETSIM_BCAST_MAX_VOCAB
+        )
+    )
+    rk_side = F.broadcast(rk) if n_vocab <= max_vocab else rk.hint(
+        "shuffle_hash"
     )
     sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ranked = (
-        tok.join(F.broadcast(rk), "tok")
+        tok.join(rk_side, "tok")
         .join(F.broadcast(sz), "doc_id")
         .withColumn(
             "pos",

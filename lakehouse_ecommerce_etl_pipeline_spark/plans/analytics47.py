@@ -21,6 +21,47 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 
+def _stump_by_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-threshold histogram shared by the production plan and
+    its window-form twin: per distinct price, (row count, positives)."""
+    pts = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    return pts.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+
+
+def _stump_score(s: DataFrame) -> DataFrame:
+    """Impurity scoring + argmin over the cumulated candidate table
+    (shared by production plan and twin)."""
+    n_right = F.col("n_all") - F.col("n_left")
+    pos_right = F.col("pos_all") - F.col("pos_left")
+    score = (
+        (F.col("pos_left") * (F.col("n_left") - F.col("pos_left"))).cast(
+            "double"
+        )
+        / F.col("n_left").cast("double")
+        + (pos_right * (n_right - pos_right)).cast("double")
+        / n_right.cast("double")
+    )
+    return (
+        s.filter(n_right > 0)
+        .select(
+            F.col("x").alias("threshold"),
+            "n_left",
+            "pos_left",
+            n_right.alias("n_right"),
+            pos_right.alias("pos_right"),
+            score.alias("impurity_score"),
+        )
+        .orderBy("impurity_score", "threshold")
+        .limit(1)
+    )
+
+
 @register(
     "q_decision_stump",
     oracle="""
@@ -80,17 +121,37 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: this is how a boosted-tree trainer evaluates a feature —
     histogram the feature (the group-by; production bins to ~256
     buckets instead of exact distincts, same plan), cumulate, score
-    every bin boundary in one window over the tiny histogram, pick
-    the argmin with TakeOrderedAndProject.  The fact table is
-    touched exactly once."""
-    pts = load(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("x"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    every bin boundary, pick the argmin with TakeOrderedAndProject.
+    The fact table is touched exactly once.  The cumulation runs as a
+    boundary-cut parallel prefix sum (operators/ranks.py), NOT an
+    unpartitioned cumulative window (VERDICT r7: o_totalprice is
+    ~distinct per order, so the candidate support is FACT-grain —
+    14,999 of 15,000 orders at sf0.01 — and a single-partition sort
+    over it is the exact shape the prefix-sum machinery exists to
+    kill); former window form kept as the pytest-pinned twin, oracle
+    unchanged."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_running_sums,
     )
-    by_x = pts.groupBy("x").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("pos").cast("bigint").alias("npos"),
+
+    by_x = _stump_by_x(spark, sf_dir)
+    tot = by_x.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("npos").cast("bigint").alias("pos_all"),
     )
+    cum = with_global_running_sums(
+        by_x, ["x"], primary="x",
+        value_cols=["n", "npos"], aliases=["n_left", "pos_left"],
+    ).select("x", "n_left", "pos_left")
+    return _stump_score(cum.crossJoin(tot))
+
+
+def q_decision_stump_window_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative-window oracle-exactness twin (former production
+    plan), pytest-pinned equal to the boundary-cut prefix sums."""
+    by_x = _stump_by_x(spark, sf_dir)
     tot = by_x.agg(
         F.sum("n").cast("bigint").alias("n_all"),
         F.sum("npos").cast("bigint").alias("pos_all"),
@@ -103,30 +164,7 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).cast("bigint").alias("n_left"),
         F.sum("npos").over(w).cast("bigint").alias("pos_left"),
     )
-    s = cum.crossJoin(tot)
-    n_right = F.col("n_all") - F.col("n_left")
-    pos_right = F.col("pos_all") - F.col("pos_left")
-    score = (
-        (F.col("pos_left") * (F.col("n_left") - F.col("pos_left"))).cast(
-            "double"
-        )
-        / F.col("n_left").cast("double")
-        + (pos_right * (n_right - pos_right)).cast("double")
-        / n_right.cast("double")
-    )
-    return (
-        s.filter(n_right > 0)
-        .select(
-            F.col("x").alias("threshold"),
-            "n_left",
-            "pos_left",
-            n_right.alias("n_right"),
-            pos_right.alias("pos_right"),
-            score.alias("impurity_score"),
-        )
-        .orderBy("impurity_score", "threshold")
-        .limit(1)
-    )
+    return _stump_score(cum.crossJoin(tot))
 
 
 @register(
