@@ -131,79 +131,83 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 # ------------------------------------------------------------------
 # The external driver truncates its correctness gate at the first 50
 # registry entries in insertion order.  Curation policy (VERDICT r6
-# task 1): the fixed §2-parity block SHRINKS to ~10 rotating
-# sentinels (every parity row already carries MULTIPLE driver passes
-# from r1–r6), freeing 40 slots per round for rows the driver has
-# never value-checked.  This round's 40 = the recorded r7 queue
-# (SURVEY §8: the de-weaked five whose production plans changed in
-# r6, the streaming batch twins, packing/sharding/mixture, the
-# nested-protobuf trio, the round-6 rank-stat/ROUGE tiers) + 18 more
-# never-checked rows spanning CDC, UDF/UDTF surface, governance,
-# Avro, behavior analytics, sketches, and graph ops + 2 stale-pass
-# re-certifications (q_embedding_clusters — rep-collapse landed after
-# its r3 pass; q_ks_drift — promoted onto the prefix-sum primitive
-# THIS round).  38 of the 40 are absent from CORRECTNESS_r01–r06
-# (target ≥35); cumulative driver-checked grows 150 → 188.
+# task 1, r7 task 1): a small rotating §2-parity sentinel block (every
+# parity row already carries MULTIPLE driver passes from r1–r7) frees
+# the remaining slots for rows the driver has never value-checked.
+# This round's 45 = the RECORDED r8 queue executed verbatim (SURVEY
+# §8: formats & schema-on-read, Spark-4 surface, streaming,
+# window/function batteries, governance, graph, LLM curation, retail
+# analytics — all 42 pre-certified at sf0.01 in r7) + the two plans
+# promoted onto the boundary-cut machinery THIS round
+# (q_decision_stump, q_surrogate_keys — VERDICT r7 tasks 3–4 ask for
+# their driver rows) + q_setsim_prefix_join (vocab rank de-risked
+# THIS round, task 5).  All 45 are absent from CORRECTNESS_r01–r07;
+# cumulative driver-checked grows 188 → 233 (target ≥226).  The five
+# parity sentinels rotate to rows NOT in the r7 sentinel block.
 _FIRST_WINDOW = [
-    # --- §2-parity sentinels (10 of the 26, rotating per round; all
-    # 26 are driver-green in r1–r6, full list stays registered) ---
-    "q_scan_csv",
-    "q_scan_excel",
-    "q_scan_delta",
-    "q_merge_upsert",
-    "q_rejected_records",
-    "q_filter_notnull",
-    "q_join_leftsemi",
-    "q_dedup_by_key",
-    "q_union_all",
-    "q_count_star_sql",
-    # --- re-certification: production plans changed after their last
-    # driver pass (r3 / r4) ---
-    "q_embedding_clusters",
-    "q_ks_drift",
-    # --- recorded r7 queue (never driver-checked) ---
-    "q_stream_tumbling_agg",
-    "q_stream_stateful_totals",
-    "q_stream_session_window",
-    "q_pack_sequences",
-    "q_shard_assignment_balanced",
-    "q_token_budget_mixture",
-    "q_export_protobuf_nested",
-    "q_scan_protobuf_nested",
-    "q_stream_protobuf_nested_ingest",
-    "q_histogram_equidepth",
-    "q_calibration_deciles",
-    "q_quartile_contingency",
-    "q_systematic_sample",
-    "q_ccnet_quality_buckets",
-    "q_rfm_segments",
-    "q_concurrency_sweep",
-    "q_spearman_corr",
-    "q_theil_sen_trend",
-    "q_mann_kendall_s",
-    "q_rouge2_pairs",
-    # --- breadth fill (never driver-checked): CDC + incremental
-    # maintenance, stateful/UDF/UDTF/datasource surface, governance,
-    # Avro export, behavior analytics, sketch + graph ops, and the
-    # ABC promotion from THIS round ---
-    "q_abc_classification",
-    "q_cdc_agg_maintenance",
-    "q_merge_apply_changes",
-    "q_table_changes",
-    "q_capped_running_balance",
-    "q_pandas_udf_tokens",
-    "q_udtf_bigrams",
-    "q_variant_extract",
-    "q_python_datasource",
-    "q_mask_pii",
-    "q_pseudonymize_keys",
-    "q_export_avro",
-    "q_cohort_retention",
-    "q_market_basket",
-    "q_funnel_ordered",
-    "q_hll_mergeable",
-    "q_connected_components",
-    "q_topk_per_group",
+    # --- §2-parity sentinels (5 of the 26, rotating per round; all
+    # 26 are driver-green in r1–r7, full list stays registered) ---
+    "q_scan_parquet",
+    "q_project",
+    "q_filter_null_complement",
+    "q_join_leftanti",
+    "q_write_partitioned",
+    # --- recorded r8 queue (never driver-checked): formats &
+    # schema-on-read ---
+    "q_scan_orc",
+    "q_scan_json",
+    "q_scan_fixed_width",
+    "q_csv_corrupt_recovery",
+    "q_json_corrupt_recovery",
+    "q_export_protobuf_orders",
+    "q_scan_protobuf_orders",
+    "q_protobuf_corrupt_recovery",
+    # --- Spark-4 surface ---
+    "q_udtf_dynamic_schema",
+    "q_map_in_arrow_derive",
+    "q_grouped_arrow_stats",
+    "q_python_datasource_write",
+    "q_sql_pipe_syntax",
+    "q_sql_scripting",
+    # --- streaming ---
+    "q_stream_sliding_agg",
+    "q_stream_static_join",
+    "q_stream_interval_join",
+    "q_windowed_dedup",
+    "q_batch_session_window",
+    # --- window/function batteries ---
+    "q_window_rank_fns",
+    "q_window_time_range",
+    "q_having",
+    "q_grouping_id",
+    "q_string_fns",
+    "q_date_fns",
+    "q_math_fns",
+    # --- governance ---
+    "q_k_anonymity",
+    "q_gdpr_erasure_audit",
+    "q_pii_detect",
+    # --- graph ---
+    "q_triangle_count",
+    "q_hits_scores",
+    "q_bfs_distances",
+    "q_clustering_coefficient",
+    # --- LLM curation ---
+    "q_contamination_ngrams",
+    "q_repetition_score",
+    "q_split_train_val",
+    "q_vocab_topn",
+    "q_chunk_documents",
+    "q_dup_span_histogram",
+    # --- retail analytics ---
+    "q_return_rate_monthly",
+    "q_shipping_sla",
+    "q_supplier_hhi",
+    # --- this round's promotions / de-risk (VERDICT r7 tasks 3-5:
+    # production plans changed, driver rows requested) ---
+    "q_decision_stump",
+    "q_surrogate_keys",
+    "q_setsim_prefix_join",
 ]
 
 
