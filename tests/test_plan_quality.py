@@ -107,44 +107,88 @@ def test_partitioned_fact_join_gets_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
-def test_rank_machinery_has_no_single_partition_window(spark):
-    """The boundary-cut de-weak contract, as a committed plan check
-    (it was an ad-hoc audit in r6): in every consumer of
-    operators/ranks.py, no Window operator may execute over an
-    Exchange SinglePartition — 1-row scalar-aggregate merges are the
-    only legitimate single-partition exchanges in these plans."""
-    consumers = [
-        "q_histogram_equidepth",
-        "q_calibration_deciles",
-        "q_quartile_contingency",
-        "q_systematic_sample",
-        "q_ccnet_quality_buckets",
-        "q_rfm_segments",
-        "q_shard_assignment_balanced",
-        "q_concurrency_sweep",
-        "q_abc_classification",
-        "q_ks_drift",
-        "q_spearman_corr",
-        "q_theil_sen_trend",
+# Queries whose single-partition window is over a DOMAIN-bounded
+# relation — the row count is fixed by a calendar / lattice / value
+# domain, independent of data volume, so the single-task sort stays
+# constant-size at any scale.  Every entry must justify its bound;
+# the registry-wide test below fails on any OTHER query that plans a
+# Window over an unbounded Exchange SinglePartition, AND on stale
+# allowlist entries (so the list cannot rot).  VERDICT r7 task 2.
+SINGLE_PARTITION_WINDOW_ALLOWLIST = {
+    "q_backtest_seasonal_naive": "daily revenue series — calendar-day domain",
+    "q_benford_first_digit": "9 first-digit rows by construction",
+    "q_change_point_flags": "daily revenue series — calendar-day domain",
+    "q_chi2_independence": (
+        "contingency lattice — |status|x|priority| cells (15 rows)"
+    ),
+    "q_compaction_plan": (
+        "partition metadata — one row per month partition (calendar "
+        "domain; the plan is computed from COUNTs, never a data scan)"
+    ),
+    "q_cumulative_distinct_users": (
+        "first-touch reduction leaves one row per day — calendar domain"
+    ),
+    "q_cusum_control": "daily deviation series — calendar-day domain",
+    "q_ewma_taps": "daily LAG taps — calendar-day domain",
+    "q_integer_islands": (
+        "distinct epoch-minute domain — bounded at 525k rows/year "
+        "regardless of event volume (docstring documents the bound)"
+    ),
+    "q_mom_growth": "monthly revenue series — calendar-month domain",
+    "q_repeat_purchase_curve": (
+        "histogram over distinct per-customer order counts — a "
+        "value domain of tens of rows"
+    ),
+    "q_seasonal_decompose": "daily series decomposition — calendar-day domain",
+}
+
+
+def test_registry_has_no_single_partition_window(spark):
+    """The boundary-cut de-weak contract, enforced over the ENTIRE
+    registry (VERDICT r7 task 2 — the former 13-consumer scope let
+    q_decision_stump and q_surrogate_keys escape): no registered
+    query may plan a Window whose data-path child chain moves
+    unbounded rows through an Exchange SinglePartition.  The detector
+    (scripts/window_audit.py, shared with the standalone audit) walks
+    only the Window's unary child chain, so 1-row scalar-aggregate
+    merges inside broadcast branches don't false-positive, and
+    rank-filter pushdown (WindowGroupLimit) / TakeOrderedAndProject
+    bounded inputs pass structurally.  Domain-bounded exceptions live
+    in the justified allowlist above; stale allowlist entries fail
+    too."""
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        from window_audit import window_over_single_partition
+    finally:
+        sys.path.remove(scripts_dir)
+
+    offenders = []
+    errors = []
+    for name in sorted(REGISTRY):
+        try:
+            df = REGISTRY[name].fn(spark, SF0001)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — collect, then fail
+            errors.append(f"{name}: {exc}")
+            continue
+        if window_over_single_partition(plan):
+            offenders.append(name)
+    assert not errors, errors
+    unexpected = [
+        n for n in offenders if n not in SINGLE_PARTITION_WINDOW_ALLOWLIST
     ]
-
-    def _window_over_single_partition(plan: str) -> bool:
-        lines = plan.splitlines()
-
-        def indent(ln: str) -> int:
-            return len(ln) - len(ln.lstrip(" +-:*"))
-
-        for i, ln in enumerate(lines):
-            if "Window" not in ln or "WindowGroupLimit" in ln:
-                continue
-            base = indent(ln)
-            for sub in lines[i + 1:]:
-                if sub.strip() and indent(sub) <= base:
-                    break
-                if "Exchange SinglePartition" in sub:
-                    return True
-        return False
-
-    for name in consumers:
-        plan = _plan(spark, name)
-        assert not _window_over_single_partition(plan), name
+    stale = [
+        n for n in SINGLE_PARTITION_WINDOW_ALLOWLIST if n not in offenders
+    ]
+    assert not unexpected, (
+        "unpartitioned cumulative window over unbounded data in: "
+        f"{unexpected} — promote onto operators/ranks.py or justify "
+        "a domain bound in the allowlist"
+    )
+    assert not stale, (
+        f"allowlist entries no longer needed (keep it honest): {stale}"
+    )
