@@ -77,9 +77,15 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning.
 
     100 TB: one shuffle to build the cells; everything after runs on
-    |status|×|priority| rows. The bigint products bound the row count
-    at ~3·10^6 per marginal before n·r·c needs the term rewritten as
-    (d/n)·(d/r)/c — note for true 100 TB cardinalities."""
+    |status|×|priority| rows. The integer products o·n, r·c and n·r·c
+    run on DECIMAL(38,0) (the q_ks_drift discipline — ADVICE r7):
+    int64 products would throw under ANSI once n reaches ~3·10^9
+    rows; the decimal products are the identical integers below that
+    bound, and decimal→double conversion rounds to the same nearest
+    double as bigint→double at every magnitude, so the released
+    statistic is bit-equal on both paths and exact integer arithmetic
+    survives any corpus size (the 15-cell table makes the widening
+    free)."""
     cells = (
         load(spark, sf_dir, "orders")
         .groupBy(
@@ -88,13 +94,14 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("o"))
     )
+    dec = "decimal(38,0)"
     m = cells.select(
         "s",
         "p",
-        "o",
-        F.sum("o").over(Window.partitionBy("s")).alias("r"),
-        F.sum("o").over(Window.partitionBy("p")).alias("c"),
-        F.sum("o").over(Window.partitionBy()).alias("n"),
+        F.col("o").cast(dec).alias("o"),
+        F.sum("o").over(Window.partitionBy("s")).cast(dec).alias("r"),
+        F.sum("o").over(Window.partitionBy("p")).cast(dec).alias("c"),
+        F.sum("o").over(Window.partitionBy()).cast(dec).alias("n"),
     )
     diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
     term = (
@@ -109,7 +116,8 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.agg(
         F.sum("term").cast("double").alias("chi2_stat"),
         F.lit(dof).cast("int").alias("dof"),
-        F.max("n").alias("n"),
+        # released BIGINT (the output contract); exact — n is a count
+        F.max("n").cast("bigint").alias("n"),
     )
 
 

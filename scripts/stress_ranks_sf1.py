@@ -64,7 +64,14 @@ def main() -> int:
     ui = spark.sparkContext.uiWebUrl
     qs = plans.queries()
     rows = []
-    for name in QUERIES:
+    # SPARK_GRAFT_STRESS_QUERIES=a,b,c overrides the default set (the
+    # r8 round measured its three changed plans without re-running the
+    # full r7 table)
+    queries = QUERIES
+    override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
+    if override:
+        queries = [q.strip() for q in override.split(",") if q.strip()]
+    for name in queries:
         rec = [name]
         for sf_dir in ("/root/testdata/sf0.1", sf1_dir):
             qs[name](spark, sf_dir).write.format("noop").mode(
