@@ -77,6 +77,16 @@ def window_over_single_partition(plan: str) -> bool:
     return False
 
 
+def cartesian_product(plan: str) -> bool:
+    """True iff the plan contains a CartesianProduct — the non-broadcast
+    cross join Spark falls back to when neither side fits a broadcast:
+    |A|×|B| row evaluation, the other unconditional scale killer.
+    (BroadcastNestedLoopJoin is NOT flagged: every registry use is a
+    crossJoin against an explicitly-broadcast 1-row scalar aggregate,
+    which is bounded by construction.)"""
+    return "CartesianProduct" in plan
+
+
 def main() -> int:
     from lakehouse_ecommerce_etl_pipeline_spark.plans import REGISTRY
     from lakehouse_ecommerce_etl_pipeline_spark.session import get_spark
@@ -90,13 +100,16 @@ def main() -> int:
             df = REGISTRY[name].fn(spark, SF)
             plan = df._jdf.queryExecution().executedPlan().toString()
             bad = window_over_single_partition(plan)
+            cart = cartesian_product(plan)
         except Exception:
             errors.append(name)
             print(f"ERROR {name}\n{traceback.format_exc()}", flush=True)
             continue
-        status = "OFFENDER" if bad else "ok"
+        status = "OFFENDER" if bad else ("CARTESIAN" if cart else "ok")
         if bad:
             offenders.append(name)
+        if cart:
+            offenders.append(f"{name} [cartesian]")
         print(f"{status:8s} {name} ({time.time() - t0:.1f}s)", flush=True)
     print(f"\n=== {len(offenders)} offenders / {len(REGISTRY)} queries, "
           f"{len(errors)} errors, {time.time() - t_all:.0f}s ===")

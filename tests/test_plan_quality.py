@@ -162,11 +162,15 @@ def test_registry_has_no_single_partition_window(spark):
     )
     sys.path.insert(0, scripts_dir)
     try:
-        from window_audit import window_over_single_partition
+        from window_audit import (
+            cartesian_product,
+            window_over_single_partition,
+        )
     finally:
         sys.path.remove(scripts_dir)
 
     offenders = []
+    cartesians = []
     errors = []
     for name in sorted(REGISTRY):
         try:
@@ -177,6 +181,11 @@ def test_registry_has_no_single_partition_window(spark):
             continue
         if window_over_single_partition(plan):
             offenders.append(name)
+        # the same walk also bans the other unconditional scale
+        # killer: a CartesianProduct (non-broadcast cross join —
+        # |A|x|B| evaluation). Zero in the registry; no allowlist.
+        if cartesian_product(plan):
+            cartesians.append(name)
     assert not errors, errors
     unexpected = [
         n for n in offenders if n not in SINGLE_PARTITION_WINDOW_ALLOWLIST
@@ -192,3 +201,79 @@ def test_registry_has_no_single_partition_window(spark):
     assert not stale, (
         f"allowlist entries no longer needed (keep it honest): {stale}"
     )
+    assert not cartesians, f"CartesianProduct planned in: {cartesians}"
+
+
+def test_single_partition_window_detector():
+    """Pure-text pins for the load-bearing detector: the offender
+    shape, the broadcast-branch scalar-merge false positive it must
+    NOT flag, and the two bounded rescues (WindowGroupLimit partial,
+    TakeOrderedAndProject)."""
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        from window_audit import window_over_single_partition
+    finally:
+        sys.path.remove(scripts_dir)
+
+    offender = "\n".join([
+        "Window [row_number() ...]",
+        "+- Sort [x ASC], false, 0",
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "      +- HashAggregate(keys=[x], functions=[count(1)])",
+        "         +- Exchange hashpartitioning(x, 32)",
+    ])
+    assert window_over_single_partition(offender)
+
+    balanced = "\n".join([
+        "Window [row_number() ...], [bkt]",
+        "+- Sort [bkt ASC, x ASC], false, 0",
+        "   +- Exchange hashpartitioning(bkt, 32)",
+        "      +- FileScan parquet",
+    ])
+    assert not window_over_single_partition(balanced)
+
+    # 1-row scalar aggregate merging inside a BROADCAST BRANCH of a
+    # join below the window: not on the window's data path
+    broadcast_branch = "\n".join([
+        "Window [row_number() ...], [k]",
+        "+- Sort [k ASC], false, 0",
+        "   +- Exchange hashpartitioning(k, 32)",
+        "      +- BroadcastNestedLoopJoin BuildRight, Cross",
+        "         :- FileScan parquet",
+        "         +- BroadcastExchange IdentityBroadcastMode",
+        "            +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "               +- HashAggregate(functions=[sum(x)])",
+    ])
+    assert not window_over_single_partition(broadcast_branch)
+
+    group_limit_rescue = "\n".join([
+        "Window [row_number() ...]",
+        "+- WindowGroupLimit [rank 10], Final",
+        "   +- Sort [x ASC], false, 0",
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "         +- WindowGroupLimit [rank 10], Partial",
+        "            +- Sort [x ASC], false, 0",
+    ])
+    assert not window_over_single_partition(group_limit_rescue)
+
+    take_ordered = "\n".join([
+        "Window [row_number() ...]",
+        "+- TakeOrderedAndProject(limit=10, orderBy=[x ASC])",
+        "   +- HashAggregate(keys=[k], functions=[sum(x)])",
+    ])
+    assert not window_over_single_partition(take_ordered)
+
+    # single-partition exchange whose direct child is NOT a partial
+    # group limit (e.g. an aggregate): still an offender
+    agg_below = "\n".join([
+        "Window [sum(x) ...]",
+        "+- Sort [x ASC], false, 0",
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "      +- HashAggregate(keys=[x], functions=[sum(c)])",
+        "         +- Exchange hashpartitioning(x, 32)",
+    ])
+    assert window_over_single_partition(agg_below)
