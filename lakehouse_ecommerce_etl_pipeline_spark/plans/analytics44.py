@@ -68,7 +68,15 @@ def q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the partition key) then a partial-aggregated group-by;
     no joins, no driver state.  This is the evaluation-side twin of
     the training-side split/packing tier — a model-quality metric
-    computed where the predictions live instead of collecting them."""
+    computed where the predictions live instead of collecting them.
+    The rank-sum S2 ≤ 2n² and the n_pos·n_neg products run on
+    DECIMAL(38,0) (the q_ks_drift discipline): int64 would throw
+    under ANSI at ~2.1e9 rows per segment; the decimals are the
+    identical integers below the bound and decimal→double rounds to
+    the same nearest double, so the released AUC is bit-equal on both
+    paths — and the cost disappears under the rank window that
+    dominates this plan."""
+    dec = "decimal(38,0)"
     w_rank = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
     w_ties = Window.partitionBy("o_orderpriority", "o_totalprice")
     r = load(spark, sf_dir, "orders").select(
@@ -79,23 +87,23 @@ def q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = r.groupBy("o_orderpriority").agg(
         F.sum(
-            F.when(F.col("pos") == 1, 2 * F.col("rk") + F.col("ties") - 1)
-            .otherwise(0)
-        )
-        .cast("bigint")
-        .alias("s2"),
+            F.when(
+                F.col("pos") == 1,
+                (2 * F.col("rk") + F.col("ties") - 1).cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        ).cast(dec).alias("s2"),
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
     )
+    np_d = F.col("n_pos").cast(dec)
+    nn_d = F.col("n_neg").cast(dec)
     return g.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
         "o_orderpriority",
         "n_pos",
         "n_neg",
         (
-            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
-                "double"
-            )
-            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+            (F.col("s2") - np_d * (np_d + F.lit(1).cast(dec))).cast("double")
+            / (F.lit(2).cast(dec) * np_d * nn_d).cast("double")
         ).alias("auc"),
     )
 
@@ -129,7 +137,12 @@ def q_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: two cascaded partial-aggregated group-bys (segment counts,
     then squared-count sums) and a broadcast join to the 25-row nation
-    dim; the wide fact never moves twice."""
+    dim; the wide fact never moves twice.  The squares c² and n² run
+    on DECIMAL(38,0) (the q_ks_drift discipline): int64 throws under
+    ANSI at ~3e9 customers per nation; the (nation × segment) grid is
+    tiny, so widening is free, and decimal→double rounds to the same
+    nearest double — bit-equal release."""
+    dec = "decimal(38,0)"
     c = (
         load(spark, sf_dir, "customer")
         .groupBy("c_nationkey", "c_mktsegment")
@@ -137,10 +150,12 @@ def q_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = c.groupBy("c_nationkey").agg(
         F.sum("cnt").cast("bigint").alias("n_customers"),
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+        F.sum(F.col("cnt").cast(dec) * F.col("cnt").cast(dec))
+        .cast(dec)
+        .alias("sum_sq"),
     )
     nation = load(spark, sf_dir, "nation")
-    n_sq = F.col("n_customers") * F.col("n_customers")
+    n_sq = F.col("n_customers").cast(dec) * F.col("n_customers").cast(dec)
     return g.join(
         F.broadcast(nation), g["c_nationkey"] == nation["n_nationkey"]
     ).select(

@@ -133,7 +133,13 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by; the lag pairing is a self-join of that TINY series, and
     the moments are a single-row reduce.  Computing ACF this way
     (moments, not centered residuals) needs one pass and no mean
-    broadcast."""
+    broadcast.  The second moments x², x·y and the n·Σ − Σ·Σ
+    assembly run on DECIMAL(38,0) (the q_ks_drift discipline): at
+    extreme daily revenue (rev_k past ~3e9, i.e. >$3e12/day) the
+    int64 products would throw under ANSI; the decimals are the
+    identical integers below the bound and cast to the same nearest
+    double, all on day-grain rows, so the widening is free."""
+    dec = "decimal(38,0)"
     d = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").alias("day"))
@@ -150,22 +156,20 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = a.join(
         b, F.col("day_b") == F.date_sub(F.col("day_a"), _ACF_LAG)
     )
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
     m = p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(xd).cast(dec).alias("sx"),
+        F.sum(yd).cast(dec).alias("sy"),
+        F.sum(xd * yd).cast(dec).alias("sxy"),
+        F.sum(xd * xd).cast(dec).alias("sxx"),
+        F.sum(yd * yd).cast(dec).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
+    n_dec = F.col("n").cast(dec)
+    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-            "double"
-        )
+        (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n_dec * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return m.select(
         F.lit(_ACF_LAG).alias("lag_days"),
@@ -262,12 +266,23 @@ def q_tvd_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ta), "wk")
         .join(F.broadcast(tb), "wk")
     )
+    # cross products c·n run on DECIMAL(38,0) (the q_ks_drift
+    # discipline): int64 throws under ANSI at ~3e9 events/week; the
+    # grid rows are weeks×types — tiny — so widening is free.  The
+    # BIGINT release is the output contract (holds while the TVD
+    # numerator itself fits int64).
+    dec = "decimal(38,0)"
     num = F.sum(
         F.abs(
-            F.col("cnt") * F.col("n_prev") - F.col("c_prev") * F.col("n_cur")
+            F.col("cnt").cast(dec) * F.col("n_prev").cast(dec)
+            - F.col("c_prev").cast(dec) * F.col("n_cur").cast(dec)
         )
     ).cast("bigint")
-    den = (2 * F.max("n_cur") * F.max("n_prev")).cast("bigint")
+    den = (
+        F.lit(2).cast(dec)
+        * F.max("n_cur").cast(dec)
+        * F.max("n_prev").cast(dec)
+    ).cast("bigint")
     return pairs.groupBy("wk").agg(
         num.alias("tvd_num"),
         den.alias("tvd_den"),
