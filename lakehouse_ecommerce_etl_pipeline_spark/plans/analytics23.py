@@ -204,9 +204,20 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
                 "confidence_a_to_b"
             ),
+            # lift's count products run on DECIMAL(38,0) (the
+            # q_ks_drift discipline): n_ab·N and n_a·n_b are ≤ N² and
+            # would throw under ANSI int64 at ~3e9 baskets; pair-grain
+            # rows make the widening free, and decimal→double rounds
+            # to the same nearest double — bit-equal release.
             (
-                (F.col("n_ab") * F.lit(n_orders)).cast("double")
-                / (F.col("n_a") * F.col("n_b")).cast("double")
+                (
+                    F.col("n_ab").cast("decimal(38,0)")
+                    * F.lit(n_orders).cast("decimal(38,0)")
+                ).cast("double")
+                / (
+                    F.col("n_a").cast("decimal(38,0)")
+                    * F.col("n_b").cast("decimal(38,0)")
+                ).cast("double")
             ).alias("lift"),
         )
     )
