@@ -260,9 +260,19 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_co",
             "df_a",
             "df_b",
+            # count products on DECIMAL(38,0) (the q_ks_drift
+            # discipline): N·co and df_a·df_b are ≤ N² and would throw
+            # under ANSI int64 at ~3e9 docs; pair-grain rows make the
+            # widening free, decimal→double rounds identically.
             (
-                (F.lit(n_docs) * F.col("n_co")).cast("double")
-                / (F.col("df_a") * F.col("df_b")).cast("double")
+                (
+                    F.lit(n_docs).cast("decimal(38,0)")
+                    * F.col("n_co").cast("decimal(38,0)")
+                ).cast("double")
+                / (
+                    F.col("df_a").cast("decimal(38,0)")
+                    * F.col("df_b").cast("decimal(38,0)")
+                ).cast("double")
             ).alias("pmi_ratio"),
         )
     )
