@@ -104,3 +104,17 @@ def test_setsim_prefix_filter_is_lossless_vs_brute_force(spark):
         if 3 * r["i"] >= szm[r["id_a"]] + szm[r["id_b"]]
     }
     assert expected == {(0, 1), (2, 3)}
+
+
+def test_setsim_size_gate_shuffle_path_matches_broadcast(spark, monkeypatch):
+    """The vocab-rank join's size gate (r8): forcing the threshold to
+    0 takes the shuffle-hash branch (web-scale vocab path); the result
+    must equal the broadcast branch exactly, and the gated plan must
+    not broadcast the rank table."""
+    monkeypatch.setenv("SPARK_GRAFT_SETSIM_MAX_BCAST_VOCAB", "0")
+    shuffled = q_setsim_prefix_join(spark, SF0001)
+    monkeypatch.setenv("SPARK_GRAFT_SETSIM_MAX_BCAST_VOCAB", "10000000")
+    broadcast = q_setsim_prefix_join(spark, SF0001)
+    assert shuffled.count() == broadcast.count()
+    assert shuffled.exceptAll(broadcast).count() == 0
+    assert broadcast.exceptAll(shuffled).count() == 0
