@@ -542,3 +542,58 @@ def test_r8_promoted_plans_equal_window_twins(spark):
     ]
     for prod, twin in pairs:
         _assert_df_equal(prod(spark, SF0001), twin(spark, SF0001))
+
+
+def test_running_sum_with_tie_class_split(spark, monkeypatch):
+    """The split recount must re-aggregate the per-bucket VALUE sums
+    (not just counts) — a stale offset after a tie-class split would
+    silently corrupt every prefix sum in later buckets.  Near-constant
+    primary forces the split; result pinned to the window twin."""
+    import lakehouse_ecommerce_etl_pipeline_spark.operators.ranks as ranks
+
+    monkeypatch.setattr(ranks, "SKEW_FLOOR_ROWS", 10)
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 2).alias("t"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 7 - 3).alias("d"),
+    )
+    got = ranks.with_global_running_sums(
+        df, ["t", "uid"], primary="t", value_cols=["d"], aliases=["run"],
+        secondary="uid", n_buckets=16,
+    ).select("uid", "run")
+    w = Window.orderBy("t", "uid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select("uid", F.sum("d").over(w).cast("long").alias("run"))
+    _assert_df_equal(got, want)
+
+
+def test_promoted_plans_partitioning_invariant(spark):
+    """Boundary-cut results must not depend on the shuffle partition
+    count (literal cuts + per-bucket sorts are partitioning-free by
+    construction) — the canary the r2 suite runs for older plans,
+    extended to the r8 promotions."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics47 import (
+        q_decision_stump,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics52 import (
+        q_surrogate_keys,
+    )
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    base_stump = q_decision_stump(spark, SF0001).collect()
+    base_sk = sorted(
+        q_surrogate_keys(spark, SF0001).collect(),
+        key=lambda r: r["p_partkey"],
+    )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt_stump = q_decision_stump(spark, SF0001).collect()
+        alt_sk = sorted(
+            q_surrogate_keys(spark, SF0001).collect(),
+            key=lambda r: r["p_partkey"],
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert alt_stump == base_stump
+    assert alt_sk == base_sk
