@@ -123,10 +123,45 @@ def q_integer_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-sequence cousin of q_sessionize (which islands on time
     gaps, not unit steps).
 
-    100 TB: the distinct is a map-side-combined shuffle; the
-    unpartitioned row_number is a single-reducer sort over the
-    *distinct minute* domain (bounded: 525k/year) — the trick keys on
-    the domain being small after dedup, not on raw event volume."""
+    100 TB: the distinct is a map-side-combined shuffle; the global
+    row number runs on the boundary-cut machinery (operators/ranks.py
+    — balanced per-bucket windows, literal offsets), so the trick
+    survives finer grains and longer horizons than the minute/year
+    domain that once justified a single-reducer sort (r8 promotion;
+    former window form kept as the pytest-pinned twin, oracle
+    unchanged).  The island grouping is unaffected: value − rank is
+    constant per run for ANY exact global rank."""
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        with_global_row_number,
+    )
+
+    m = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr("unix_timestamp(date_trunc('minute', ts)) div 60").alias(
+                "minute_idx"
+            )
+        )
+        .distinct()
+    )
+    g = with_global_row_number(
+        m, ["minute_idx"], primary="minute_idx", rn="__rn"
+    ).select(
+        "minute_idx",
+        (F.col("minute_idx") - F.col("__rn")).alias("grp"),
+    )
+    return g.groupBy("grp").agg(
+        F.min("minute_idx").alias("island_start"),
+        F.max("minute_idx").alias("island_end"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    ).drop("grp")
+
+
+def q_integer_islands_window_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unpartitioned-window oracle-exactness twin (former production
+    plan), pytest-pinned equal to the boundary-cut rank."""
     m = (
         load(spark, sf_dir, "events")
         .select(

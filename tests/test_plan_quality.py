@@ -130,10 +130,6 @@ SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     ),
     "q_cusum_control": "daily deviation series — calendar-day domain",
     "q_ewma_taps": "daily LAG taps — calendar-day domain",
-    "q_integer_islands": (
-        "distinct epoch-minute domain — bounded at 525k rows/year "
-        "regardless of event volume (docstring documents the bound)"
-    ),
     "q_mom_growth": "monthly revenue series — calendar-month domain",
     "q_repeat_purchase_curve": (
         "histogram over distinct per-customer order counts — a "

@@ -597,3 +597,17 @@ def test_promoted_plans_partitioning_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert alt_stump == base_stump
     assert alt_sk == base_sk
+
+
+def test_integer_islands_equals_window_twin(spark):
+    """r8 late promotion: the islands rank moved onto the boundary-cut
+    machinery — pinned equal to the former unpartitioned-window plan."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics16 import (
+        q_integer_islands,
+        q_integer_islands_window_form,
+    )
+
+    _assert_df_equal(
+        q_integer_islands(spark, SF0001),
+        q_integer_islands_window_form(spark, SF0001),
+    )
