@@ -546,11 +546,28 @@ def _multi_assign(
         # former pass unified dims, but double is not injective for
         # decimals / longs past 2^53 — native equality is the only
         # valid tie-class proof (ADVICE r7).  The secondary keeps its
-        # double sketch: cut PLACEMENT only affects balance.
+        # double sketch: cut PLACEMENT only affects balance.  Each
+        # dim's n_buckets-term comparison chain is PROJECTED ONCE
+        # (``__fb{i}``) and the aggregates condition on the small int
+        # — re-embedding the chain in every conditional aggregate
+        # would evaluate ~terms×aggs predicates per row, the
+        # duplicated-chain codegen blowup global_kth_with_total
+        # measured at 8×.
+        keep: list[Column] = [
+            bkt0[i].cast("int").alias(f"__fb{i}")
+            for i in range(len(specs))
+        ]
+        seen_cols: set[str] = set()
+        for i, sp in enumerate(specs):
+            for c in (sp.primary, sp.secondary if sec_ok[i] else None):
+                if c and c not in seen_cols:
+                    seen_cols.add(c)
+                    keep.append(F.col(c))
+        proj = df.select(*keep)
         aggs2: list[Column] = []
         for i, sp in enumerate(specs):
             for b in fat_per_dim[i]:
-                cond = bkt0[i].cast("int") == F.lit(b)
+                cond = F.col(f"__fb{i}") == F.lit(b)
                 pv = F.when(cond, F.col(sp.primary))
                 aggs2.append(F.min(pv).alias(f"__lo_{i}_{b}"))
                 aggs2.append(F.max(pv).alias(f"__hi_{i}_{b}"))
@@ -572,7 +589,7 @@ def _multi_assign(
                             )
                         ).alias(f"__snulls_{i}_{b}")
                     )
-        frow = df.agg(*aggs2).head()
+        frow = proj.agg(*aggs2).head()
         fat_stats: list[dict] = [{} for _ in specs]
         for i, sp in enumerate(specs):
             for b in fat_per_dim[i]:

@@ -75,21 +75,31 @@ def q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integers below the bound and decimal→double rounds to
     the same nearest double, so the released AUC is bit-equal on both
     paths — and the cost disappears under the rank window that
-    dominates this plan."""
+    dominates this plan.  The PER-ROW term widens BEFORE any
+    arithmetic: ``2·rk`` on rank()'s raw IntegerType output would
+    throw int32 overflow at ~1.07e9 rows per segment, long before the
+    int64 bound the sum protects (rank() itself emits int32, so the
+    window form's own ceiling is 2^31 rows per partition — at which
+    point the per-segment sort, not the rank dtype, is the real
+    problem; the bound is Spark's, documented here)."""
     dec = "decimal(38,0)"
     w_rank = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
     w_ties = Window.partitionBy("o_orderpriority", "o_totalprice")
     r = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
-        F.rank().over(w_rank).alias("rk"),
+        F.rank().over(w_rank).cast("long").alias("rk"),
         F.count(F.lit(1)).over(w_ties).alias("ties"),
     )
     g = r.groupBy("o_orderpriority").agg(
         F.sum(
             F.when(
                 F.col("pos") == 1,
-                (2 * F.col("rk") + F.col("ties") - 1).cast(dec),
+                (
+                    2 * F.col("rk").cast(dec)
+                    + F.col("ties").cast(dec)
+                    - 1
+                ).cast(dec),
             ).otherwise(F.lit(0).cast(dec))
         ).cast(dec).alias("s2"),
         F.sum("pos").cast("bigint").alias("n_pos"),

@@ -36,15 +36,25 @@ def _stump_by_x(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stump_score(s: DataFrame) -> DataFrame:
     """Impurity scoring + argmin over the cumulated candidate table
-    (shared by production plan and twin)."""
+    (shared by production plan and twin).  The count products
+    pos·neg run on DECIMAL(38,0) (protection class: unconditional
+    widening — DESIGN.md §19): cumulative counts are fact-grain, so
+    int64 products would throw under ANSI at ~6.1e9 rows;
+    support-grain rows make the widening free and decimal→double
+    rounds identically, so the released score is bit-equal below the
+    old bound."""
+    dec = "decimal(38,0)"
     n_right = F.col("n_all") - F.col("n_left")
     pos_right = F.col("pos_all") - F.col("pos_left")
     score = (
-        (F.col("pos_left") * (F.col("n_left") - F.col("pos_left"))).cast(
+        (
+            F.col("pos_left").cast(dec)
+            * (F.col("n_left") - F.col("pos_left")).cast(dec)
+        ).cast("double")
+        / F.col("n_left").cast("double")
+        + (pos_right.cast(dec) * (n_right - pos_right).cast(dec)).cast(
             "double"
         )
-        / F.col("n_left").cast("double")
-        + (pos_right * (n_right - pos_right)).cast("double")
         / n_right.cast("double")
     )
     return (

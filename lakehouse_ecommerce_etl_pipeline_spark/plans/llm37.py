@@ -121,22 +121,21 @@ def _needs_decimal_cached(
     is memoized per table generation.  The docs are loaded HERE (not
     passed in) so the cache key and the gated data cannot diverge
     (ADVICE r7: a caller-supplied filtered df would silently reuse the
-    full-table verdict), and the key derives from the DataFrame's
-    ACTUAL input files plus their mtime+size — a same-second in-place
-    regeneration changes the file list or size even when mtime
-    granularity hides it."""
+    full-table verdict), and the key carries EACH input file's own
+    (path, mtime_ns, size) — a directory-level stat misses an
+    in-place rewrite of same-named part files, and nanosecond mtimes
+    close the same-second window."""
     import os
+    from urllib.parse import urlparse
 
     docs = load(spark, sf_dir, "documents")
-    path = os.path.join(sf_dir, "documents.parquet")
     try:
-        stat = os.stat(path)
-        key = (
-            tuple(sorted(docs.inputFiles())),
-            stat.st_mtime,
-            stat.st_size,
-            scale,
-        )
+        per_file = []
+        for uri in sorted(docs.inputFiles()):
+            p = urlparse(uri).path or uri
+            st = os.stat(p)
+            per_file.append((p, st.st_mtime_ns, st.st_size))
+        key = (tuple(per_file), scale)
     except OSError:
         key = None
     if key is not None and key in _GATE_CACHE:

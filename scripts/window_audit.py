@@ -69,8 +69,15 @@ def window_over_single_partition(plan: str) -> bool:
                 break  # limit-bounded input
             if "Exchange SinglePartition" in sub:
                 seen_single = True
-            elif "Exchange" in sub or "ShuffleQueryStage" in sub:
-                break  # partitioned input — balanced window
+            elif "ShuffleQueryStage" in sub or "BroadcastExchange" in sub:
+                # AQE stage wrappers / broadcast nodes are TRANSPARENT:
+                # a ShuffleQueryStage can wrap an Exchange
+                # SinglePartition printed one level deeper, so stopping
+                # here would false-negative the gate on post-execution
+                # plans; keep walking to the wrapped exchange itself.
+                pass
+            elif "Exchange" in sub:
+                break  # partitioned shuffle — balanced window
             expected = d + 3
         if seen_single:
             return True

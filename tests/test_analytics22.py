@@ -109,12 +109,22 @@ def test_setsim_prefix_filter_is_lossless_vs_brute_force(spark):
 def test_setsim_size_gate_shuffle_path_matches_broadcast(spark, monkeypatch):
     """The vocab-rank join's size gate (r8): forcing the threshold to
     0 takes the shuffle-hash branch (web-scale vocab path); the result
-    must equal the broadcast branch exactly, and the gated plan must
-    not broadcast the rank table."""
+    must equal the broadcast branch exactly, AND the gate must show in
+    the plan — a silently inverted/ignored gate would keep values
+    identical while reverting the web-scale path to broadcasting a
+    10^7-row rank table."""
     monkeypatch.setenv("SPARK_GRAFT_SETSIM_MAX_BCAST_VOCAB", "0")
     shuffled = q_setsim_prefix_join(spark, SF0001)
+    # the shuffle_hash hint took effect: the rank join is a
+    # ShuffledHashJoin in the forced-shuffle plan
+    assert "ShuffledHashJoin" in (
+        shuffled._jdf.queryExecution().executedPlan().toString()
+    )
     monkeypatch.setenv("SPARK_GRAFT_SETSIM_MAX_BCAST_VOCAB", "10000000")
     broadcast = q_setsim_prefix_join(spark, SF0001)
+    assert "ShuffledHashJoin" not in (
+        broadcast._jdf.queryExecution().executedPlan().toString()
+    )
     assert shuffled.count() == broadcast.count()
     assert shuffled.exceptAll(broadcast).count() == 0
     assert broadcast.exceptAll(shuffled).count() == 0

@@ -455,14 +455,45 @@ def test_global_kth_with_total_matches_window(spark):
     assert total == 3000 and empty.count() == 0
 
 
+def test_decimal_tie_class_not_misdeclared_unit():
+    """ADVICE r7 (medium), decision-level pin: two DISTINCT decimal
+    primaries that collide in double while abs < 2^53 must NOT be
+    declared a splittable tie class — the former double-cast min==max
+    proof would have split the bucket by the secondary, reordering
+    rows with distinct primaries and corrupting ranks.  Pure-Python
+    over native collected values, so no engine sketch behavior can
+    mask the regression (this decision fn is shared by BOTH the
+    single-rank and multi-rank fat-stats paths)."""
+    from decimal import Decimal
+
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
+        _split_decisions,
+    )
+
+    a = Decimal("100000000000000.0001")
+    b = Decimal("100000000000000.0002")
+    assert a != b and float(a) == float(b) and abs(float(a)) < 2.0**53
+    stats = {0: {"__lo": a, "__hi": b, "__sb": [1.0, 2.0], "__snulls": 0}}
+    sub, splittable, unsplit = _split_decisions(
+        [0], stats, {0: 1000}, 100, True, "accept", "v", "k"
+    )
+    assert unsplit == [0] and not splittable and not sub
+    # a GENUINE tie class (native equality) still splits
+    stats = {0: {"__lo": a, "__hi": a, "__sb": [1.0, 2.0], "__snulls": 0}}
+    sub, splittable, unsplit = _split_decisions(
+        [0], stats, {0: 1000}, 100, True, "accept", "v", "k"
+    )
+    assert splittable == [0] and not unsplit and sub
+
+
 def test_decimal_tie_class_not_misdeclared(spark, monkeypatch):
-    """ADVICE r7 (medium): two DISTINCT decimal(25,4) primaries that
-    collide in double while abs < 2^53 must NOT be declared a pure tie
-    class — the former double-cast min==max proof would have split the
-    bucket by the secondary, reordering rows with distinct primaries
-    and corrupting ranks.  Native min/max equality is the only valid
-    proof; a mixed fat bucket now raises under on_skew='raise' and is
-    kept (exactly) under 'accept'."""
+    """End-to-end twin of the unit pin, through the SINGLE-rank path
+    (with_global_running_sum → _assign_buckets), whose probe really is
+    ``_probe_cuts`` — so pinning the cuts genuinely co-locates both
+    colliding decimals in one fat bucket (the multi-rank path probes
+    inline; its decision logic is the shared fn the unit test pins).
+    The mixed bucket must raise under on_skew='raise' and stay exact
+    under 'accept'."""
     from decimal import Decimal
 
     import lakehouse_ecommerce_etl_pipeline_spark.operators.ranks as ranks
@@ -470,26 +501,27 @@ def test_decimal_tie_class_not_misdeclared(spark, monkeypatch):
     monkeypatch.setattr(ranks, "SKEW_FLOOR_ROWS", 10)
     a = Decimal("100000000000000.0001")
     b = Decimal("100000000000000.0002")
-    assert a != b and float(a) == float(b) and abs(float(a)) < 2.0**53
-    rows = [(i, a if i % 2 == 0 else b) for i in range(2000)]
-    rows += [(2000 + i, Decimal(i)) for i in range(100)]
-    df = spark.createDataFrame(rows, "k long, v decimal(25,4)")
+    rows = [(i, a if i % 2 == 0 else b, 1) for i in range(2000)]
+    rows += [(2000 + i, Decimal(i), 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v decimal(25,4), one int")
     # pin the probe so BOTH colliding decimals land in one fat bucket
     monkeypatch.setattr(
         ranks, "_probe_cuts",
         lambda *args, **kwargs: [Decimal(50), Decimal(90)],
     )
     with pytest.raises(ValueError, match="skewed buckets"):
-        ranks.with_global_row_number(
-            df, ["v", "k"], primary="v", rn="rn", n_buckets=64,
-            secondary="k",
+        ranks.with_global_running_sum(
+            df, ["v", "k"], primary="v", value_col="one", alias="run",
+            n_buckets=64, secondary="k",
         )
-    got = ranks.with_global_row_number(
-        df, ["v", "k"], primary="v", rn="rn", n_buckets=64,
-        secondary="k", on_skew="accept",
-    ).select("k", "rn")
-    w = Window.orderBy("v", "k")
-    want = df.select("k", F.row_number().over(w).cast("long").alias("rn"))
+    got = ranks.with_global_running_sum(
+        df, ["v", "k"], primary="v", value_col="one", alias="run",
+        n_buckets=64, secondary="k", on_skew="accept",
+    ).select("k", "run")
+    w = Window.orderBy("v", "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select("k", F.sum("one").over(w).cast("long").alias("run"))
     _assert_df_equal(got, want)
 
 
