@@ -67,16 +67,26 @@ def window_over_single_partition(plan: str) -> bool:
                 break
             if "WindowGroupLimit" in sub or "TakeOrderedAndProject" in sub:
                 break  # limit-bounded input
+            if "Join" in sub or "CartesianProduct" in sub or "Union" in sub:
+                # binary/n-ary node: the unary data path ends here.
+                # EnsureRequirements inserts any exchange the Window
+                # needs ABOVE the join, so reaching a join without one
+                # means the distribution is inherited from the join's
+                # streamed side — and plan text prints the BUILD side
+                # first for BuildLeft joins, so walking on would enter
+                # a broadcast branch and false-positive on its 1-row
+                # scalar-aggregate SinglePartition merge (q_gapfill's
+                # shape: a PARTITIONED window fed through two joins).
+                break
             if "Exchange SinglePartition" in sub:
                 seen_single = True
-            elif "ShuffleQueryStage" in sub or "BroadcastExchange" in sub:
-                # AQE stage wrappers / broadcast nodes are TRANSPARENT:
-                # a ShuffleQueryStage can wrap an Exchange
-                # SinglePartition printed one level deeper, so stopping
-                # here would false-negative the gate on post-execution
-                # plans; keep walking to the wrapped exchange itself.
+            elif "ShuffleQueryStage" in sub:
+                # AQE stage wrappers are TRANSPARENT: a stage can wrap
+                # an Exchange SinglePartition printed one level deeper,
+                # so stopping here would false-negative the gate on
+                # post-execution plans.
                 pass
-            elif "Exchange" in sub:
+            elif "Exchange" in sub and "BroadcastExchange" not in sub:
                 break  # partitioned shuffle — balanced window
             expected = d + 3
         if seen_single:

@@ -263,6 +263,38 @@ def test_single_partition_window_detector():
     ])
     assert not window_over_single_partition(take_ordered)
 
+    # PARTITIONED window fed through joins with the BUILD side printed
+    # first (q_gapfill_interpolate's shape): the walk must stop at the
+    # join, not wander into the broadcast branch's 1-row scalar merge
+    partitioned_through_joins = "\n".join([
+        "Window [last(n) ...], [event_type], [hi ASC]",
+        "+- Sort [event_type ASC, hi ASC], false, 0",
+        "   +- Project [event_type, hr, n, hi]",
+        "      +- BroadcastHashJoin [event_type], [e2], LeftOuter, BuildRight",
+        "         :- BroadcastNestedLoopJoin BuildLeft, Cross",
+        "         :  :- BroadcastExchange IdentityBroadcastMode",
+        "         :  :  +- Generate explode(sequence(h0, h1))",
+        "         :  :     +- HashAggregate(functions=[min(ts), max(ts)])",
+        "         :  :        +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "         :  :           +- HashAggregate(functions=[partial_min(ts)])",
+        "         :  +- HashAggregate(keys=[event_type], functions=[])",
+        "         :     +- Exchange hashpartitioning(event_type, 32)",
+        "         +- BroadcastExchange HashedRelationBroadcastMode",
+        "            +- HashAggregate(keys=[event_type], functions=[count(1)])",
+    ])
+    assert not window_over_single_partition(partitioned_through_joins)
+
+    # AQE stage wrapping the single-partition exchange: transparent —
+    # the gate must still see the wrapped exchange
+    aqe_wrapped = "\n".join([
+        "Window [row_number() ...]",
+        "+- Sort [x ASC], false, 0",
+        "   +- ShuffleQueryStage 3",
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "         +- HashAggregate(keys=[x], functions=[count(1)])",
+    ])
+    assert window_over_single_partition(aqe_wrapped)
+
     # single-partition exchange whose direct child is NOT a partial
     # group limit (e.g. an aggregate): still an offender
     agg_below = "\n".join([
