@@ -134,80 +134,79 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 # task 1, r7 task 1): a small rotating §2-parity sentinel block (every
 # parity row already carries MULTIPLE driver passes from r1–r7) frees
 # the remaining slots for rows the driver has never value-checked.
-# This round's 45 = the RECORDED r8 queue executed verbatim (SURVEY
-# §8: formats & schema-on-read, Spark-4 surface, streaming,
-# window/function batteries, governance, graph, LLM curation, retail
-# analytics — all 42 pre-certified at sf0.01 in r7) + the two plans
-# promoted onto the boundary-cut machinery THIS round
-# (q_decision_stump, q_surrogate_keys — VERDICT r7 tasks 3–4 ask for
-# their driver rows) + q_setsim_prefix_join (vocab rank de-risked
-# THIS round, task 5).  All 45 are absent from CORRECTNESS_r01–r07;
-# cumulative driver-checked grows 188 → 233 (target ≥226).  The five
-# parity sentinels rotate to rows NOT in the r7 sentinel block.
+# This round's 46 = the RECORDED r9 queue executed verbatim (SURVEY
+# §8, VERDICT r8 task 1): the eleven plan-gate allowlist rows plus the
+# promoted q_integer_islands FIRST — so the domain-bounded (or newly
+# balanced) windows the registry-wide gate excuses also carry driver
+# value proof — then validation/enrichment parity, the UDF/UDAF +
+# Python-datasource surface, SQL robustness, scale techniques,
+# sketches & robust stats, and LLM text ops.  All 46 were
+# pre-certified at sf0.01 by the r8 closing sweep
+# (docs/SWEEP_r08_sf0.01.json, 0 fail) and are absent from
+# CORRECTNESS_r01–r08; cumulative driver-checked grows 233 → 279
+# (target ≥278).  FOUR parity sentinels this round (46 + 4 = 50),
+# rotated to rows NOT in the r7 or r8 sentinel blocks.
 _FIRST_WINDOW = [
-    # --- §2-parity sentinels (5 of the 26, rotating per round; all
-    # 26 are driver-green in r1–r7, full list stays registered) ---
-    "q_scan_parquet",
-    "q_project",
-    "q_filter_null_complement",
-    "q_join_leftanti",
-    "q_write_partitioned",
-    # --- recorded r8 queue (never driver-checked): formats &
-    # schema-on-read ---
-    "q_scan_orc",
-    "q_scan_json",
-    "q_scan_fixed_width",
-    "q_csv_corrupt_recovery",
-    "q_json_corrupt_recovery",
-    "q_export_protobuf_orders",
-    "q_scan_protobuf_orders",
-    "q_protobuf_corrupt_recovery",
-    # --- Spark-4 surface ---
-    "q_udtf_dynamic_schema",
-    "q_map_in_arrow_derive",
-    "q_grouped_arrow_stats",
-    "q_python_datasource_write",
-    "q_sql_pipe_syntax",
-    "q_sql_scripting",
-    # --- streaming ---
-    "q_stream_sliding_agg",
-    "q_stream_static_join",
-    "q_stream_interval_join",
-    "q_windowed_dedup",
-    "q_batch_session_window",
-    # --- window/function batteries ---
-    "q_window_rank_fns",
-    "q_window_time_range",
-    "q_having",
-    "q_grouping_id",
-    "q_string_fns",
-    "q_date_fns",
-    "q_math_fns",
-    # --- governance ---
-    "q_k_anonymity",
-    "q_gdpr_erasure_audit",
-    "q_pii_detect",
-    # --- graph ---
-    "q_triangle_count",
-    "q_hits_scores",
-    "q_bfs_distances",
-    "q_clustering_coefficient",
-    # --- LLM curation ---
-    "q_contamination_ngrams",
-    "q_repetition_score",
-    "q_split_train_val",
-    "q_vocab_topn",
-    "q_chunk_documents",
-    "q_dup_span_histogram",
-    # --- retail analytics ---
-    "q_return_rate_monthly",
-    "q_shipping_sla",
-    "q_supplier_hhi",
-    # --- this round's promotions / de-risk (VERDICT r7 tasks 3-5:
-    # production plans changed, driver rows requested) ---
-    "q_decision_stump",
-    "q_surrogate_keys",
-    "q_setsim_prefix_join",
+    # --- §2-parity sentinels (4 of the 26, rotating per round; all
+    # 26 are driver-green in r1–r8, full list stays registered) ---
+    "q_filter_notnull",
+    "q_dedup_by_key",
+    "q_union_all",
+    "q_count_star_sql",
+    # --- recorded r9 queue (never driver-checked): the 11 plan-gate
+    # allowlist rows + the promoted q_integer_islands ---
+    "q_integer_islands",
+    "q_mom_growth",
+    "q_chi2_independence",
+    "q_cumulative_distinct_users",
+    "q_benford_first_digit",
+    "q_change_point_flags",
+    "q_repeat_purchase_curve",
+    "q_compaction_plan",
+    "q_cusum_control",
+    "q_ewma_taps",
+    "q_seasonal_decompose",
+    "q_backtest_seasonal_naive",
+    # --- validation / enrichment parity ---
+    "q_rule_validation",
+    "q_enrich_derived",
+    "q_anomaly_zscore",
+    # --- UDF/UDAF + Python-datasource surface ---
+    "q_grouped_pandas_norm",
+    "q_pandas_udaf_agg",
+    "q_pandas_udaf_window",
+    "q_python_datasource_stream",
+    "q_python_datasource_stream_write",
+    "q_sql_udf",
+    "q_sql_session_variables",
+    # --- SQL-surface robustness ---
+    "q_subquery_scalar",
+    "q_subquery_exists",
+    "q_lateral_topk",
+    "q_recursive_month_series",
+    "q_try_arithmetic",
+    "q_from_csv_parse",
+    "q_not_in_nulls",
+    "q_nullsafe_join",
+    # --- scale techniques ---
+    "q_salted_aggregate",
+    "q_salted_join",
+    "q_bucket_join_no_shuffle",
+    "q_partition_pruned_scan",
+    "q_null_skew_join",
+    "q_hash_partition_profile",
+    "q_bloom_prefilter_join",
+    # --- sketches & robust stats ---
+    "q_countmin_heavy_hitters",
+    "q_bitmap_distinct",
+    "q_histogram",
+    "q_moving_median",
+    "q_weighted_median",
+    "q_median_mad_outliers",
+    # --- LLM text ops ---
+    "q_tokenize_explode",
+    "q_fingerprint",
+    "q_doc_quality_filters",
 ]
 
 
