@@ -290,6 +290,116 @@ _PAIRS_CTE = """
 """
 
 
+def degree_oriented_edges(e: DataFrame) -> DataFrame:
+    """Re-orient an undirected edge set (one row per edge, any key
+    orientation) from the (degree, id)-smaller endpoint to the
+    larger — the classic triangle-enumeration orientation (Cohen
+    2009 / Suri-Vassilvitskii "Counting Triangles and the Curse of
+    the Last Reducer", WWW'11): the oriented out-degree of EVERY
+    node is then O(sqrt(|E|)), so a high-degree hub no longer fans
+    out its full neighborhood in the wedge join (key orientation
+    bounds nothing when the hub also has a small id).
+
+    Degrees are the undirected degrees, one map-side-combined agg of
+    the endpoint union; ties are impossible because ids are unique,
+    so the (deg, id) struct order is total and the result is a DAG.
+    Returns (src, dst, dst_deg) — dst_deg is carried so the wedge
+    pair-ordering downstream needs no extra join."""
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("src_deg"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dst_deg"))
+    ed = e.join(da, "src").join(db, "dst")
+    fwd = F.struct(F.col("src_deg"), F.col("src")) < F.struct(
+        F.col("dst_deg"), F.col("dst")
+    )
+    return ed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        F.when(fwd, F.col("dst_deg")).otherwise(F.col("src_deg")).alias(
+            "dst_deg"
+        ),
+    )
+
+
+def oriented_wedges(oriented: DataFrame) -> DataFrame:
+    """(pivot, a, c) wedge rows from a degree-oriented edge set:
+    pivot has out-edges to both a and c, and (a_deg, a) < (c_deg, c)
+    so each unordered out-pair appears exactly once.  Per-pivot
+    fan-out is C(outdeg, 2) with outdeg = O(sqrt(|E|)) under degree
+    orientation — the quantity the skewed-graph regression test
+    pins (a star hub emits ZERO wedges: all its edges point in)."""
+    x = oriented.select(
+        F.col("src").alias("pivot"),
+        F.col("dst").alias("a"),
+        F.col("dst_deg").alias("a_deg"),
+    )
+    y = oriented.select(
+        F.col("src").alias("pivot"),
+        F.col("dst").alias("c"),
+        F.col("dst_deg").alias("c_deg"),
+    )
+    return x.join(y, "pivot").filter(
+        F.struct(F.col("a_deg"), F.col("a"))
+        < F.struct(F.col("c_deg"), F.col("c"))
+    )
+
+
+def oriented_triangles(
+    e: DataFrame | None = None, *, oriented: DataFrame | None = None
+) -> DataFrame:
+    """One row (pivot, a, c) per triangle of the undirected edge set,
+    found exactly once: orient by (degree, id), enumerate wedges at
+    each triangle's orientation-minimal corner, close with the
+    oriented (a → c) edge — a<c in the orientation order by the
+    wedge filter, so the closing edge needs no LEAST/GREATEST
+    canonicalization.  The triangle set is orientation-invariant, so
+    consumers' oracles are unchanged from the key-oriented form.
+
+    Pass ``oriented=`` when the caller already holds a materialized
+    degree-oriented edge set (the plan path) — the orientation
+    subplan is referenced three times here, and Spark does not dedupe
+    common subplans, so plans should pay the degree agg once."""
+    o = degree_oriented_edges(e) if oriented is None else oriented
+    closing = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return oriented_wedges(o).join(closing, ["a", "c"]).select(
+        "pivot", "a", "c"
+    )
+
+
+def degree_oriented_copurchase_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The (degree, id)-oriented co-purchase edge set, materialized
+    once per scale factor (same shared-artifact discipline as
+    ``order_part_edges``): the degree agg and the two endpoint
+    annotation joins are paid once, and the three self-references in
+    the wedge + closing join become plain column-pruned parquet
+    scans instead of three recomputations of the orientation."""
+    import os
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        artifact_fresh,
+        artifact_lock,
+        work_dir,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    path = os.path.join(
+        work_dir(sf_dir, "shared"), "degree_oriented_edges"
+    )
+    with artifact_lock(path):
+        if not artifact_fresh(src, path):
+            degree_oriented_edges(
+                order_part_edges(spark, sf_dir)
+            ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @register(
     "q_triangle_count",
     oracle=f"""
@@ -302,23 +412,24 @@ _PAIRS_CTE = """
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the co-purchase graph (parts are
-    adjacent iff they share an order). Edges are oriented by key
-    (src < dst), so each triangle a<b<c is counted exactly once by
-    the wedge join e(a,b)⋈e(b,c) closed by e(a,c).
+    adjacent iff they share an order). Edges are re-oriented by
+    (degree, id) and each triangle is counted exactly once at its
+    orientation-minimal corner (``oriented_triangles``).
 
-    100 TB: the standard distributed algorithm — orientation bounds
-    the wedge blowup by the *oriented* out-degree (high-degree hub
-    nodes fan out only to higher ids; the classic refinement orients
-    by (degree, id) to cap it at O(sqrt(|E|))). Two shuffles on edge
-    endpoints; the closing join is a semi-probe of the edge set."""
-    e = order_part_edges(spark, sf_dir)
-    e1 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tb"))
-    e2 = e.select(F.col("src").alias("tb"), F.col("dst").alias("tc"))
-    e3 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tc"))
-    return (
-        e1.join(e2, "tb")
-        .join(e3, ["ta", "tc"])
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    100 TB: degree orientation caps every node's oriented out-degree
+    at O(sqrt(|E|)) — on a skewed graph the wedge join's per-key
+    fan-out is bounded even at the hubs, where the old key
+    orientation blew up whenever a hub also had a small id. Cost:
+    one extra map-side-combined degree agg plus two narrow equi-joins
+    to annotate endpoints — paid ONCE via the shared materialized
+    artifact (``degree_oriented_copurchase_edges``); all joins are
+    equi-joins on edge endpoints (AQE picks broadcast for the
+    |V|-row degree side at small sf, shuffle-hash beyond). Integer
+    headroom: plain COUNT only — no count products (DESIGN §19: not
+    applicable)."""
+    o = degree_oriented_copurchase_edges(spark, sf_dir)
+    return oriented_triangles(oriented=o).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
 
 

@@ -24,6 +24,10 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     load,
     order_part_edges,
 )
+from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics16 import (
+    degree_oriented_copurchase_edges,
+    oriented_triangles,
+)
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
 _EVERY_K = 97  # prime step — never resonates with data periodicity
@@ -196,15 +200,17 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     a part's co-purchase neighborhood is (cliquish accessories vs
     hub staples), the local refinement of the global triangle count
     (q_triangle_count).  Triangles are enumerated once on the
-    ordered (a<b<c) edge list and credited to all three corners;
-    integer counts, one guarded division.
+    (degree, id)-oriented edge list (``oriented_triangles`` — each
+    triangle exactly once, wedge fan-out O(sqrt(|E|)) even at hub
+    nodes) and credited to all three corners; the triangle SET is
+    orientation-invariant, so the key-oriented oracle is unchanged.
 
-    100 TB: the standard two-join triangle enumeration on the
-    ordered edge list (each triangle found exactly once) — shuffles
-    on edge endpoints; at real scale, degree-ordering the edges
-    first (orient each edge low-degree → high-degree) bounds the
-    join fan-out by arboricity, the classic optimization this plan
-    slots into."""
+    Integer headroom (DESIGN §19, unconditional DECIMAL(38,0)
+    class): deg·(deg−1) and 2·n_tri are count products whose
+    operands grow with data volume, so both run on DECIMAL(38,0)
+    before the double release — decimal→double rounds to the same
+    nearest double as the oracle's bigint→double below the int64
+    bound, and the plan no longer ceilings at deg ≈ 3.04e9."""
     e = order_part_edges(spark, sf_dir)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -212,26 +218,30 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
-    e1 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tb"))
-    e2 = e.select(F.col("src").alias("tb"), F.col("dst").alias("tc"))
-    e3 = e.select(F.col("src").alias("ta"), F.col("dst").alias("tc"))
-    tris = e1.join(e2, "tb").join(e3, ["ta", "tc"])
+    tris = oriented_triangles(
+        oriented=degree_oriented_copurchase_edges(spark, sf_dir)
+    )
     corners = (
-        tris.select(F.col("ta").alias("node"))
-        .unionAll(tris.select(F.col("tb").alias("node")))
-        .unionAll(tris.select(F.col("tc").alias("node")))
+        tris.select(F.col("pivot").alias("node"))
+        .unionAll(tris.select(F.col("a").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
     )
     tri = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tri")
     )
+    n_tri = F.coalesce("n_tri", F.lit(0))
+    dec = "decimal(38,0)"
     out = deg.join(tri, "node", "left").select(
         "node",
         "degree",
-        F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+        n_tri.alias("n_triangles"),
         F.when(
             F.col("degree") >= 2,
-            (2 * F.coalesce("n_tri", F.lit(0))).cast("double")
-            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            (n_tri.cast(dec) * 2).cast("double")
+            / (
+                F.col("degree").cast(dec)
+                * (F.col("degree") - 1).cast(dec)
+            ).cast("double"),
         )
         .otherwise(0.0)
         .alias("clustering"),
