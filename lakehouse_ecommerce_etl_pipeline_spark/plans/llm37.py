@@ -137,12 +137,18 @@ def _needs_decimal_cached(
             per_file.append((p, st.st_mtime_ns, st.st_size))
         key = (tuple(per_file), scale)
     except OSError:
-        key = None
-    if key is not None and key in _GATE_CACHE:
+        # non-local filesystem or percent-encoded path: stat is
+        # unavailable, so fall back to the sorted inputFiles tuple
+        # alone (ADVICE r8 — key=None silently disabled memoization
+        # and reran the O(k) gate count job on every invocation; a
+        # coarser key that misses an in-place same-named rewrite is
+        # the better trade for remote stores, where writers create
+        # new part-file names anyway)
+        key = (tuple(sorted(docs.inputFiles())), scale)
+    if key in _GATE_CACHE:
         return _GATE_CACHE[key]
     wide = _needs_decimal(_gate_counts(docs), scale)
-    if key is not None:
-        _GATE_CACHE[key] = wide
+    _GATE_CACHE[key] = wide
     return wide
 
 

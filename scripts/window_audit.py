@@ -77,6 +77,11 @@ def window_over_single_partition(plan: str) -> bool:
                 # a broadcast branch and false-positive on its 1-row
                 # scalar-aggregate SinglePartition merge (q_gapfill's
                 # shape: a PARTITIONED window fed through two joins).
+                # DOCUMENTED BLIND SPOT: a join whose BOTH inputs are
+                # already SinglePartition passes undetected (pinned by
+                # test_single_partition_window_detector's
+                # inherited_through_join fixture — flip it consciously
+                # if this walk ever learns to descend into joins).
                 break
             if "Exchange SinglePartition" in sub:
                 seen_single = True

@@ -306,6 +306,85 @@ def test_single_partition_window_detector():
     ])
     assert window_over_single_partition(agg_below)
 
+    # DOCUMENTED BLIND SPOT (VERDICT r8 task 4 / ADVICE r8): the walk
+    # deliberately stops at any binary node, because EnsureRequirements
+    # inserts the exchange a Window itself needs ABOVE the join — so a
+    # Window whose SinglePartition distribution is INHERITED through a
+    # join (both join inputs already single-partition, no exchange
+    # between Window and join) is NOT flagged.  No registry query has
+    # this shape today; this fixture pins the accepted behavior so a
+    # future detector edit can't silently WIDEN the hole (if the edit
+    # starts descending into joins, it must handle build-side branches
+    # — see partitioned_through_joins above — and flip this assert
+    # consciously).
+    inherited_through_join = "\n".join([
+        "Window [row_number() ...]",
+        "+- Sort [x ASC], false, 0",
+        "   +- SortMergeJoin [x], [y], Inner",
+        "      :- Sort [x ASC], false, 0",
+        "      :  +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "      :     +- FileScan parquet",
+        "      +- Sort [y ASC], false, 0",
+        "         +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "            +- FileScan parquet",
+    ])
+    assert not window_over_single_partition(inherited_through_join)
+
+
+def test_detector_flags_live_spark_offender(spark):
+    """Format-drift canary (ADVICE r8): the detector's depth walk
+    hard-codes Spark's 3-chars-per-level plan-text indentation; the
+    pure-text fixtures above pin only the CURRENT format.  This test
+    builds a real unpartitioned-window offender in the live Spark
+    session and asserts the detector flags its executedPlan text — if
+    a Spark upgrade changes toString formatting, THIS fails loudly
+    instead of silently neutering the registry-wide gate (which would
+    otherwise only be caught while an allowlisted offender exists to
+    go 'stale')."""
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        from window_audit import window_over_single_partition
+    finally:
+        sys.path.remove(scripts_dir)
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 1000, 1, 8)
+        .select(
+            F.col("id"),
+            F.row_number().over(W.orderBy("id")).alias("rn"),
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "Exchange SinglePartition" in plan, plan
+    assert window_over_single_partition(plan), (
+        "live offender not flagged — Spark plan-text format drifted?\n"
+        + plan
+    )
+
+    # and the live BALANCED twin must NOT flag
+    balanced = (
+        spark.range(0, 1000, 1, 8)
+        .select(
+            F.col("id"),
+            (F.col("id") % 8).alias("bkt"),
+        )
+        .select(
+            F.col("id"),
+            F.row_number().over(W.partitionBy("bkt").orderBy("id")).alias(
+                "rn"
+            ),
+        )
+    )
+    bplan = balanced._jdf.queryExecution().executedPlan().toString()
+    assert not window_over_single_partition(bplan), bplan
+
 
 def test_driver_action_sites_are_classified():
     """The collect/count/head driver-action ratchet: every site in

@@ -76,3 +76,39 @@ def test_needs_decimal_gate_arithmetic(spark):
     assert _needs_decimal(n_df([10**8, 10**8]), 10_000)
     # single source: no pairs, never wide
     assert not _needs_decimal(n_df([10**12]), 10_000)
+
+
+def test_gate_cache_memoizes_when_stat_unavailable(spark, monkeypatch):
+    """ADVICE r8: when os.stat fails (non-local filesystem,
+    percent-encoded path), the gate must fall back to the sorted
+    inputFiles tuple as the cache key instead of disabling
+    memoization — the O(k) gate count job must still run only once."""
+    import os as _os
+
+    import lakehouse_ecommerce_etl_pipeline_spark.plans.llm37 as llm37
+
+    real_stat = _os.stat
+    calls = {"gate": 0}
+    real_gate_counts = llm37._gate_counts
+
+    def counting_gate_counts(docs):
+        calls["gate"] += 1
+        return real_gate_counts(docs)
+
+    def failing_stat(path, *a, **kw):
+        if "testdata" in str(path):
+            raise OSError("simulated remote store")
+        return real_stat(path, *a, **kw)
+
+    monkeypatch.setattr(llm37, "_gate_counts", counting_gate_counts)
+    monkeypatch.setattr(_os, "stat", failing_stat)
+    monkeypatch.setattr(llm37, "_GATE_CACHE", {})
+
+    v1 = llm37._needs_decimal_cached(spark, SF0001, 10_000)
+    v2 = llm37._needs_decimal_cached(spark, SF0001, 10_000)
+    assert v1 == v2
+    assert calls["gate"] == 1, "fallback key failed to memoize"
+    (key,) = llm37._GATE_CACHE
+    files, scale = key
+    assert scale == 10_000
+    assert files and all(isinstance(f, str) for f in files)
