@@ -618,9 +618,18 @@ def q_embedding_near_dup(spark, sf_dir):
     vectors are never collapsed (distinct_vector_reps keeps each as
     its own rep): cosine is undefined on them, so the within-group
     cosine-1 expansion must not apply — same guard as the text
-    chain's empty-token singletons."""
-    emb = load(spark, sf_dir, "embeddings")
-    mm, rep_emb = distinct_vector_reps(emb)
+    chain's empty-token singletons.
+
+    r9: the rep map is read from the shared per-sf artifact
+    (``vector_reps_artifact``) — the four references below (kernel
+    input, a/b expansion, within-group self-join) prune different
+    columns, so AQE could not fold the vector-keyed rep join and it
+    executed 3× per run (subplan audit)."""
+    reps = vector_reps_artifact(spark, sf_dir)
+    mm = reps.select("vec_id", "rep_id")
+    rep_emb = reps.filter(F.col("vec_id") == F.col("rep_id")).select(
+        "vec_id", "embedding"
+    )
     # threshold 0.45: the synthetic embeddings are near-uniform on the
     # sphere (max pairwise cosine ≈ 0.51 at sf0.01), so the production
     # 0.8 threshold returned ZERO rows at every SF — a vacuous oracle
@@ -653,6 +662,73 @@ def q_embedding_near_dup(spark, sf_dir):
         )
     )
     return cross.unionByName(within)
+
+
+def vector_reps_artifact(spark, sf_dir):
+    """(vec_id, rep_id, embedding) for every embeddings row,
+    materialized once per scale factor (the order_part_edges /
+    degree_oriented_edges shared-artifact discipline): the rep map's
+    join is keyed ON THE VECTOR COLUMN (normalized float arrays), and
+    q_embedding_near_dup references it from four branches whose
+    column pruning specializes each copy's scans — so AQE exchange
+    reuse cannot fold them and the vector-keyed join executed THREE
+    times per run (scripts/subplan_audit.py, round 9 — the only true
+    duplicated-join-subplan offender in the 420-query registry).
+    Materialized, every branch is a column-pruned parquet scan and
+    the join is paid once per table generation.  Zero-norm rows keep
+    themselves as rep (distinct_vector_reps contract)."""
+    import os
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        artifact_fresh,
+        artifact_lock,
+        work_dir,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(work_dir(sf_dir, "shared"), "vector_reps")
+    with artifact_lock(path):
+        if not artifact_fresh(src, path):
+            emb = load(spark, sf_dir, "embeddings")
+            mm, _ = distinct_vector_reps(emb)
+            emb.select("vec_id", "embedding").join(mm, "vec_id").select(
+                "vec_id", "rep_id", "embedding"
+            ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def document_reps_artifact(spark, sf_dir):
+    """(doc_id, rep_id, text) for every documents row — the text
+    chain's identical-token-set rep map (llm/components.py
+    token_set_reps), materialized once per scale factor like
+    ``vector_reps_artifact``: the md5-token-set groupBy join is the
+    expensive half of every rep-collapsed dedup plan, and a consumer
+    that references the map AND the rep documents (q_minhash_
+    calibration: signatures + token arrays + group sizes) re-executed
+    it per pruned branch (r9 subplan audit).  Downstream uses are
+    column-pruned parquet scans; empty-token documents keep
+    themselves as rep (token_set_reps contract)."""
+    import os
+
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+    from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+        artifact_fresh,
+        artifact_lock,
+        work_dir,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    path = os.path.join(work_dir(sf_dir, "shared"), "document_reps")
+    with artifact_lock(path):
+        if not artifact_fresh(src, path):
+            docs = load_parallel(spark, sf_dir, "documents")
+            m = token_set_reps(docs, "doc_id", "text")
+            docs.select("doc_id", "text").join(m, "doc_id").select(
+                "doc_id", "rep_id", "text"
+            ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 @register("q_ann_ivf")  # rows-only: approximate by construction

@@ -116,34 +116,73 @@ def q_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tie-break is a total order in both engines, truncation is
     an array slice, recall a small-int division.
 
-    100 TB: each tier is the multi-query top-k plan (broadcast
-    panel, WindowGroupLimit per-partition pruning before the
-    exchange); truncated tiers scan the SAME rows but fold shorter
-    arrays — the measured spread between 16 and 64 dims is exactly
-    the serving-cost lever MRL embeddings exist for."""
+    100 TB: ONE pair enumeration scores ALL tiers (r9 — the
+    per-tier loop ran the broadcast cross join three times over the
+    same corpus, the registry's costliest duplicated subplan after
+    the audit's other finds): each (vector, query) pair folds its
+    three truncated cosines in a single pass, explodes to (dims, cs)
+    rows — three scalars, not three re-enumerations — and one rank
+    window with WindowGroupLimit pruning keeps per-(dims, qid)
+    top-{_K}.  Slice-then-fold order is preserved per tier, so every
+    cosine is bit-identical to the former per-tier plan and the
+    oracle is unchanged."""
+    from pyspark.sql import Window
+
+    from lakehouse_ecommerce_etl_pipeline_spark.functions.vectors import (
+        cosine,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
     qs = query_panel(spark, sf_dir)
-    tiers = []
-    for d in _TRUNC_DIMS:
-        e_d = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        q_d = qs.select("qid", F.slice("qvec", 1, d).alias("qvec"))
-        tiers.append(
-            topk_multi(e_d, q_d, k=_K)
-            .select(F.lit(d).cast("int").alias("dims"), "qid", "vec_id")
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias("dims"),
+                            F.round(
+                                cosine(
+                                    F.slice("embedding", 1, d),
+                                    F.slice("qvec", 1, d),
+                                ),
+                                6,
+                            ).alias("cs"),
+                        )
+                        for d in _TRUNC_DIMS
+                    ]
+                )
+            ).alias("t"),
         )
-    top = tiers[0].unionByName(tiers[1]).unionByName(tiers[2])
-    exact = top.filter(F.col("dims") == 64).select(
-        F.col("qid").alias("e_qid"), F.col("vec_id").alias("hit_id")
+        .select("qid", "vec_id", "t.dims", "t.cs")
+    )
+    w = Window.partitionBy("dims", "qid").orderBy(
+        F.col("cs").desc(), F.col("vec_id")
+    )
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _K)
+        .select("dims", "qid", "vec_id")
+    )
+    # overlap against the 64-dim exact tier WITHOUT a self-join on
+    # `top` (which would re-run the scoring subplan): collect each
+    # (qid, vec_id)'s tier set once — a member of tier d hits iff 64
+    # is also in its set — and explode back to (dims, qid) rows.
+    per_pair = top.groupBy("qid", "vec_id").agg(
+        F.collect_set("dims").alias("ds")
     )
     return (
-        top.join(
-            exact,
-            (F.col("qid") == F.col("e_qid"))
-            & (F.col("vec_id") == F.col("hit_id")),
-            "left",
+        per_pair.select(
+            "qid",
+            F.explode("ds").alias("dims"),
+            F.array_contains("ds", 64).cast("int").alias("is_hit"),
         )
         .groupBy("dims", "qid")
-        .agg(F.count("hit_id").cast("long").alias("n_hit"))
+        .agg(F.sum("is_hit").cast("long").alias("n_hit"))
         .select(
             "dims",
             "qid",

@@ -203,17 +203,20 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     gszₐ·gsz_b (cross) and gsz·(gsz−1)/2 at n_agree = 8, inter = uni
     = |set| (within identical-set groups) — identical sums, verify
     volume linear in distinct texts (sf1: 425 s → seconds)."""
-    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
-        token_set_reps,
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.llm import (
+        document_reps_artifact,
     )
 
-    docs = load_parallel(spark, sf_dir, "documents")
-    m = token_set_reps(docs, "doc_id", "text")
+    # r9: rep map + rep documents read from the shared per-sf
+    # artifact — the signature branch and the token-array branch
+    # prune this subplan differently, so AQE could not fold the
+    # token_set_reps groupBy join and it executed per branch
+    # (subplan audit); materialized, each branch is a pruned scan.
+    reps = document_reps_artifact(spark, sf_dir)
+    m = reps.select("doc_id", "rep_id")
     gs = m.groupBy("rep_id").agg(F.count(F.lit(1)).alias("gsz"))
-    rep_docs = (
-        docs.join(m, "doc_id")
-        .filter(F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id", "text")
+    rep_docs = reps.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
     )
     sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)

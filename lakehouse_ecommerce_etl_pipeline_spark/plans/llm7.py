@@ -341,25 +341,26 @@ def q_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wf).alias("rk_first"),
         F.row_number().over(wl).alias("rk_last"),
     )
-    f = (
-        ranked.filter(F.col("rk_first") == 1)
-        .groupBy("channel")
-        .agg(F.count(F.lit(1)).alias("first_touch_credits"))
-    )
-    l = (
-        ranked.filter(F.col("rk_last") == 1)
-        .groupBy("channel")
-        .agg(F.count(F.lit(1)).alias("last_touch_credits"))
-    )
+    # ONE conditional aggregation over the ranked touch list — the
+    # r9 subplan audit caught the earlier two-branch form (separate
+    # rk_first/rk_last filter+count groupings full-outer-joined back
+    # together) executing the interval join + windows TWICE: the
+    # branches prune different rank columns, so AQE exchange reuse
+    # cannot fold them.  The filter reproduces the old full-join
+    # domain (channels holding at least one first- or last-touch
+    # credit); credits are conditional sums of the same row set.
     return (
-        f.join(l, "channel", "full")
-        .select(
-            "channel",
-            F.coalesce("first_touch_credits", F.lit(0))
+        ranked.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("rk_first") == 1, 1).otherwise(0))
             .cast("bigint")
             .alias("first_touch_credits"),
-            F.coalesce("last_touch_credits", F.lit(0))
+            F.sum(F.when(F.col("rk_last") == 1, 1).otherwise(0))
             .cast("bigint")
             .alias("last_touch_credits"),
+        )
+        .filter(
+            (F.col("first_touch_credits") > 0)
+            | (F.col("last_touch_credits") > 0)
         )
     )

@@ -401,3 +401,173 @@ def test_driver_action_sites_are_classified():
         cwd=repo,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def _import_subplan_audit():
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        from subplan_audit import duplicated_join_subtrees
+    finally:
+        sys.path.remove(scripts_dir)
+    return duplicated_join_subtrees
+
+
+def test_duplicated_join_subtree_detector():
+    """Pure-text pins for the round-9 duplicated-subplan detector
+    (scripts/subplan_audit.py): the flagged shape (the same join
+    subtree printed twice — Spark re-executes it), the ReusedExchange
+    non-flag (a childless reuse reference is NOT a second execution),
+    the InMemoryRelation mask (persisted generations re-print their
+    cached lineage in every reference), and key discrimination."""
+    duplicated_join_subtrees = _import_subplan_audit()
+
+    dup = "\n".join([
+        "Union",
+        ":- Project [a#1]",
+        ":  +- BroadcastHashJoin [k#1L], [k2#2L], Inner, BuildRight, false",
+        ":     :- FileScan parquet [k#1L,a#1]",
+        ":     +- BroadcastExchange HashedRelationBroadcastMode",
+        ":        +- FileScan parquet [k2#2L,p#3]",
+        "+- Project [b#4]",
+        "   +- BroadcastHashJoin [k#5L], [k2#6L], Inner, BuildRight, false",
+        "      :- FileScan parquet [k#5L,b#4]",
+        "      +- BroadcastExchange HashedRelationBroadcastMode",
+        "         +- FileScan parquet [k2#6L,q#7]",
+    ])
+    found = duplicated_join_subtrees(dup)
+    assert len(found) == 1 and found[0][1] == 2, found
+
+    build_reused = "\n".join([
+        "Union",
+        ":- Project [a#1]",
+        ":  +- BroadcastHashJoin [k#1L], [k2#2L], Inner, BuildRight, false",
+        ":     :- FileScan parquet [k#1L,a#1]",
+        ":     +- BroadcastExchange HashedRelationBroadcastMode",
+        ":        +- FileScan parquet [k2#2L,p#3]",
+        "+- Project [b#4]",
+        "   +- BroadcastHashJoin [k#1L], [k2#2L], Inner, BuildRight, false",
+        "      :- FileScan parquet [k#1L,b#4]",
+        "      +- ReusedExchange [k2#8L], BroadcastExchange",
+    ])
+    # a reused BUILD does not excuse the copies: the probe scan and
+    # the join itself still execute twice (build sides normalize to
+    # one BcastSide token exactly so this cannot hide)
+    found = duplicated_join_subtrees(build_reused)
+    assert len(found) == 1 and found[0][1] == 2, found
+
+    fully_reused = "\n".join([
+        "Union",
+        ":- HashAggregate(keys=[k#1L])",
+        ":  +- Exchange hashpartitioning(k#1L, 32), [plan_id=7]",
+        ":     +- BroadcastHashJoin [k#1L], [k2#2L], Inner, BuildRight, false",
+        ":        :- FileScan parquet [k#1L,a#1]",
+        ":        +- BroadcastExchange HashedRelationBroadcastMode",
+        ":           +- FileScan parquet [k2#2L]",
+        "+- HashAggregate(keys=[k#9L])",
+        "   +- ReusedExchange [k#9L], Exchange hashpartitioning(k#1L, 32)",
+    ])
+    # a reused SHUFFLE above the join collapses the second copy
+    # entirely — one execution, nothing to flag
+    assert duplicated_join_subtrees(fully_reused) == []
+
+    cached = "\n".join([
+        "Union",
+        ":- InMemoryTableScan [a#1]",
+        ":  +- InMemoryRelation [a#1, b#2], StorageLevel(memory)",
+        ":     +- BroadcastHashJoin [k#1L], [k2#2L], Inner, BuildRight, false",
+        ":        :- FileScan parquet [k#1L]",
+        ":        +- BroadcastExchange HashedRelationBroadcastMode",
+        ":           +- FileScan parquet [k2#2L]",
+        "+- InMemoryTableScan [b#2]",
+        "   +- InMemoryRelation [a#1, b#2], StorageLevel(memory)",
+        "      +- BroadcastHashJoin [k#1L], [k2#2L], Inner, BuildRight, false",
+        "         :- FileScan parquet [k#1L]",
+        "         +- BroadcastExchange HashedRelationBroadcastMode",
+        "            +- FileScan parquet [k2#2L]",
+    ])
+    assert duplicated_join_subtrees(cached) == []
+
+    different_keys = "\n".join([
+        "Union",
+        ":- Project [a#1]",
+        ":  +- BroadcastHashJoin [k#1L], [k2#2L], Inner, BuildRight, false",
+        ":     :- FileScan parquet [k#1L,a#1]",
+        ":     +- BroadcastExchange HashedRelationBroadcastMode",
+        ":        +- FileScan parquet [k2#2L]",
+        "+- Project [b#4]",
+        "   +- BroadcastHashJoin [j#5L], [j2#6L], Inner, BuildRight, false",
+        "      :- FileScan parquet [j#5L,b#4]",
+        "      +- BroadcastExchange HashedRelationBroadcastMode",
+        "         +- FileScan parquet [j2#6L]",
+    ])
+    assert duplicated_join_subtrees(different_keys) == []
+
+
+def test_subplan_detector_flags_live_spark_duplicate(spark):
+    """Live-session canary (the window detector's format-drift guard,
+    applied to the subplan detector): build a real plan whose join
+    subtree Spark must execute twice — a self-union of two
+    DIFFERENTLY-PRUNED projections of one join, so neither exchange
+    reuse nor broadcast reuse can fold the copies — and assert the
+    detector flags the EXECUTED plan text.  A Spark toString format
+    change that broke the parser would fail here, not silently
+    un-gate the audit."""
+    from pyspark.sql import functions as F
+
+    duplicated_join_subtrees = _import_subplan_audit()
+
+    a = spark.range(200).select(
+        (F.col("id") % 20).alias("k"),
+        (F.col("id") * 2).alias("x"),
+        (F.col("id") * 3).alias("y"),
+    )
+    b = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.lit("p").alias("p"),
+        F.lit("q").alias("q"),
+    )
+    j = a.join(b, "k")
+    u = j.select((F.col("x") + F.length("p")).alias("v")).unionAll(
+        j.select((F.col("y") + F.length("q")).alias("v"))
+    )
+    u.collect()
+    plan = u._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    found = duplicated_join_subtrees(plan)
+    assert found and found[0][1] == 2, plan[:3000]
+
+
+def test_fixed_subplan_offenders_stay_clean(spark):
+    """The round-9 fix pins: the four true duplicated-subplan
+    offenders the registry-wide audit found (scripts/subplan_audit.py
+    — every other flag was AQE exchange reuse or cached lineage) and
+    how each was fixed:
+
+    - q_embedding_near_dup: vector-keyed rep join ran 3x across
+      pruned branches → shared vector_reps artifact;
+    - q_minhash_calibration: token_set_reps groupBy join ran per
+      branch → shared document_reps artifact;
+    - q_attribution_first_last: interval join + windows ran twice
+      for the first/last branches → one conditional aggregation;
+    - q_truncation_recall: the broadcast pair enumeration ran once
+      PER TIER (x3) plus once for the exact overlap self-join → one
+      enumeration scoring all tiers + a collect_set overlap.
+
+    Their EXECUTED plans must stay free of duplicated join subtrees."""
+    duplicated_join_subtrees = _import_subplan_audit()
+
+    for name in (
+        "q_embedding_near_dup",
+        "q_minhash_calibration",
+        "q_attribution_first_last",
+        "q_truncation_recall",
+    ):
+        df = REGISTRY[name].fn(spark, SF0001)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert duplicated_join_subtrees(plan) == [], (name, plan[:3000])
