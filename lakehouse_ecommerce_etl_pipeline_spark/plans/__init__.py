@@ -132,81 +132,78 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 # The external driver truncates its correctness gate at the first 50
 # registry entries in insertion order.  Curation policy (VERDICT r6
 # task 1, r7 task 1): a small rotating §2-parity sentinel block (every
-# parity row already carries MULTIPLE driver passes from r1–r7) frees
+# parity row already carries MULTIPLE driver passes from r1–r9) frees
 # the remaining slots for rows the driver has never value-checked.
-# This round's 46 = the RECORDED r9 queue executed verbatim (SURVEY
-# §8, VERDICT r8 task 1): the eleven plan-gate allowlist rows plus the
-# promoted q_integer_islands FIRST — so the domain-bounded (or newly
-# balanced) windows the registry-wide gate excuses also carry driver
-# value proof — then validation/enrichment parity, the UDF/UDAF +
-# Python-datasource surface, SQL robustness, scale techniques,
-# sketches & robust stats, and LLM text ops.  All 46 were
-# pre-certified at sf0.01 by the r8 closing sweep
-# (docs/SWEEP_r08_sf0.01.json, 0 fail) and are absent from
-# CORRECTNESS_r01–r08; cumulative driver-checked grows 233 → 279
-# (target ≥278).  FOUR parity sentinels this round (46 + 4 = 50),
-# rotated to rows NOT in the r7 or r8 sentinel blocks.
+# This round's window = the RECORDED r10 queue executed verbatim
+# (SURVEY §8, VERDICT r9 task 2): 46 never-driver-checked rows —
+# SQL/relational surface, dedup/similarity, LLM text ops, sampling &
+# splits — all pre-certified at sf0.01 by the r9 closing sweep
+# (docs/SWEEP_r09_sf0.01.json, 0 fail) and absent from
+# CORRECTNESS_r01–r09; cumulative driver-checked grows 279 → 325
+# (target ≥324).  PLUS q_ewma_taps as the mandated re-check row
+# (VERDICT r9 task 1: the driver's only red row in nine rounds, now
+# re-latticed onto BIGINT integer cents — see plans/analytics44.py),
+# PLUS three parity sentinels rotated to rows NOT in the r7/r8/r9
+# sentinel blocks (last driver-checked r6).  3 + 1 + 46 = 50.
 _FIRST_WINDOW = [
-    # --- §2-parity sentinels (4 of the 26, rotating per round; all
-    # 26 are driver-green in r1–r8, full list stays registered) ---
-    "q_filter_notnull",
-    "q_dedup_by_key",
-    "q_union_all",
-    "q_count_star_sql",
-    # --- recorded r9 queue (never driver-checked): the 11 plan-gate
-    # allowlist rows + the promoted q_integer_islands ---
-    "q_integer_islands",
-    "q_mom_growth",
-    "q_chi2_independence",
-    "q_cumulative_distinct_users",
-    "q_benford_first_digit",
-    "q_change_point_flags",
-    "q_repeat_purchase_curve",
-    "q_compaction_plan",
-    "q_cusum_control",
+    # --- §2-parity sentinels (3 of the 26, rotating per round; all
+    # 26 are driver-green in r1–r9, full list stays registered) ---
+    "q_filter_string_predicate",
+    "q_distinct",
+    "q_except",
+    # --- mandated re-check: the r9 red row, fixed on the BIGINT
+    # integer-cents lattice (VERDICT r9 task 1) ---
     "q_ewma_taps",
-    "q_seasonal_decompose",
-    "q_backtest_seasonal_naive",
-    # --- validation / enrichment parity ---
-    "q_rule_validation",
-    "q_enrich_derived",
-    "q_anomaly_zscore",
-    # --- UDF/UDAF + Python-datasource surface ---
-    "q_grouped_pandas_norm",
-    "q_pandas_udaf_agg",
-    "q_pandas_udaf_window",
-    "q_python_datasource_stream",
-    "q_python_datasource_stream_write",
-    "q_sql_udf",
-    "q_sql_session_variables",
-    # --- SQL-surface robustness ---
-    "q_subquery_scalar",
-    "q_subquery_exists",
-    "q_lateral_topk",
-    "q_recursive_month_series",
-    "q_try_arithmetic",
-    "q_from_csv_parse",
-    "q_not_in_nulls",
-    "q_nullsafe_join",
-    # --- scale techniques ---
-    "q_salted_aggregate",
-    "q_salted_join",
-    "q_bucket_join_no_shuffle",
-    "q_partition_pruned_scan",
-    "q_null_skew_join",
-    "q_hash_partition_profile",
-    "q_bloom_prefilter_join",
-    # --- sketches & robust stats ---
-    "q_countmin_heavy_hitters",
-    "q_bitmap_distinct",
-    "q_histogram",
-    "q_moving_median",
-    "q_weighted_median",
-    "q_median_mad_outliers",
+    # --- recorded r10 queue: SQL/relational surface ---
+    "q_unpivot",
+    "q_except_all",
+    "q_intersect_all",
+    "q_cross_join",
+    "q_na_handling",
+    "q_posexplode",
+    "q_window_analytics",
+    "q_string_agg",
+    "q_argmax",
+    "q_conditional_fns",
+    "q_regexp_fns",
+    "q_array_fns",
+    "q_higher_order_fns",
+    "q_map_fns",
+    "q_props_map_explode",
+    "q_xml_extract",
+    "q_collation_groupby",
+    "q_nested_denormalize_explode",
+    "q_nested_field_pruning",
+    "q_schema_merge_scan",
+    # --- dedup / similarity ---
+    "q_lsh_candidates_capped",
+    "q_jaccard_pairs",
+    "q_fuzzy_editdist_pairs",
+    "q_tf_cosine_pairs",
+    "q_containment_pairs",
+    "q_minhash_estimate_quality",
+    "q_hyperplane_lsh",
+    "q_hamming_recall",
+    "q_embedding_quantize",
+    "q_truncation_recall",
     # --- LLM text ops ---
-    "q_tokenize_explode",
-    "q_fingerprint",
-    "q_doc_quality_filters",
+    "q_text_normalize",
+    "q_inverted_index",
+    "q_term_salience",
+    "q_oov_rate",
+    "q_bigram_novelty",
+    "q_pmi_collocations",
+    "q_readability",
+    "q_url_normalize",
+    "q_html_boilerplate_stats",
+    "q_html_main_content",
+    # --- sampling & splits ---
+    "q_stratified_sample",
+    "q_source_mixture_sample",
+    "q_reservoir_per_group",
+    "q_class_downsample_balanced",
+    "q_kfold_assign",
+    "q_temporal_split_leakage_safe",
 ]
 
 

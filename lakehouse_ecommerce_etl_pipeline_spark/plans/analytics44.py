@@ -249,21 +249,21 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT o_orderdate AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
-                  AS DECIMAL(38,8)) AS rev
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
       FROM orders GROUP BY o_orderdate
     )
-    SELECT day, rev,
+    SELECT day, rev_cents,
            CAST(
-             128 * rev
-             + 64 * COALESCE(LAG(rev, 1) OVER w, 0)
-             + 32 * COALESCE(LAG(rev, 2) OVER w, 0)
-             + 16 * COALESCE(LAG(rev, 3) OVER w, 0)
-             + 8 * COALESCE(LAG(rev, 4) OVER w, 0)
-             + 4 * COALESCE(LAG(rev, 5) OVER w, 0)
-             + 2 * COALESCE(LAG(rev, 6) OVER w, 0)
-             + 1 * COALESCE(LAG(rev, 7) OVER w, 0)
-             AS DECIMAL(38,8)) AS ewma_x256
+             128 * rev_cents
+             + 64 * COALESCE(LAG(rev_cents, 1) OVER w, 0)
+             + 32 * COALESCE(LAG(rev_cents, 2) OVER w, 0)
+             + 16 * COALESCE(LAG(rev_cents, 3) OVER w, 0)
+             + 8 * COALESCE(LAG(rev_cents, 4) OVER w, 0)
+             + 4 * COALESCE(LAG(rev_cents, 5) OVER w, 0)
+             + 2 * COALESCE(LAG(rev_cents, 6) OVER w, 0)
+             + 1 * COALESCE(LAG(rev_cents, 7) OVER w, 0)
+             AS BIGINT) AS ewma_cents_x256
     FROM d
     WINDOW w AS (ORDER BY day)
     """,
@@ -272,11 +272,18 @@ def q_ewma_taps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated exponentially-weighted moving average of daily
     revenue, alpha = 1/2, {_EWMA_TAPS} taps — the recursive EWMA
     unrolled into composed LAG taps with DYADIC integer weights
-    (128,64,...,1 = 2^8 * 2^-(k+1)), so the smoothed series is exact
-    decimal arithmetic end-to-end; the 2^8 scale is folded out by the
-    reader (documented in the column name), never divided in-engine.
-    Missing taps at the series head contribute zero (the standard
-    zero-padded FIR convention).
+    (128,64,...,1 = 2^8 * 2^-(k+1)).  The whole FIR runs on the
+    BIGINT integer-cents lattice (DESIGN §21 / the
+    plans/analytics16.py PageRank precedent): each price is snapped
+    to cents ONCE at the scan (ROUND(x*100) is never within 1e-4 of
+    a .5 boundary for 2-dp-valued doubles, so HALF_UP vs half-even
+    agree), and every downstream sum/product is exact int64
+    arithmetic — no DECIMAL typing rules, no double accumulation, on
+    EITHER engine.  Max tap sum ≈ 255 × max daily cents ≈ 3e12 ≪
+    2^63.  The 2^8 scale is folded out by the reader (documented in
+    the column name), never divided in-engine.  Missing taps at the
+    series head contribute zero (the standard zero-padded FIR
+    convention).
 
     100 TB: the daily series is one partial-aggregated group-by (at
     most ~2.5k rows/decade), then a single ordered window over that
@@ -288,22 +295,24 @@ def q_ewma_taps(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").alias("day"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("decimal(38,8)")
-            .alias("rev")
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("rev_cents")
         )
     )
     w = Window.orderBy("day")
     taps = sum(
         (
             F.lit(2 ** (_EWMA_TAPS - 1 - k))
-            * F.coalesce(F.lag("rev", k).over(w), F.lit(0))
+            * F.coalesce(F.lag("rev_cents", k).over(w), F.lit(0))
             for k in range(1, _EWMA_TAPS)
         ),
-        F.lit(128) * F.col("rev"),
+        F.lit(128) * F.col("rev_cents"),
     )
     return d.select(
-        "day", "rev", taps.cast("decimal(38,8)").alias("ewma_x256")
+        "day",
+        "rev_cents",
+        taps.cast("bigint").alias("ewma_cents_x256"),
     )
 
 

@@ -571,3 +571,131 @@ def test_fixed_subplan_offenders_stay_clean(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]
         assert duplicated_join_subtrees(plan) == [], (name, plan[:3000])
+
+
+def _import_numeric_audit():
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        import numeric_portability_audit as npa
+    finally:
+        sys.path.remove(scripts_dir)
+    return npa
+
+
+def test_numeric_portability_detector():
+    """Pure-text pins for the round-10 cross-engine numeric-
+    portability detector (scripts/numeric_portability_audit.py,
+    DESIGN §21).  The flagged shape is the r9 driver's only red row
+    in nine rounds: an integer literal multiplied into a
+    DECIMAL(p>=30, s>0) alias (`128 * rev`), whose result typing is
+    version-dependent on BOTH engines.  The fixed BIGINT-cents
+    lattice must NOT flag, and narrow decimals must NOT flag."""
+    npa = _import_numeric_audit()
+
+    # the literal r9 offender shape (old q_ewma_taps oracle)
+    old = """
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                  AS DECIMAL(38,8)) AS rev
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT day, rev,
+           CAST(128 * rev
+             + 64 * COALESCE(LAG(rev, 1) OVER w, 0)
+             AS DECIMAL(38,8)) AS ewma_x256
+    FROM d WINDOW w AS (ORDER BY day)
+    """
+    offs = npa.sql_offences(old)
+    assert offs, "r9 offender shape must flag"
+    assert any("128 * rev" in o for o in offs), offs
+    # through the COALESCE(LAG(...)) wrapper too
+    assert any("64 * COALESCE(LAG(rev" in o for o in offs), offs
+
+    # the r10 fix: BIGINT lattice — no decimal typing rules in play
+    new = """
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT day, rev_cents,
+           CAST(128 * rev_cents + 64 * COALESCE(LAG(rev_cents, 1) OVER w, 0)
+                AS BIGINT) AS ewma_cents_x256
+    FROM d WINDOW w AS (ORDER BY day)
+    """
+    assert npa.sql_offences(new) == []
+
+    # narrow decimals type identically on both engines — no flag
+    narrow = """
+    SELECT CAST(x AS DECIMAL(18,2)) AS amt, 3 * amt AS amt3 FROM t
+    """
+    assert npa.sql_offences(narrow) == []
+
+    # inline wide cast in a product — flag both orders
+    assert npa.sql_offences("SELECT 7 * CAST(x AS DECIMAL(38,8)) FROM t")
+    assert npa.sql_offences(
+        "SELECT CAST(SUM(y) AS DECIMAL(30,4)) * 3 AS z FROM t"
+    )
+
+    # right-hand alias product: rev * 2
+    assert any(
+        "rev * 2" in o
+        for o in npa.sql_offences(
+            "WITH d AS (SELECT CAST(SUM(CAST(p AS DECIMAL(30,8))) AS "
+            "DECIMAL(38,8)) AS rev FROM t) SELECT rev * 2 FROM d"
+        )
+    )
+
+
+def test_numeric_portability_python_detector(tmp_path):
+    """The plan-source sweep flags a function pairing a wide s>0
+    decimal cast with an integer F.lit product (over-approximate by
+    design; the committed allowlist carries per-function triage)."""
+    npa = _import_numeric_audit()
+
+    bad = tmp_path / "bad_plan.py"
+    bad.write_text(
+        "import pyspark.sql.functions as F\n"
+        "def q_bad(spark, sf_dir):\n"
+        '    d = x.select(F.col("v").cast("decimal(38,8)").alias("rev"))\n'
+        '    return d.select((F.lit(128) * F.col("rev")).alias("s"))\n'
+    )
+    assert npa.py_offences(str(bad)), "wide cast + int-lit product must flag"
+
+    ok = tmp_path / "ok_plan.py"
+    ok.write_text(
+        "import pyspark.sql.functions as F\n"
+        "def q_ok(spark, sf_dir):\n"
+        '    d = x.select(F.round(F.col("v") * 100).cast("bigint").alias("c"))\n'
+        '    return d.select((F.lit(128) * F.col("c")).alias("s"))\n'
+    )
+    assert npa.py_offences(str(ok)) == []
+
+
+def test_numeric_portability_registry_clean():
+    """DESIGN §21 gate: zero int x wide-decimal product offences
+    across all 409 oracles and all plan modules (q_gini_spend's
+    triaged pairing is allowlisted in the audit with rationale)."""
+    npa = _import_numeric_audit()
+    from lakehouse_ecommerce_etl_pipeline_spark import plans as _p
+
+    bad = []
+    for name, sql in _p.oracle_sql().items():
+        for off in npa.sql_offences(sql):
+            bad.append(f"{name}: {off}")
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "lakehouse_ecommerce_etl_pipeline_spark",
+        "plans",
+    )
+    for f in sorted(os.listdir(pkg)):
+        if f.endswith(".py") and f != "__init__.py":
+            for off in npa.py_offences(os.path.join(pkg, f)):
+                bad.append(f"{f}: {off}")
+    assert bad == [], bad
