@@ -96,7 +96,12 @@ def dedup_keep_list(
     return labeled.withColumn("keep", F.col(id_col) == F.col("component"))
 
 
-def token_set_reps(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def token_set_reps(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_text: bool = False,
+) -> DataFrame:
     """(id, rep_id): rep = min id among documents with the IDENTICAL
     distinct-token set (post normalize_text tokenization — the exact
     input both MinHash signatures and Jaccard verification consume).
@@ -124,7 +129,7 @@ def token_set_reps(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # undefined Jaccard — such documents are never paired in the full
     # chain, so each must stay its OWN group (a per-doc key), not
     # collapse with other empty docs
-    keyed = docs.select(
+    keyed_cols = [
         F.col(id_col),
         F.when(
             F.size(toks) > 0,
@@ -132,6 +137,14 @@ def token_set_reps(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("empty:"), F.col(id_col).cast("string")))
         .alias("tkey"),
-    )
+    ]
+    # keep_text: the artifact-build path carries the text through the
+    # tkey join instead of re-joining on the id afterwards — an id
+    # equi-join assumes id uniqueness and would silently fan out
+    # duplicate-id sources (r9 ADVICE)
+    if keep_text:
+        keyed_cols.append(F.col(text_col))
+    keyed = docs.select(*keyed_cols)
     reps = keyed.groupBy("tkey").agg(F.min(id_col).alias("rep_id"))
-    return keyed.join(reps, "tkey").select(id_col, "rep_id")
+    out_cols = [id_col, "rep_id"] + ([text_col] if keep_text else [])
+    return keyed.join(reps, "tkey").select(*out_cols)

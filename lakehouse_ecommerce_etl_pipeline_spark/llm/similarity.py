@@ -66,6 +66,7 @@ def distinct_vector_reps(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Member→representative map over identical-vector groups, for the
     rep-collapse plans (q_embedding_near_dup, q_embedding_clusters):
@@ -81,8 +82,12 @@ def distinct_vector_reps(
     in the text chain's token_set_reps.
 
     Returns ``(member_map, rep_vectors)``: member_map has
-    ``(id_col, rep_id)`` for EVERY input row; rep_vectors is the
-    deduplicated ``(id_col, vec_col)`` set the kernel should run on.
+    ``(id_col, rep_id)`` for EVERY input row (plus ``vec_col`` when
+    ``keep_vec`` — the artifact-build path, which must NOT re-join on
+    the id to re-attach the vector: an id equi-join assumes id
+    uniqueness and would silently fan out duplicate-id sources, r9
+    ADVICE); rep_vectors is the deduplicated ``(id_col, vec_col)``
+    set the kernel should run on.
     """
     m = vectors.select(id_col, vec_col)
     reps = (
@@ -90,14 +95,23 @@ def distinct_vector_reps(
         .groupBy(vec_col)
         .agg(F.min(id_col).alias("rep_id"))
     )
-    member_map = m.join(reps, vec_col, "left").select(
-        id_col, F.coalesce("rep_id", F.col(id_col)).alias("rep_id")
-    )
-    rep_vectors = (
-        m.join(member_map, id_col)
-        .filter(F.col(id_col) == F.col("rep_id"))
-        .select(id_col, vec_col)
-    )
+    member_cols = [
+        F.col(id_col),
+        F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+    ]
+    if keep_vec:
+        member_cols.append(F.col(vec_col))
+    member_map = m.join(reps, vec_col, "left").select(*member_cols)
+    if keep_vec:
+        rep_vectors = member_map.filter(
+            F.col(id_col) == F.col("rep_id")
+        ).select(id_col, vec_col)
+    else:
+        rep_vectors = (
+            m.join(member_map, id_col)
+            .filter(F.col(id_col) == F.col("rep_id"))
+            .select(id_col, vec_col)
+        )
     return member_map, rep_vectors
 
 

@@ -274,20 +274,86 @@ def _order_part_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "p.src", "p.dst")
 
 
+def _src_fingerprint(src: str) -> str:
+    """Content-sensitive source fingerprint: size + mtime_ns + an
+    md5 over the first and last 4 KiB.  mtime alone is NOT enough —
+    testdata regenerated with preserved timestamps (cp -p, rsync -t,
+    tar) would silently serve a stale artifact under a pure
+    mtime-ordering check (r9 ADVICE); the head+tail probe catches
+    changed bytes without rehashing multi-GB parquet.  Directory
+    sources fingerprint their sorted (name, size, mtime_ns) listing."""
+    import hashlib
+
+    st = os.stat(src)
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            s = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{s.st_size}:{s.st_mtime_ns};".encode())
+        return f"dir:{st.st_mtime_ns}:{h.hexdigest()}"
+    with open(src, "rb") as f:
+        h.update(f.read(4096))
+        if st.st_size > 8192:
+            f.seek(-4096, os.SEEK_END)
+            h.update(f.read(4096))
+    return f"{st.st_size}:{st.st_mtime_ns}:{h.hexdigest()}"
+
+
+def _marker_path(artifact: str) -> str:
+    return artifact.rstrip("/") + ".srcfp"
+
+
 def artifact_fresh(src: str, artifact: str) -> bool:
-    """True iff a scratch artifact exists AND is newer than its source
-    file — derived copies must be rebuilt when the driver regenerates
-    the testdata in place (same paths, new bytes/types). An EMPTY
-    directory never counts as fresh: ``work_dir`` mkdirs its whole
-    path, so a pre-created leaf must read as absent, not built."""
+    """True iff a scratch artifact exists AND matches its source's
+    recorded fingerprint — derived copies must be rebuilt when the
+    driver regenerates the testdata in place (same paths, new
+    bytes/types, possibly PRESERVED mtimes). An EMPTY directory never
+    counts as fresh: ``work_dir`` mkdirs its whole path, so a
+    pre-created leaf must read as absent, not built.
+
+    Freshness protocol (self-healing, no builder changes needed): a
+    sibling ``<artifact>.srcfp`` marker records the source
+    fingerprint.  Marker present → fresh iff it matches the CURRENT
+    fingerprint; a mismatch deletes the marker and reports stale, so
+    the caller rebuilds and the next check re-adopts the new
+    fingerprint.  Marker absent (legacy or just-rebuilt artifact) →
+    fall back to the mtime-ordering check and, when it passes, adopt
+    the current fingerprint atomically."""
     if not os.path.exists(artifact):
         return False
     try:
         if os.path.isdir(artifact) and not os.listdir(artifact):
             return False
-        return os.path.getmtime(artifact) >= os.path.getmtime(src)
+        fp = _src_fingerprint(src)
     except OSError:
         return False
+    marker = _marker_path(artifact)
+    try:
+        with open(marker) as f:
+            recorded = f.read()
+    except OSError:
+        recorded = None
+    if recorded is not None:
+        if recorded == fp:
+            return True
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        return False
+    try:
+        ok = os.path.getmtime(artifact) >= os.path.getmtime(src)
+    except OSError:
+        return False
+    if ok:
+        tmp = f"{marker}.tmp{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                f.write(fp)
+            os.replace(tmp, marker)
+        except OSError:
+            pass
+    return ok
 
 
 def spill_final(df: DataFrame, sf_dir: str, name: str) -> DataFrame:

@@ -690,10 +690,14 @@ def vector_reps_artifact(spark, sf_dir):
     with artifact_lock(path):
         if not artifact_fresh(src, path):
             emb = load(spark, sf_dir, "embeddings")
-            mm, _ = distinct_vector_reps(emb)
-            emb.select("vec_id", "embedding").join(mm, "vec_id").select(
-                "vec_id", "rep_id", "embedding"
-            ).write.mode("overwrite").parquet(path)
+            # keep_vec carries the embedding through the vector-keyed
+            # rep join itself — re-attaching it with an id equi-join
+            # would assume vec_id uniqueness and silently fan out a
+            # duplicate-id source (r9 ADVICE)
+            mm, _ = distinct_vector_reps(emb, keep_vec=True)
+            mm.select("vec_id", "rep_id", "embedding").write.mode(
+                "overwrite"
+            ).parquet(path)
     return spark.read.parquet(path)
 
 
@@ -724,10 +728,14 @@ def document_reps_artifact(spark, sf_dir):
     with artifact_lock(path):
         if not artifact_fresh(src, path):
             docs = load_parallel(spark, sf_dir, "documents")
-            m = token_set_reps(docs, "doc_id", "text")
-            docs.select("doc_id", "text").join(m, "doc_id").select(
-                "doc_id", "rep_id", "text"
-            ).write.mode("overwrite").parquet(path)
+            # keep_text carries the text through the tkey join itself —
+            # re-attaching it with an id equi-join would assume doc_id
+            # uniqueness and silently fan out a duplicate-id source
+            # (r9 ADVICE)
+            m = token_set_reps(docs, "doc_id", "text", keep_text=True)
+            m.select("doc_id", "rep_id", "text").write.mode(
+                "overwrite"
+            ).parquet(path)
     return spark.read.parquet(path)
 
 

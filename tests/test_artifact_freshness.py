@@ -1,0 +1,152 @@
+"""Round-10 ADVICE closures: fingerprinted artifact freshness and
+duplicate-id-safe rep-artifact builds.
+
+1. ``artifact_fresh`` previously trusted mtime ordering alone — a
+   testdata regeneration that PRESERVES timestamps (cp -p, rsync -t,
+   tar) would silently serve a stale derived artifact.  The sibling
+   ``.srcfp`` marker records (size, mtime_ns, head+tail md5) of the
+   source; changed bytes under a preserved mtime now trigger a
+   rebuild, and the protocol self-heals after the rebuild with no
+   builder changes.
+2. The vector/document rep artifacts re-attached the payload column
+   with an id equi-join, which assumes id uniqueness — a
+   duplicate-id source would fan out rows relative to the inline
+   path.  ``keep_vec`` / ``keep_text`` carry the payload through the
+   rep join itself: exactly one output row per input row, duplicate
+   ids or not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
+    _marker_path,
+    artifact_fresh,
+)
+
+
+def _touch(path: str, content: bytes, mtime_ns: int | None = None):
+    with open(path, "wb") as f:
+        f.write(content)
+    if mtime_ns is not None:
+        os.utime(path, ns=(mtime_ns, mtime_ns))
+
+
+def test_preserved_mtime_regeneration_triggers_rebuild(tmp_path):
+    src = str(tmp_path / "src.parquet")
+    art = str(tmp_path / "derived")
+    _touch(src, b"generation-one" * 100)
+    src_mtime = os.stat(src).st_mtime_ns
+
+    # build the artifact (newer than src), first check adopts marker
+    os.makedirs(art)
+    _touch(os.path.join(art, "part-0"), b"derived-bytes")
+    assert artifact_fresh(src, art)
+    assert os.path.exists(_marker_path(art))
+
+    # regenerate the source IN PLACE with the exact same mtime
+    _touch(src, b"generation-TWO" * 100, mtime_ns=src_mtime)
+    assert not artifact_fresh(src, art), (
+        "changed bytes under a preserved mtime must invalidate"
+    )
+    # the stale marker is dropped so a rebuild re-adopts
+    assert not os.path.exists(_marker_path(art))
+
+    # simulate the rebuild: artifact rewritten now (newer than src)
+    _touch(os.path.join(art, "part-0"), b"derived-bytes-v2")
+    assert artifact_fresh(src, art)
+    assert os.path.exists(_marker_path(art))
+    # and stays fresh on repeat checks
+    assert artifact_fresh(src, art)
+
+
+def test_same_size_same_mtime_different_bytes_detected(tmp_path):
+    src = str(tmp_path / "src.parquet")
+    art = str(tmp_path / "art.bin")
+    _touch(src, b"A" * 5000)
+    mt = os.stat(src).st_mtime_ns
+    _touch(art, b"x")
+    assert artifact_fresh(src, art)
+    _touch(src, b"B" * 5000, mtime_ns=mt)  # same size, same mtime
+    assert not artifact_fresh(src, art)
+
+
+def test_empty_dir_artifact_never_fresh(tmp_path):
+    src = str(tmp_path / "src")
+    _touch(src, b"s")
+    art = tmp_path / "empty_leaf"
+    art.mkdir()
+    assert not artifact_fresh(src, str(art))
+
+
+def test_missing_artifact_not_fresh(tmp_path):
+    src = str(tmp_path / "src")
+    _touch(src, b"s")
+    assert not artifact_fresh(src, str(tmp_path / "nope"))
+
+
+def test_vector_reps_keep_vec_no_fanout_on_duplicate_ids(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.similarity import (
+        distinct_vector_reps,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (1, [1.0, 0.0]),  # duplicate id — an id re-join would fan out
+        (2, [1.0, 0.0]),
+        (3, [0.0, 0.0]),  # zero-norm keeps itself as rep
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    mm, rep_vectors = distinct_vector_reps(df, keep_vec=True)
+    out = mm.select("vec_id", "rep_id", "embedding").collect()
+    assert len(out) == len(rows), "one output row per input row"
+    by = {(r.vec_id, tuple(r.embedding)): r.rep_id for r in out}
+    assert by[(1, (1.0, 0.0))] == 1
+    assert by[(2, (1.0, 0.0))] == 1
+    assert by[(3, (0.0, 0.0))] == 3
+    # rep_vectors derives from the member map — no id join either
+    reps = {r.vec_id for r in rep_vectors.collect()}
+    assert reps == {1, 3}
+
+    # parity with the default path on a unique-id source
+    uniq = spark.createDataFrame(rows[1:], ["vec_id", "embedding"])
+    mm_default, _ = distinct_vector_reps(uniq)
+    mm_kept, _ = distinct_vector_reps(uniq, keep_vec=True)
+    assert sorted(
+        (r.vec_id, r.rep_id) for r in mm_default.collect()
+    ) == sorted((r.vec_id, r.rep_id) for r in mm_kept.collect())
+
+
+def test_token_set_reps_keep_text_no_fanout_on_duplicate_ids(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.llm.components import (
+        token_set_reps,
+    )
+
+    rows = [
+        (1, "the quick fox"),
+        (1, "the quick fox"),  # duplicate id
+        (2, "fox quick the"),  # same token set → rep 1
+        (3, ""),  # empty token set keeps itself
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = token_set_reps(df, "doc_id", "text", keep_text=True).collect()
+    assert len(out) == len(rows), "one output row per input row"
+    assert {r.doc_id for r in out} == {1, 2, 3}
+    by = {r.doc_id: r.rep_id for r in out}
+    assert by[2] == 1 and by[3] == 3
+    assert all(hasattr(r, "text") for r in out)
+
+    # parity with the default path on a unique-id source
+    uniq = spark.createDataFrame(rows[1:], ["doc_id", "text"])
+    a = sorted(
+        (r.doc_id, r.rep_id)
+        for r in token_set_reps(uniq, "doc_id", "text").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.rep_id)
+        for r in token_set_reps(
+            uniq, "doc_id", "text", keep_text=True
+        ).collect()
+    )
+    assert a == b
