@@ -91,15 +91,35 @@ def test_kfold_assignment_is_md5_exact_and_total(spark):
 
 
 def test_ewma_taps_matches_pure_python_fir(spark):
+    """The r10 BIGINT-cents lattice (DESIGN §21) is EXACT integer
+    arithmetic end-to-end, so the pin is equality, not tolerance —
+    and the daily cents must equal Python's own round(price*100)
+    sums, independent of any engine's decimal typing rules."""
     rows = sorted(q_ewma_taps(spark, SF0001).collect(), key=lambda r: r["day"])
-    series = [float(r["rev"]) for r in rows]
+    series = [int(r["rev_cents"]) for r in rows]
     weights = [128, 64, 32, 16, 8, 4, 2, 1]
     for t, r in enumerate(rows):
         expected = sum(
-            w * (series[t - k] if t - k >= 0 else 0.0)
+            w * (series[t - k] if t - k >= 0 else 0)
             for k, w in enumerate(weights)
         )
-        assert abs(float(r["ewma_x256"]) - expected) < 1e-6 * max(1.0, expected)
+        assert int(r["ewma_cents_x256"]) == expected
+
+    # daily cents match a pandas-side integer re-derivation exactly
+    import pandas as pd
+
+    orders = pd.read_parquet(os.path.join(SF0001, "orders.parquet"))
+    cents = (
+        (orders["o_totalprice"] * 100)
+        .round()
+        .astype("int64")
+        .groupby(orders["o_orderdate"])
+        .sum()
+    )
+    got = {r["day"]: int(r["rev_cents"]) for r in rows}
+    assert len(got) == len(cents)
+    for day, v in cents.items():
+        assert got[day] == int(v), day
 
 
 def test_bigram_novelty_counts_and_rate(spark):
