@@ -68,10 +68,40 @@ _PY_WIDE_CAST = re.compile(
 )
 
 
+_ANY_ALIAS_DEF = re.compile(
+    r"AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)\s*AS\s+(\w+)",
+    re.IGNORECASE,
+)
+
+
 def sql_offences(sql: str) -> list[str]:
     """Integer-literal products against wide-decimal aliases or
-    inline wide-decimal casts in one SQL string."""
+    inline wide-decimal casts; plus rule 2's mechanical shapes —
+    decimal × decimal products whose result precision overflows 38
+    (p1+p2+1 > 38 forces an engine-specific rescale) and divisions
+    involving a wide (p ≥ 30) decimal (division scale rules are the
+    most build-variable of all)."""
     out = []
+    typed = {
+        m.group(3): (int(m.group(1)), int(m.group(2)))
+        for m in _ANY_ALIAS_DEF.finditer(sql)
+    }
+    for a, (p1, s1) in typed.items():
+        for b, (p2, s2) in typed.items():
+            if (
+                p1 + p2 + 1 > 38
+                and (s1 > 0 or s2 > 0)
+                and re.search(rf"\b{re.escape(a)}\s*\*\s*{re.escape(b)}\b", sql)
+            ):
+                out.append(
+                    f"decimal-overflow product: {a}({p1},{s1}) * {b}({p2},{s2})"
+                )
+            if (p1 >= 30 or p2 >= 30) and re.search(
+                rf"\b{re.escape(a)}\s*/\s*{re.escape(b)}\b", sql
+            ):
+                out.append(
+                    f"wide-decimal division: {a}({p1},{s1}) / {b}({p2},{s2})"
+                )
     aliases = {m.group(3) for m in _ALIAS_DEF.finditer(sql)}
     for alias in aliases:
         # 128 * rev | 64 * COALESCE(LAG(rev, ...) | rev * 2

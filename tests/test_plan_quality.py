@@ -699,3 +699,35 @@ def test_numeric_portability_registry_clean():
             for off in npa.py_offences(os.path.join(pkg, f)):
                 bad.append(f"{f}: {off}")
     assert bad == [], bad
+
+
+def test_numeric_portability_rule2_shapes():
+    """Rule 2's mechanical shapes (DESIGN §21): decimal x decimal
+    products overflowing precision 38 (engine-specific rescale) and
+    divisions involving a wide decimal (the most build-variable
+    typing of all) must flag; precision-safe products must not."""
+    npa = _import_numeric_audit()
+
+    overflow = """
+    WITH a AS (SELECT CAST(SUM(x) AS DECIMAL(30,8)) AS u,
+                      CAST(SUM(y) AS DECIMAL(20,4)) AS v FROM t)
+    SELECT u * v FROM a
+    """
+    offs = npa.sql_offences(overflow)
+    assert any("decimal-overflow product" in o for o in offs), offs
+
+    division = """
+    WITH a AS (SELECT CAST(SUM(x) AS DECIMAL(38,8)) AS u,
+                      CAST(SUM(y) AS DECIMAL(18,2)) AS v FROM t)
+    SELECT u / v FROM a
+    """
+    offs = npa.sql_offences(division)
+    assert any("wide-decimal division" in o for o in offs), offs
+
+    # fits in 38 digits -> typed identically everywhere, no flag
+    safe = """
+    WITH a AS (SELECT CAST(SUM(x) AS DECIMAL(18,4)) AS u,
+                      CAST(SUM(y) AS DECIMAL(18,2)) AS v FROM t)
+    SELECT u * v FROM a
+    """
+    assert npa.sql_offences(safe) == []
