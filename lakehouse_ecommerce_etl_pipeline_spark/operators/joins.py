@@ -155,6 +155,22 @@ def asof_join_pandas(
     )
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        # Spark 4 prunes each cogroup side independently down to
+        # ZERO-COLUMN frames (row counts preserved) when downstream
+        # references none of that side's contributions — df.count()
+        # prunes the right side, sometimes both.  Left pruned: the
+        # asof output is one row per left row regardless of content,
+        # so emit the row count and let the engine read nothing from
+        # it.  Right pruned (downstream reads no value column):
+        # normalize to a typed-empty right — every left row passes
+        # through with null asof values.
+        if on not in lpdf.columns:
+            return pd.DataFrame(
+                {c: [None] * len(lpdf) for c in out_cols},
+                columns=out_cols,
+            )
+        if on not in rpdf.columns:
+            rpdf = pd.DataFrame(columns=[on, right_ts, *value_cols])
         lpdf = lpdf.drop(columns=["_bk"]).sort_values(
             left_ts, kind="mergesort"
         )

@@ -198,3 +198,35 @@ def test_tree_rollup_restores_recursion_row_limit(spark):
     q_tree_rollup(spark, sf_dir)
     assert spark.conf.get(key) == "123456"
     spark.conf.unset(key)
+
+
+def test_asof_join_pandas_survives_downstream_column_pruning(spark):
+    """Spark 4 prunes each cogroup side independently to ZERO-COLUMN
+    frames when downstream references none of its contributions:
+    df.count() prunes the right side (and may prune both).  The merge
+    UDF must normalize pruned inputs instead of KeyError-ing on the
+    key column (r10 full-registry .count() scan caught this), and a
+    left-columns-only projection must still see REAL left values."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ecommerce_etl_pipeline_spark.operators.joins import (
+        asof_join_pandas,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 7), (3, 50)], "k int, t long"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 9, 300.0)],
+        "k int, t long, v double",
+    ).withColumn("t", F.timestamp_seconds("t"))
+
+    out = asof_join_pandas(left, right, "k", "t", "t", ["v"])
+    assert out.count() == 5  # full pruning: row count only
+    # right side pruned, left columns must be real
+    ks = sorted(r.k for r in out.select("k").collect())
+    assert ks == [1, 1, 1, 2, 3]
+    # and the unpruned path still returns the true asof values
+    by = {(r[0], r[1].second): r[2] for r in out.collect()}
+    assert by[(1, 10)] == 100.0 and by[(1, 20)] == 200.0
+    assert by[(3, 50)] is None
