@@ -157,8 +157,8 @@ def asof_join_pandas(
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         # Spark 4 prunes each cogroup side independently down to
         # ZERO-COLUMN frames (row counts preserved) when downstream
-        # references none of that side's contributions — df.count()
-        # prunes the right side, sometimes both.  Left pruned: the
+        # references none of that side's contributions — a count
+        # action prunes the right side, sometimes both.  Left pruned:
         # asof output is one row per left row regardless of content,
         # so emit the row count and let the engine read nothing from
         # it.  Right pruned (downstream reads no value column):
