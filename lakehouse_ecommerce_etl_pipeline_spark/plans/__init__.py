@@ -132,78 +132,81 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 # The external driver truncates its correctness gate at the first 50
 # registry entries in insertion order.  Curation policy (VERDICT r6
 # task 1, r7 task 1): a small rotating §2-parity sentinel block (every
-# parity row already carries MULTIPLE driver passes from r1–r9) frees
+# parity row already carries MULTIPLE driver passes from r1–r10) frees
 # the remaining slots for rows the driver has never value-checked.
-# This round's window = the RECORDED r10 queue executed verbatim
-# (SURVEY §8, VERDICT r9 task 2): 46 never-driver-checked rows —
-# SQL/relational surface, dedup/similarity, LLM text ops, sampling &
-# splits — all pre-certified at sf0.01 by the r9 closing sweep
-# (docs/SWEEP_r09_sf0.01.json, 0 fail) and absent from
-# CORRECTNESS_r01–r09; cumulative driver-checked grows 279 → 325
-# (target ≥324).  PLUS q_ewma_taps as the mandated re-check row
-# (VERDICT r9 task 1: the driver's only red row in nine rounds, now
-# re-latticed onto BIGINT integer cents — see plans/analytics44.py),
-# PLUS three parity sentinels rotated to rows NOT in the r7/r8/r9
-# sentinel blocks (last driver-checked r6).  3 + 1 + 46 = 50.
+# This round's window = the RECORDED r11 queue executed verbatim
+# (SURVEY §8 r10 record, VERDICT r10 task 3): 47 never-driver-checked
+# rows — attribution/session/funnel, time series, stats & ML prep,
+# graph & similarity, multimodal — all pre-certified at sf0.01 by the
+# r10 closing sweep (docs/SWEEP_r10_sf0.01.json, 0 fail) and absent
+# from CORRECTNESS_r01–r10; cumulative driver-checked grows 325 → 372
+# (target ≥370).  PLUS q_kfold_assign as the mandated re-check row
+# (VERDICT r10 task 1: the driver's one red row in r10 — its oracle's
+# bare double→DECIMAL cast inside SUM was engine-version-sensitive;
+# now re-latticed onto BIGINT integer cents on both sides, the
+# q_ewma_taps precedent — see plans/analytics44.py), PLUS two parity
+# sentinels rotated to rows NOT in the r7/r8/r9/r10 sentinel blocks
+# (last driver-checked r6).  2 + 1 + 47 = 50.
 _FIRST_WINDOW = [
-    # --- §2-parity sentinels (3 of the 26, rotating per round; all
-    # 26 are driver-green in r1–r9, full list stays registered) ---
-    "q_filter_string_predicate",
-    "q_distinct",
-    "q_except",
-    # --- mandated re-check: the r9 red row, fixed on the BIGINT
-    # integer-cents lattice (VERDICT r9 task 1) ---
-    "q_ewma_taps",
-    # --- recorded r10 queue: SQL/relational surface ---
-    "q_unpivot",
-    "q_except_all",
-    "q_intersect_all",
-    "q_cross_join",
-    "q_na_handling",
-    "q_posexplode",
-    "q_window_analytics",
-    "q_string_agg",
-    "q_argmax",
-    "q_conditional_fns",
-    "q_regexp_fns",
-    "q_array_fns",
-    "q_higher_order_fns",
-    "q_map_fns",
-    "q_props_map_explode",
-    "q_xml_extract",
-    "q_collation_groupby",
-    "q_nested_denormalize_explode",
-    "q_nested_field_pruning",
-    "q_schema_merge_scan",
-    # --- dedup / similarity ---
-    "q_lsh_candidates_capped",
-    "q_jaccard_pairs",
-    "q_fuzzy_editdist_pairs",
-    "q_tf_cosine_pairs",
-    "q_containment_pairs",
-    "q_minhash_estimate_quality",
-    "q_hyperplane_lsh",
-    "q_hamming_recall",
-    "q_embedding_quantize",
-    "q_truncation_recall",
-    # --- LLM text ops ---
-    "q_text_normalize",
-    "q_inverted_index",
-    "q_term_salience",
-    "q_oov_rate",
-    "q_bigram_novelty",
-    "q_pmi_collocations",
-    "q_readability",
-    "q_url_normalize",
-    "q_html_boilerplate_stats",
-    "q_html_main_content",
-    # --- sampling & splits ---
-    "q_stratified_sample",
-    "q_source_mixture_sample",
-    "q_reservoir_per_group",
-    "q_class_downsample_balanced",
+    # --- §2-parity sentinels (2 of the 26, rotating per round; all
+    # 26 are driver-green in r1–r10, full list stays registered) ---
+    "q_fn_cast_timestamp",
+    "q_fn_string_split",
+    # --- mandated re-check: the r10 red row, fixed on the BIGINT
+    # integer-cents lattice (VERDICT r10 task 1) ---
     "q_kfold_assign",
-    "q_temporal_split_leakage_safe",
+    # --- recorded r11 queue: attribution / session / funnel ---
+    "q_attribution_first_last",
+    "q_attribution_linear",
+    "q_attribution_time_decay",
+    "q_funnel_no_interference",
+    "q_session_conversion_rate",
+    "q_time_to_convert",
+    "q_new_vs_returning",
+    "q_retention_sweep",
+    "q_survival_curve",
+    # --- time series ---
+    "q_gapfill_locf",
+    "q_gapfill_interpolate",
+    "q_autocorr_lag",
+    "q_trailing_zscore_anomaly",
+    "q_time_weighted_avg",
+    "q_date_spine_zero_fill",
+    "q_dow_seasonality_index",
+    "q_dow_hour_heatmap",
+    "q_aov_trend_monthly",
+    "q_top_movers_wow",
+    "q_interorder_gap",
+    "q_sliding_distinct_users",
+    "q_tvd_drift_weekly",
+    # --- stats & ML prep ---
+    "q_groupwise_regression",
+    "q_winsorized_mean",
+    "q_mode_per_group",
+    "q_weighted_avg",
+    "q_kth_order_statistic",
+    "q_quantile_bucket_assign",
+    "q_quantile_normalize",
+    "q_feature_moments",
+    "q_feature_hashing",
+    "q_label_centroids",
+    "q_knn_classify",
+    "q_gini_spend",
+    # --- graph & similarity ---
+    "q_two_hop_neighbors",
+    "q_degree_distribution",
+    "q_reciprocal_nn",
+    "q_also_bought_topk",
+    "q_category_overlap",
+    "q_pairwise_distance_histogram",
+    # --- multimodal ---
+    "q_multimodal_bytestats",
+    "q_multimodal_framehash",
+    "q_multimodal_temporal_pool",
+    "q_multimodal_blockhash_neardup",
+    "q_multimodal_jpeg420",
+    "q_multimodal_video_frames",
+    "q_multimodal_pipeline_e2e",
 ]
 
 

@@ -191,8 +191,8 @@ def q_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT fold, COUNT(*) AS n_orders,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_fulfilled,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
-                AS DECIMAL(38,8)) AS sum_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
     FROM f GROUP BY fold
     """,
 )
@@ -204,7 +204,14 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries, and engine swaps — the property CV needs so no example
     ever changes folds between runs.  Output is the balance sheet a
     reviewer checks before trusting the CV estimate: fold sizes,
-    positive-class counts, and decimal-exact price mass.
+    positive-class counts, and exact price mass on the BIGINT
+    integer-cents lattice (DESIGN §21, the q_ewma_taps precedent):
+    prices snap to cents once at the scan (ROUND(x*100) — 2-dp-valued
+    doubles are never near a .5 boundary at ×100, so HALF_UP and
+    half-even agree) and the sum is exact int64 on BOTH engines; a
+    bare double→DECIMAL cast inside SUM is engine-version-sensitive
+    rounding (numeric-portability rule 3) and is exactly what made
+    this row the driver's one red in CORRECTNESS_r10.
 
     100 TB: stateless hash projection (no shuffle to ASSIGN folds)
     plus one k-row partial-aggregated group-by; training then filters
@@ -237,9 +244,9 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_fulfilled"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("decimal(38,8)")
-            .alias("sum_price"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("sum_price_cents"),
         )
     )
 

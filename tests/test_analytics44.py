@@ -80,7 +80,9 @@ def test_gini_impurity_bounds_and_reference(spark):
 
 def test_kfold_assignment_is_md5_exact_and_total(spark):
     rows = q_kfold_assign(spark, SF0001).collect()
-    orders = load(spark, SF0001, "orders").select("o_orderkey").collect()
+    orders = load(spark, SF0001, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
     expected = Counter(
         int(hashlib.md5(f"fold:{o['o_orderkey']}".encode()).hexdigest()[:6], 16) % 5
         for o in orders
@@ -88,6 +90,18 @@ def test_kfold_assignment_is_md5_exact_and_total(spark):
     got = {r["fold"]: r["n_orders"] for r in rows}
     assert got == dict(expected)
     assert sum(got.values()) == len(orders)
+    # r11 re-lattice pin (DESIGN §21 / the ewma precedent): the price
+    # audit column is EXACT int64 cents — equality vs a pure-Python
+    # re-derivation, independent of any engine's decimal typing rules.
+    cents = Counter()
+    for o in orders:
+        fold = (
+            int(hashlib.md5(f"fold:{o['o_orderkey']}".encode()).hexdigest()[:6], 16)
+            % 5
+        )
+        cents[fold] += round(o["o_totalprice"] * 100)
+    got_cents = {r["fold"]: int(r["sum_price_cents"]) for r in rows}
+    assert got_cents == dict(cents)
 
 
 def test_ewma_taps_matches_pure_python_fir(spark):
