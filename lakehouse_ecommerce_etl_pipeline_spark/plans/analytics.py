@@ -10,6 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.operators.aggregates import (
+    cents,
     davg,
     dsum,
     sql_davg,
@@ -35,10 +36,9 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity', 'sum_qty')},
            {sql_dsum('l_extendedprice', 'sum_base_price')},
-           {sql_dsum(
-               'CAST(l_extendedprice AS DECIMAL(18,6))'
-               ' * (1 - CAST(l_discount AS DECIMAL(18,6)))',
-               'sum_disc_price')},
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS sum_disc_price,
            {sql_davg('l_quantity', 'avg_qty')},
            COUNT(*) AS count_order
     FROM lineitem
@@ -49,19 +49,20 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 def q_groupby_agg(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary — the flagship aggregation.
     Hash aggregate with map-side combine; one shuffle on the two
-    grouping columns. Decimal-routed sums are exact (bit-identical to
-    the oracle) and still partial-aggregable at 100 TB."""
+    grouping columns. Integer-lattice sums (cents / cents×basis-points,
+    DESIGN §21 rule 3) are exact int64 — bit-identical to the oracle
+    on any engine build — and still partial-aggregable at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
-    )
+    disc4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
+            (F.sum(disc4).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
             davg("l_quantity", "avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -148,7 +149,8 @@ def q_grouping_sets(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """

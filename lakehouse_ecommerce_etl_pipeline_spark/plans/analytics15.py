@@ -412,8 +412,8 @@ def q_abc_classification_window_form(
     )
     SELECT user_id,
            CAST(SUM(dur_s) AS BIGINT) AS total_s,
-           CAST(SUM(CAST(value AS DECIMAL(20,8)) *
-                    CAST(dur_s AS DECIMAL(10,0))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * dur_s)
+                     AS BIGINT) AS DOUBLE) / 100.0
              / CAST(CAST(SUM(dur_s) AS BIGINT) AS DOUBLE) AS twa_value
     FROM s
     WHERE dur_s IS NOT NULL
@@ -449,17 +449,22 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("dur_s").alias("total_s"),
             F.sum(
-                F.col("value").cast("decimal(20,8)")
-                * F.col("dur_s").cast("decimal(10,0)")
+                F.round(F.col("value") * 100).cast("bigint")
+                * F.col("dur_s")
             )
+            .cast("bigint")
             .cast("double")
-            .alias("wsum"),
+            .alias("wsum100"),
         )
         .filter(F.col("total_s") > 0)
         .select(
             "user_id",
             "total_s",
-            (F.col("wsum") / F.col("total_s").cast("double")).alias("twa_value"),
+            (
+                F.col("wsum100")
+                / F.lit(100.0)
+                / F.col("total_s").cast("double")
+            ).alias("twa_value"),
         )
     )
 

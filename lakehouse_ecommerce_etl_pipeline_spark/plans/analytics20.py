@@ -731,9 +731,11 @@ def q_sequence_pattern(spark, sf_dir):
     "q_weighted_avg",
     oracle="""
     SELECT p.p_brand,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      AS BIGINT) AS DOUBLE) / 10000.0)
+             / (CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS DOUBLE) / 100.0)
              AS wavg_discount,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -742,8 +744,10 @@ def q_sequence_pattern(spark, sf_dir):
 )
 def q_weighted_avg(spark, sf_dir):
     """Value-weighted average discount per brand: Σ(w·x)/Σ(w) with
-    both sums in sized decimals ((12,2)×(4,2) → exact (17,4)
-    products), one IEEE division at the end — the weighted-mean
+    both sums on the exact integer lattice (cents × basis-points
+    int64 products, DESIGN §21 rule 3; per-group sums ≪ 2^63 at
+    100 TB), descaled by two exact power-of-ten divisions and one
+    final IEEE division — the weighted-mean
     aggregate a plain AVG silently gets wrong (it answers "average
     discount per LINE", not "per DOLLAR"). Dimension joins broadcast.
 
@@ -752,15 +756,16 @@ def q_weighted_avg(spark, sf_dir):
     the group key."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    w = F.col("l_extendedprice").cast("decimal(12,2)")
-    x = F.col("l_discount").cast("decimal(4,2)")
+    w = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    x = F.round(F.col("l_discount") * 100).cast("bigint")
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
-            (F.sum(w * x).cast("double") / F.sum(w).cast("double")).alias(
-                "wavg_discount"
-            ),
+            (
+                (F.sum(w * x).cast("bigint").cast("double") / F.lit(10000.0))
+                / (F.sum(w).cast("bigint").cast("double") / F.lit(100.0))
+            ).alias("wavg_discount"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

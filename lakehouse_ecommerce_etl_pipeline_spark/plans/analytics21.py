@@ -132,8 +132,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT c.c_custkey, c.c_mktsegment,
-             CAST(FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))))
-                  AS DECIMAL(18,0)) AS spend
+             CAST(CAST(FLOOR(CAST(SUM(CAST(ROUND(o.o_totalprice * 100)
+                                            AS BIGINT)) AS DOUBLE) / 100.0)
+                       AS BIGINT) AS DECIMAL(18,0)) AS spend
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c.c_custkey, c.c_mktsegment
     ),
@@ -162,8 +163,11 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer lifetime spend per market segment
     — how concentrated revenue is among customers (0 = perfectly
     even, →1 = one whale). Uses the sorted-rank identity
-    G = Σ(2i−n−1)·x_i / (n·Σx_i): spend is floored to a whole-dollar
-    grid (scale-0 decimal) so the numerator and denominator are
+    G = Σ(2i−n−1)·x_i / (n·Σx_i): spend is summed on the BIGINT cents
+    lattice (DESIGN §21 rule 3 — no double→decimal cast on either
+    engine) then floored to a whole-dollar grid (exact: non-divisible
+    cents/100 sits ≥0.01 from any integer, ≫ double error; scale-0
+    decimal after that) so the numerator and denominator are
     decimal-EXACT integers below 2^53 — the bound that keeps the
     decimal→double cast single-rounded on both engines (DuckDB's
     hugeint cast path multi-rounds above it) — and the only float
@@ -181,7 +185,13 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
-            F.floor(F.sum(F.col("o_totalprice").cast("decimal(30,8)")))
+            F.floor(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            )
+            .cast("bigint")
             .cast("decimal(18,0)")
             .alias("spend")
         )

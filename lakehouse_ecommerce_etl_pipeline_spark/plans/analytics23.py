@@ -579,7 +579,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT event_id, user_id, ts, value,
-             CAST(value AS DECIMAL(12,4)) AS vq
+             CAST(ROUND(value * 100) AS BIGINT) AS vq
       FROM events
     ),
     w AS (
@@ -592,7 +592,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, user_id, ts, value, n_prior,
-           CAST(s AS DOUBLE) AS win_sum
+           CAST(CAST(s AS BIGINT) AS DOUBLE) / 100.0 AS win_sum
     FROM w
     WHERE n_prior >= 10
       AND (n_prior * vq - s) * (n_prior * vq - s)
@@ -603,16 +603,19 @@ def q_trailing_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly flag: an event is anomalous when its
     value sits more than 3σ from the mean of the user's previous ≤20
     events. The decision is the cross-multiplied inequality
-    ``(n·v − Σv)² > 9·(n·Σv² − (Σv)²)`` over DECIMAL(12,4)-quantized
-    values — exact rational algebra (worst intermediate ≈ decimal
-    (35,8), inside the 38 cap), never a float-vs-float threshold; the
-    windowed z-score cousin of the global q_anomaly_zscore.
+    ``(n·v − Σv)² > 9·(n·Σv² − (Σv)²)`` over BIGINT integer-cents
+    values (DESIGN §21 rule 3 — the inequality is homogeneous of
+    degree 2 in the value scale, so the ×100 lattice preserves it
+    EXACTLY; worst intermediate ≈ 1.6e11 ≪ 2^63 since the frame is
+    capped at 20 rows) — exact integer algebra, never a
+    float-vs-float threshold; the windowed z-score cousin of the
+    global q_anomaly_zscore.
 
     100 TB: one shuffle on user_id; the 20-row trailing frame keeps
     window state O(1) per row. This is the batch twin of a stateful
     streaming detector (transformWithState carrying the same two
     running moments)."""
-    vq = F.col("value").cast("decimal(12,4)")
+    vq = F.round(F.col("value") * 100).cast("bigint")
     tw = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -638,6 +641,6 @@ def q_trailing_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             "value",
             "n_prior",
-            F.col("s").cast("double").alias("win_sum"),
+            (F.col("s").cast("double") / F.lit(100.0)).alias("win_sum"),
         )
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.operators.aggregates import (
+    cents,
     davg,
     dsum,
     sql_davg,
@@ -71,7 +72,9 @@ def q_return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_lines,
            {sql_dsum("l_quantity", "total_qty")},
            {sql_davg("l_quantity", "avg_qty")},
-           {sql_dsum("l_extendedprice * (1 - l_discount)", "net_revenue")}
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS net_revenue
     FROM lineitem
     GROUP BY 1
     """,
@@ -80,16 +83,21 @@ def q_discount_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discount-depth profile: line volume, quantity, and net revenue
     per integer discount percent (FLOOR of the cent-scaled rate) —
     the descriptive grid a discount-effectiveness review reads first
-    (does deeper discounting move more units?). Net revenue applies
-    the discount BEFORE quantization: the product of two stored
-    doubles is the same IEEE value on both engines, and the decimal
-    sum of those identical products is associative.
+    (does deeper discounting move more units?). Net revenue runs on
+    the exact integer product lattice (DESIGN §21 rule 3): price
+    snaps to cents, discount to basis points (both bare 2-dp values,
+    never near a ROUND tie), and cents × (100 − bp) is an exact
+    int64 in 1e-4-dollar units — no double product is ever rounded
+    at a data-dependent digit, so both engines agree bit-for-bit
+    regardless of their double→decimal conversion builds.
 
-    100 TB: one map-side-combined aggregate over ~11 bands; the
-    elasticity regression (q_groupwise_regression) consumes this grid
-    directly."""
+    100 TB: one map-side-combined aggregate over ~11 bands; per-band
+    sums ≈ 6e18 < 2^63 even at 6e10 rows.  The elasticity regression
+    (q_groupwise_regression) consumes this grid directly."""
     band = F.floor(F.col("l_discount") * 100).cast("bigint")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    net4 = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    )
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy(band.alias("discount_pct"))
@@ -97,7 +105,9 @@ def q_discount_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             dsum("l_quantity", "total_qty"),
             davg("l_quantity", "avg_qty"),
-            dsum(net, "net_revenue"),
+            (F.sum(net4).cast("double") / F.lit(10000.0)).alias(
+                "net_revenue"
+            ),
         )
     )
 

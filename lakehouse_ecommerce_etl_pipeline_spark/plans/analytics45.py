@@ -96,7 +96,8 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT o_orderdate AS day,
-             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,8))) / 1000)
+             CAST(FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                             AS DOUBLE) / 100000.0)
                   AS BIGINT) AS rev_k
       FROM orders GROUP BY o_orderdate
     ),
@@ -124,8 +125,11 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weekly-seasonality diagnostic read before choosing a seasonal
     model (the ACF spike at 7 is what justifies
     q_backtest_seasonal_naive's lag).  Daily revenue is quantized to
-    thousands (exact decimal floor-division on both engines) so every
-    Pearson moment is an int64 sum; the correlation is assembled ONCE
+    thousands via the BIGINT cents lattice (DESIGN §21 rule 3:
+    cents sum exact int64; /100000.0 is one correctly-rounded IEEE
+    division — a non-divisible quotient sits ≥1e-5 from any integer,
+    ≫ double error, so FLOOR is exact and identical on both engines)
+    so every Pearson moment is an int64 sum; the correlation is assembled ONCE
     from identical integers — IEEE multiply/divide/sqrt are
     correctly rounded, so the double matches bit-for-bit.
 
@@ -145,7 +149,10 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").alias("day"))
         .agg(
             F.floor(
-                F.sum(F.col("o_totalprice").cast("decimal(30,8)")) / 1000
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100000.0)
             )
             .cast("bigint")
             .alias("rev_k")

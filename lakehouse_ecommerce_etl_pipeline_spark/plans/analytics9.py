@@ -36,7 +36,8 @@ _US_PER_HOUR = 3_600_000_000
     WITH hourly AS (
       SELECT user_id, epoch_us(ts) // {_US_PER_HOUR} AS h,
              COUNT(*) AS n_obs,
-             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS hsum
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS hsum
       FROM events GROUP BY user_id, h
     ),
     spans AS (
@@ -80,9 +81,12 @@ def q_gapfill_locf(spark, sf_dir):
         .groupBy("user_id", "h")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.sum(F.col("value").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("hsum"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("hsum"),
         )
     )
     grid = (
