@@ -781,8 +781,8 @@ def q_weighted_avg(spark, sf_dir):
       SELECT o_custkey,
              CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 2 END
                AS period,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
-               AS monetary
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS monetary
       FROM orders GROUP BY 1, 2
     ),
     q AS (
@@ -825,9 +825,12 @@ def q_quintile_transition(spark, sf_dir):
             .alias("period"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("monetary")
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("monetary")
         )
     )
     w = Window.partitionBy("period").orderBy(F.desc("monetary"), "o_custkey")

@@ -151,8 +151,8 @@ def q_props_map_explode(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
-             AS total_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_price
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -161,10 +161,11 @@ def q_props_map_explode(spark, sf_dir):
 def q_incremental_agg_merge(spark, sf_dir):
     """Incremental aggregate maintenance: partial aggregates computed
     on the standing data (orders before 1998) and on a new batch
-    (orders from 1998 on) are MERGED — counts summed, decimal sums
-    summed — instead of recomputing from scratch. The oracle is the
-    from-scratch full aggregate: decimal sums are associative, so
-    merge-of-partials is bit-identical to recompute.
+    (orders from 1998 on) are MERGED — counts summed, integer-cents
+    sums summed — instead of recomputing from scratch. The oracle is
+    the from-scratch full aggregate: int64 cents sums are associative
+    (DESIGN §21 rule 3), so merge-of-partials is bit-identical to
+    recompute on any engine build.
 
     100 TB: this is how materialized aggregates stay fresh — each
     batch contributes one tiny partial-agg table (O(groups) rows) and
@@ -178,7 +179,9 @@ def q_incremental_agg_merge(spark, sf_dir):
     def partial(df):
         return df.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("dsum"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
         )
 
     base = partial(orders.filter(F.col("o_orderdate") < cutoff))
@@ -188,7 +191,9 @@ def q_incremental_agg_merge(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_orders"),
-            F.sum("dsum").cast("double").alias("total_price"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias(
+                "total_price"
+            ),
         )
         .orderBy("o_orderpriority")
     )

@@ -17,15 +17,24 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
-# decimal-exact revenue term: extendedprice * (1 - discount)
-_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
-_REV_SQL = f"CAST(SUM({_REV}) AS DOUBLE)"
+# Exact integer revenue lattice (DESIGN §21 rule 3): price snaps to
+# cents, discount to basis points — both bare 2-dp double columns, so
+# ROUND(x*100) is never near a tie — and cents × (100 − bp) is an
+# exact int64 in 1e-4-dollar units.  SUM is associative int64; one
+# /10000.0 descale at the end.  No double→decimal cast on either
+# engine (the shape whose rounding path is engine-build-sensitive).
+_REV = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+_REV_SQL = f"CAST(SUM({_REV}) AS DOUBLE) / 10000.0"
 
 
 def _rev_col():
-    return (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    """Revenue in exact 1e-4-dollar int64 units; descale the SUM by
+    10000.0 (see _REV_SQL)."""
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
     )
 
 
@@ -57,7 +66,11 @@ def q_tpch_q3_shipping_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg(
+            (F.sum(_rev_col()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -104,15 +117,20 @@ def q_tpch_q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg(
+            (F.sum(_rev_col()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
     )
 
 
 @register(
     "q_tpch_q6_forecast_revenue",
     oracle=f"""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -132,12 +150,13 @@ def q_tpch_q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * F.col("l_discount").cast("decimal(4,2)")
-            )
-            .cast("double")
-            .alias("revenue")
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * F.round(F.col("l_discount") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
         )
     )
 
@@ -202,7 +221,11 @@ def q_tpch_q10_returned_items(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg(
+            (F.sum(_rev_col()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)

@@ -9,15 +9,19 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
+# Exact integer revenue TERM in 1e-4-dollar int64 units (DESIGN §21
+# rule 3, see plans/tpch.py): cents × (100 − basis points), no
+# double→decimal cast on either engine.  Plain revenue sums descale
+# by /10000.0; ratios of two sums leave the 1e4 factors to cancel.
 _REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
 )
 
 
 def _rev_col():
-    return (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
     )
 
 
@@ -57,21 +61,23 @@ def q_tpch_q14_promo_share(spark, sf_dir):
     "q_tpch_q18_large_volume",
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE) AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
-    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 120
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 120
     """,
 )
 def q_tpch_q18_large_volume(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): fact-fact join + grouped
-    HAVING on an exact decimal quantity sum."""
+    HAVING on an exact int64 quantity sum (l_quantity is
+    integer-valued; a double→BIGINT cast of an exact integer is
+    portable — DESIGN §21 rule 3)."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    qty = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+    qty = F.sum(F.col("l_quantity").cast("bigint"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -87,7 +93,7 @@ def q_tpch_q18_large_volume(spark, sf_dir):
     oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -127,7 +133,11 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
     return (
         j.filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg(
+            (F.sum(_rev_col()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
     )
 
 
@@ -158,7 +168,7 @@ def q_tpch_q12_late_lines(spark, sf_dir):
 @register(
     "q_tpch_q19_brand_revenue",
     oracle=f"""
-    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -183,4 +193,6 @@ def q_tpch_q19_brand_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
            & F.col("l_quantity").between(20, 30))
     )
-    return j.filter(cond).agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    return j.filter(cond).agg(
+        (F.sum(_rev_col()).cast("double") / F.lit(10000.0)).alias("revenue")
+    )

@@ -16,14 +16,17 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import load
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
+# Exact integer revenue TERM in 1e-4-dollar int64 units (DESIGN §21
+# rule 3, see plans/tpch.py): no double→decimal cast on either engine.
 _REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
 )
 
 
 def _rev_col():
-    return F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
     )
 
 
@@ -161,11 +164,11 @@ def q_tpch_q8_market_share(spark, sf_dir):
     "q_tpch_q9_product_profit",
     oracle="""
     SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
-                    - CAST(p.p_retailprice AS DECIMAL(12,2))
-                      * CAST(l.l_quantity AS DECIMAL(8,2))) AS DOUBLE)
-             AS sum_profit
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                    - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                      * 100 * CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_profit
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -179,9 +182,10 @@ def q_tpch_q8_market_share(spark, sf_dir):
 def q_tpch_q9_product_profit(spark, sf_dir):
     """TPC-H Q9 adapted (no partsupp → ``p_retailprice`` stands in for
     ``ps_supplycost``): profit on red parts by supplier nation and
-    year. Decimal products sized to the data — (12,2)×(4,2) and
-    (12,2)×(8,2) both stay far under precision 38, so no silent
-    Spark scale reduction (cookbook trap).
+    year. Both product terms run on the exact 1e-4-dollar int64
+    lattice (cents × basis-points and cents × 100 × integer
+    quantity, DESIGN §21 rule 3) — no decimal typing rules, no
+    engine-build-sensitive double→decimal casts.
     """
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -192,9 +196,11 @@ def q_tpch_q9_product_profit(spark, sf_dir):
         .select("p_partkey", "p_retailprice")
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    profit = _rev_col() - F.col("p_retailprice").cast("decimal(12,2)") * F.col(
-        "l_quantity"
-    ).cast("decimal(8,2)")
+    profit = _rev_col() - (
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.lit(100)
+        * F.col("l_quantity").cast("bigint")
+    )
     joined = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -206,7 +212,11 @@ def q_tpch_q9_product_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .agg(
+            (F.sum(profit).cast("double") / F.lit(10000.0)).alias(
+                "sum_profit"
+            )
+        )
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -221,7 +231,7 @@ def q_tpch_q9_product_profit(spark, sf_dir):
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       GROUP BY n.n_name
     )
-    SELECT n_name, CAST(val AS DOUBLE) AS value
+    SELECT n_name, CAST(val AS DOUBLE) / 10000.0 AS value
     FROM per_nation
     WHERE val * 25 > (SELECT SUM(val) FROM per_nation)
     ORDER BY value DESC, n_name
@@ -250,7 +260,10 @@ def q_tpch_q11_important_value_share(spark, sf_dir):
     return (
         per_nation.crossJoin(F.broadcast(total))
         .filter(F.col("val") * 25 > F.col("total"))
-        .select("n_name", F.col("val").cast("double").alias("value"))
+        .select(
+            "n_name",
+            (F.col("val").cast("double") / F.lit(10000.0)).alias("value"),
+        )
         .orderBy(F.col("value").desc(), F.col("n_name"))
     )
 
@@ -307,7 +320,8 @@ def q_tpch_q13_customer_distribution(spark, sf_dir):
         AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l.l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) / 10000.0 AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s.s_suppkey
@@ -316,8 +330,8 @@ def q_tpch_q13_customer_distribution(spark, sf_dir):
 def q_tpch_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
     the max via scalar-subquery equality. The tie comparison runs on
-    exact decimal sums (not doubles), so ``= MAX(...)`` is safe
-    cross-engine; only the output column degrades to double.
+    exact int64 1e-4-dollar sums (not doubles), so ``= MAX(...)`` is
+    safe cross-engine; only the output column degrades to double.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -335,7 +349,9 @@ def q_tpch_q15_top_supplier(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
+            (F.col("total_revenue").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
         )
         .orderBy("s_suppkey")
     )
@@ -350,14 +366,15 @@ def q_tpch_q15_top_supplier(spark, sf_dir):
       WHERE p.p_brand = 'Brand#13'
     ), stats AS (
       SELECT l_partkey,
-             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
              COUNT(*) AS cnt
       FROM li GROUP BY l_partkey
     )
-    SELECT CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(ROUND(li.l_extendedprice * 100) AS BIGINT))
+                     AS DOUBLE) / 100.0
                 / 7.0 AS DOUBLE) AS avg_yearly
     FROM li JOIN stats ON li.l_partkey = stats.l_partkey
-    WHERE CAST(li.l_quantity AS DECIMAL(12,2)) * 5 * stats.cnt < stats.sum_qty
+    WHERE CAST(li.l_quantity AS BIGINT) * 5 * stats.cnt < stats.sum_qty
     """,
 )
 def q_tpch_q17_small_quantity_revenue(spark, sf_dir):
@@ -365,8 +382,9 @@ def q_tpch_q17_small_quantity_revenue(spark, sf_dir):
     of their part's average quantity. The correlated AVG subquery is
     decorrelated into a window aggregate, and the float threshold
     ``qty < 0.2 * avg`` is algebraically rewritten to
-    ``qty * 5 * cnt < sum_qty`` — pure decimal/integer arithmetic,
-    exact on both engines (no division, no epsilon).
+    ``qty * 5 * cnt < sum_qty`` — pure int64 arithmetic (quantities
+    are integer-valued), exact on both engines (no division, no
+    epsilon, no decimal typing).
 
     Scale: window over l_partkey reuses the shuffle a groupBy would
     need anyway; the part filter broadcasts before the fact scan.
@@ -382,7 +400,7 @@ def q_tpch_q17_small_quantity_revenue(spark, sf_dir):
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
     w = Window.partitionBy("l_partkey")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("bigint")
     with_stats = li.withColumn("sum_qty", F.sum(qty).over(w)).withColumn(
         "cnt", F.count(F.lit(1)).over(w)
     )
@@ -390,7 +408,10 @@ def q_tpch_q17_small_quantity_revenue(spark, sf_dir):
         with_stats.filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
                 / F.lit(7.0)
             ).alias("avg_yearly")
         )
@@ -401,13 +422,14 @@ def q_tpch_q17_small_quantity_revenue(spark, sf_dir):
     "q_tpch_q22_idle_customers",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
-               AS threshold
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS threshold
       FROM customer WHERE c_acctbal > 0
     )
     SELECT n.n_name AS nation,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS totacctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     CROSS JOIN avg_bal
@@ -436,10 +458,16 @@ def q_tpch_q22_idle_customers(spark, sf_dir):
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
-    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    bal = F.round(F.col("c_acctbal") * 100).cast("bigint")
     threshold = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg((F.sum(bal).cast("double") / F.count(F.lit(1))).alias("threshold"))
+        .agg(
+            (
+                F.sum(bal).cast("double")
+                / F.lit(100.0)
+                / F.count(F.lit(1))
+            ).alias("threshold")
+        )
     )
     return (
         c.crossJoin(F.broadcast(threshold))
@@ -449,7 +477,7 @@ def q_tpch_q22_idle_customers(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(bal).cast("double").alias("totacctbal"),
+            (F.sum(bal).cast("double") / F.lit(100.0)).alias("totacctbal"),
         )
         .orderBy("nation")
     )

@@ -60,14 +60,14 @@ def q_tpch_q16_supplier_count(spark, sf_dir):
     oracle="""
     WITH shipped AS (
       SELECT l.l_suppkey,
-             SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       WHERE p.p_name LIKE 'red%'
         AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY l.l_suppkey
-      HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 50
+      HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 50
     )
     SELECT s.s_name, n.n_name AS nation
     FROM supplier s
@@ -99,7 +99,7 @@ def q_tpch_q20_heavy_shippers(spark, sf_dir):
     shipped = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
         .filter(F.col("qty") > 50)
         .select("l_suppkey")
     )
