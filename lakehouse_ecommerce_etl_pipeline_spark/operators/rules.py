@@ -13,7 +13,10 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SUM_DECIMAL = "decimal(30,8)"
+# Moment sums ride the BIGINT integer-cents lattice (DESIGN §21
+# rule 3): the value column must be 2-dp-valued (all money/measure
+# doubles in the driver testdata are), so ROUND(v*100) is exact and
+# the int64 sums are associative and engine-build-portable.
 
 
 @dataclass
@@ -76,19 +79,28 @@ def zscore_outliers(
     whose value deviates > z_threshold sample standard deviations from
     their group mean.
 
-    Moments computed from decimal-exact sums (engine-portable:
-    mean = Σx/n, var = (Σx² − (Σx)²/n)/(n−1) — all from exact decimal
-    Σ, final arithmetic in deterministic IEEE doubles). One aggregate
-    + one broadcastable join back; no window sort needed.
+    Moments computed from exact integer-cents sums (engine-portable,
+    DESIGN §21 rule 3: Σc and Σc² are exact int64 per group — per-key
+    order counts are bounded, so Σc² ≲ 1e17 ≪ 2^63 — and every
+    downstream step is the same IEEE double op on both engines;
+    value_col must be 2-dp-valued). One aggregate + one broadcastable
+    join back; no window sort needed.
     """
     sums = df.groupBy(*partition_by).agg(
         F.count(value_col).alias("__n"),
-        F.sum(F.col(value_col).cast(_SUM_DECIMAL)).cast("double").alias("__s"),
-        F.sum(
-            (F.col(value_col).cast(_SUM_DECIMAL) * F.col(value_col).cast(_SUM_DECIMAL))
-        )
-        .cast("double")
-        .alias("__ss"),
+        (
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("__s"),
+        (
+            F.sum(
+                F.round(F.col(value_col) * 100).cast("bigint")
+                * F.round(F.col(value_col) * 100).cast("bigint")
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("__ss"),
     )
     stats = sums.select(
         *partition_by,

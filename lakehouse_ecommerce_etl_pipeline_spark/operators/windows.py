@@ -19,7 +19,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_SUM_DECIMAL = "decimal(30,8)"
+# Window sums ride the BIGINT integer-cents lattice (DESIGN §21
+# rule 3): exact int64 accumulation under any frame, one /100.0
+# descale — no engine-build-sensitive double→decimal cast.
 
 
 def ranked(
@@ -76,7 +78,9 @@ def running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(
-        alias, F.sum(F.col(col).cast(_SUM_DECIMAL)).over(w).cast("double")
+        alias,
+        F.sum(F.round(F.col(col) * 100).cast("bigint")).over(w).cast("double")
+        / F.lit(100.0),
     )
 
 

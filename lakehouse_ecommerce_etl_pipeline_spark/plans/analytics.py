@@ -314,15 +314,16 @@ def q_window_lag(spark, sf_dir):
     "q_window_frame",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_sum
+             / 100.0 AS running_sum
     FROM events
     """,
 )
 def q_window_frame(spark, sf_dir):
-    """Running frame aggregate, decimal-routed for portability."""
+    """Running frame aggregate on the BIGINT cents lattice
+    (DESIGN §21 rule 3) for engine-build portability."""
     return running_sum(
         load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value"),
         "value",

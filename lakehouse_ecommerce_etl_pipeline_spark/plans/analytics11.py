@@ -30,8 +30,8 @@ WITH RECURSIVE months(m) AS (
 monthly AS (
   SELECT date_trunc('month', o_orderdate) AS m,
          COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
-           AS revenue
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS revenue
   FROM {orders} GROUP BY date_trunc('month', o_orderdate)
 )
 SELECT months.m AS month_start,

@@ -293,7 +293,11 @@ def q_rfm_segments_window_form(spark: SparkSession, sf_dir: str):
 
 # ------------------------------------------------------- ABC classification
 
-_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+# exact 1e-4-dollar int64 revenue term (DESIGN §21 rule 3)
+_REV = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
 
 
 @register(
@@ -304,15 +308,13 @@ _REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL
       FROM lineitem GROUP BY l_partkey
     ),
     c AS (
-      SELECT l_partkey,
-             CAST(rev AS DECIMAL(25,4)) AS rev_d,
-             CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey)
-                  AS DECIMAL(25,4)) AS cum,
-             CAST(SUM(rev) OVER () AS DECIMAL(25,4)) AS total
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+             SUM(rev) OVER () AS total
       FROM r
     )
     SELECT l_partkey,
-           CAST(rev_d AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / 10000.0 AS revenue,
            CASE WHEN cum * 5 <= total * 4 THEN 'A'
                 WHEN cum * 20 <= total * 19 THEN 'B'
                 ELSE 'C' END AS abc_class
@@ -321,21 +323,23 @@ _REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL
 )
 def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC (Pareto) inventory classification: parts ranked by
-    decimal-exact discounted revenue; the cumulative share boundary is
-    decided in integer-scaled decimal algebra (cum*5 <= total*4 is
-    "cumulative share ≤ 80%") — no float threshold anywhere a class
-    label depends on. A = first 80% of revenue, B = next 15%, C = tail.
+    exact integer 1e-4-dollar discounted revenue (DESIGN §21 rule 3);
+    the cumulative share boundary is decided in exact integer algebra
+    (cum*5 <= total*4 is "cumulative share ≤ 80%") — no float
+    threshold anywhere a class label depends on. A = first 80% of
+    revenue, B = next 15%, C = tail.
 
     PRODUCTION PLAN: the cumulative revenue is the boundary-cut
     parallel prefix sum (operators/ranks.py — literal percentile cuts
     of revenue, per-bucket windows, exact decimal offsets); the grand
     total is a 1-row aggregate broadcast back.  No unpartitioned
     window at any grain: a 100 TB part catalog is 10^7-10^8 rows, not
-    a single-reducer dimension.  Bit-equal to the window form (decimal
-    sums are exact under any grouping); twin pytest-pinned, oracle
-    unchanged.  The decimal(25,4) downcast keeps the *5/*20 products
-    inside 38 digits (Spark silently drops scale past 38 — the
-    allowPrecisionLoss trap)."""
+    a single-reducer dimension.  Bit-equal to the window form (int64
+    sums are exact under any grouping); twin pytest-pinned.  The
+    Spark-side DECIMAL(38,0) widening of cum/total before the *5/*20
+    products is pure integer headroom for extreme SF (global 1e-4
+    revenue ≈ 6.6e21 at 100 TB busts int64; the oracle's DuckDB side
+    rides HUGEINT natively — values identical, types immaterial)."""
     from lakehouse_ecommerce_etl_pipeline_spark.operators.ranks import (
         with_global_running_sum,
     )
@@ -343,7 +347,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(F.expr(f"SUM({_REV})").cast("decimal(25,4)").alias("rev_d"))
+        .agg(F.expr(f"SUM({_REV})").alias("rev_d"))
     )
     run = with_global_running_sum(
         r,
@@ -354,15 +358,15 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         descending=True,
         secondary="l_partkey",
     )
-    total = r.agg(F.sum("rev_d").cast("decimal(25,4)").alias("total"))
+    total = r.agg(F.sum("rev_d").cast("decimal(38,0)").alias("total"))
     c = run.select(
         "l_partkey",
         "rev_d",
-        F.col("cum").cast("decimal(25,4)").alias("cum"),
+        F.col("cum").cast("decimal(38,0)").alias("cum"),
     ).crossJoin(F.broadcast(total))
     return c.select(
         "l_partkey",
-        F.col("rev_d").cast("double").alias("revenue"),
+        (F.col("rev_d").cast("double") / F.lit(10000.0)).alias("revenue"),
         F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
         .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
         .otherwise("C")
@@ -383,13 +387,13 @@ def q_abc_classification_window_form(
     wcum = Window.orderBy(F.desc("rev"), "l_partkey")
     c = r.select(
         "l_partkey",
-        F.col("rev").cast("decimal(25,4)").alias("rev_d"),
-        F.sum("rev").over(wcum).cast("decimal(25,4)").alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).cast("decimal(25,4)").alias("total"),
+        F.col("rev").alias("rev_d"),
+        F.sum("rev").over(wcum).cast("decimal(38,0)").alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).cast("decimal(38,0)").alias("total"),
     )
     return c.select(
         "l_partkey",
-        F.col("rev_d").cast("double").alias("revenue"),
+        (F.col("rev_d").cast("double") / F.lit(10000.0)).alias("revenue"),
         F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
         .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
         .otherwise("C")

@@ -193,8 +193,8 @@ def q_integer_islands_window_form(
     oracle="""
     WITH m AS (
       SELECT date_trunc('month', o_orderdate) AS month,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
-               AS revenue
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
       FROM orders GROUP BY 1
     )
     SELECT month, revenue,
@@ -216,9 +216,12 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("revenue")
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue")
         )
     )
     w = Window.orderBy("month")

@@ -34,8 +34,8 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
     "q_salted_aggregate",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
-             AS sum_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price,
            COUNT(*) AS n_lines
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -47,6 +47,7 @@ def q_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums are decimal (associative) and counts are integers,
     the result is bit-identical to the direct group-by — which is the
     oracle. Salting is a *plan* transformation, not a semantics one.
+    Partials ride the BIGINT cents lattice (DESIGN §21 rule 3).
 
     100 TB: the direct group-by on a 3-value key funnels the whole
     table through 3 reducers; salting caps per-reducer input at
@@ -62,12 +63,14 @@ def q_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", salt, "l_extendedprice")
         .groupBy("l_returnflag", "salt")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).alias("ps"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("ps"),
             F.count(F.lit(1)).alias("pn"),
         )
     )
     return partial.groupBy("l_returnflag").agg(
-        F.sum("ps").cast("double").alias("sum_price"),
+        (F.sum("ps").cast("double") / F.lit(100.0)).alias("sum_price"),
         F.sum("pn").alias("n_lines"),
     )
 
@@ -78,48 +81,68 @@ def q_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_winsorized_mean",
     oracle="""
-    WITH q AS (
-      SELECT c_mktsegment,
-             quantile_cont(c_acctbal, 0.05) AS p05,
-             quantile_cont(c_acctbal, 0.95) AS p95
-      FROM customer GROUP BY c_mktsegment
+    WITH b AS (
+      SELECT c_mktsegment, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
     ),
-    w AS (
-      SELECT c.c_mktsegment,
-             least(greatest(c.c_acctbal, q.p05), q.p95) AS clamped
-      FROM customer c JOIN q USING (c_mktsegment)
+    q AS (
+      SELECT c_mktsegment,
+             quantile_cont(cents, 0.05) AS p05c,
+             quantile_cont(cents, 0.95) AS p95c
+      FROM b GROUP BY c_mktsegment
     )
-    SELECT c_mktsegment,
-           CAST(SUM(CAST(clamped AS DECIMAL(30,8))) AS DOUBLE)
-             / COUNT(clamped) AS winsorized_mean,
+    SELECT b.c_mktsegment,
+           (CAST(CAST(SUM(CASE WHEN b.cents > q.p05c AND b.cents < q.p95c
+                               THEN b.cents ELSE 0 END) AS BIGINT) AS DOUBLE)
+            + SUM(CASE WHEN b.cents <= q.p05c THEN 1 ELSE 0 END) * q.p05c
+            + SUM(CASE WHEN b.cents >= q.p95c THEN 1 ELSE 0 END) * q.p95c)
+             / 100.0 / COUNT(*) AS winsorized_mean,
            COUNT(*) AS n_customers
-    FROM w GROUP BY c_mktsegment
+    FROM b JOIN q USING (c_mktsegment)
+    GROUP BY b.c_mktsegment, q.p05c, q.p95c
     """,
 )
 def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean per segment: clamp balances into [p05, p95]
-    (exact interpolated percentiles), then a decimal-exact mean of the
-    clamped values — the estimator-side robustness companion to the
-    detection-side q_median_mad_outliers. least/greatest over
-    identical doubles is deterministic on both engines.
+    (exact interpolated percentiles over integer CENTS), then an
+    exact mean via the boundary split (DESIGN §21 rule 3): interior
+    values sum as exact int64 cents; clamped tails contribute
+    count × bound, where the interpolated bound is the same IEEE
+    double on both engines — so the whole mean is a handful of
+    identical float ops over exact integers.  The estimator-side
+    robustness companion to q_median_mad_outliers.
 
     100 TB: one percentile pass (swap in approx_percentile sketches
     at scale), one broadcast of the 5-row bounds table, one
     map-side-combined aggregate — the clamp never shuffles raw rows."""
-    cust = load(spark, sf_dir, "customer")
-    q = cust.groupBy("c_mktsegment").agg(
-        F.percentile("c_acctbal", 0.05).alias("p05"),
-        F.percentile("c_acctbal", 0.95).alias("p95"),
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
     )
-    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95"))
+    q = cust.groupBy("c_mktsegment").agg(
+        F.percentile("cents", 0.05).alias("p05c"),
+        F.percentile("cents", 0.95).alias("p95c"),
+    )
+    interior = F.sum(
+        F.when(
+            (F.col("cents") > F.col("p05c")) & (F.col("cents") < F.col("p95c")),
+            F.col("cents"),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    n_lo = F.sum(F.when(F.col("cents") <= F.col("p05c"), 1).otherwise(0))
+    n_hi = F.sum(F.when(F.col("cents") >= F.col("p95c"), 1).otherwise(0))
     return (
         cust.join(F.broadcast(q), "c_mktsegment")
-        .select("c_mktsegment", clamped.alias("clamped"))
         .groupBy("c_mktsegment")
         .agg(
             (
-                F.sum(F.col("clamped").cast("decimal(30,8)")).cast("double")
-                / F.count("clamped")
+                (
+                    interior.cast("double")
+                    + n_lo * F.first("p05c")
+                    + n_hi * F.first("p95c")
+                )
+                / F.lit(100.0)
+                / F.count(F.lit(1))
             ).alias("winsorized_mean"),
             F.count(F.lit(1)).alias("n_customers"),
         )

@@ -273,7 +273,8 @@ def q_percentile_approx(spark, sf_dir):
       SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value FROM events
     )
     SELECT ws AS window_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM starts GROUP BY ws
     """,
 )

@@ -491,9 +491,9 @@ def q_feature_moments(spark, sf_dir):
     "q_sql_udf",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-             AS net_revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS net_revenue,
            COUNT(*) AS n_lines
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -503,8 +503,9 @@ def q_sql_udf(spark, sf_dir):
     RETURN expr`): the net-price formula is declared ONCE as catalog
     DDL and reused by name — the engine's answer to the reference's
     copy-pasted per-job expressions (the same formula appears inline
-    in all three Glue jobs). Declared with a DECIMAL return type so
-    aggregation over it stays exact; the oracle inlines the body,
+    in all three Glue jobs). Declared to return the exact
+    1e-4-dollar int64 lattice (DESIGN §21 rule 3) so aggregation over
+    it stays exact and engine-build-portable; the oracle inlines the body,
     proving SQL UDFs are pure macro expansion (Catalyst inlines them
     — zero runtime cost, unlike Python UDFs).
 
@@ -520,8 +521,9 @@ def q_sql_udf(spark, sf_dir):
     ensure_session_defaults(spark)
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
-        "RETURNS DECIMAL(17,4) "
-        "RETURN CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(4,2)))"
+        "RETURNS BIGINT "
+        "RETURN CAST(ROUND(p * 100) AS BIGINT) "
+        "* (100 - CAST(ROUND(d * 100) AS BIGINT))"
     )
     load(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "sql_udf_lineitem"
@@ -530,7 +532,7 @@ def q_sql_udf(spark, sf_dir):
         """
         SELECT l_returnflag,
                CAST(SUM(net_price(l_extendedprice, l_discount)) AS DOUBLE)
-                 AS net_revenue,
+                 / 10000.0 AS net_revenue,
                COUNT(*) AS n_lines
         FROM sql_udf_lineitem GROUP BY l_returnflag
         """

@@ -49,7 +49,8 @@ from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
     )
     SELECT window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM assigned GROUP BY window_start, event_type
     """,
 )
@@ -90,7 +91,8 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 20 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -132,20 +134,22 @@ def q_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH nat AS (
       SELECT n.n_regionkey, c.c_nationkey,
-             {sql_dsum("o.o_totalprice", "nation_revenue")}
+             {sql_dsum("o.o_totalprice", "nation_revenue")},
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS nation_cents
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY n.n_regionkey, c.c_nationkey
     )
     SELECT r.r_name AS region, n.n_name AS nation, nat.nation_revenue,
-           CAST(CAST(SUM(CAST(nat.nation_revenue AS DECIMAL(30,8)))
-                     OVER (PARTITION BY nat.n_regionkey) AS DECIMAL(30,8))
-                AS DOUBLE) AS region_revenue,
+           CAST(CAST(SUM(nat.nation_cents)
+                     OVER (PARTITION BY nat.n_regionkey) AS BIGINT)
+                AS DOUBLE) / 100.0 AS region_revenue,
            nat.nation_revenue /
-           CAST(CAST(SUM(CAST(nat.nation_revenue AS DECIMAL(30,8)))
-                     OVER (PARTITION BY nat.n_regionkey) AS DECIMAL(30,8))
-                AS DOUBLE) AS share_of_region
+           (CAST(CAST(SUM(nat.nation_cents)
+                      OVER (PARTITION BY nat.n_regionkey) AS BIGINT)
+                 AS DOUBLE) / 100.0) AS share_of_region
     FROM nat
     JOIN nation n ON n.n_nationkey = nat.c_nationkey
     JOIN region r ON r.r_regionkey = nat.n_regionkey
@@ -153,10 +157,11 @@ def q_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent in the geography hierarchy: each nation's
-    revenue share within its region. Nation revenues are decimal-exact
-    sums (already dyadic doubles); the region total re-quantizes them
-    through DECIMAL(30,8) so the parent sum is associative, and the
-    share is one IEEE division of two identical doubles.
+    revenue share within its region. Nation revenues ride the BIGINT
+    integer-cents lattice (DESIGN §21 rule 3); the region total sums
+    the child CENTS (exact int64, associative — never re-quantizes a
+    double), and the share is one IEEE division of two identical
+    doubles.
 
     100 TB: the fact aggregate shuffles once on (region, nation) — a
     tiny grouped domain after the broadcast dimension joins; the
@@ -171,13 +176,19 @@ def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
         .groupBy("n_regionkey", "c_nationkey")
-        .agg(dsum("o_totalprice", "nation_revenue"))
+        .agg(
+            dsum("o_totalprice", "nation_revenue"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("nation_cents"),
+        )
     )
     region_total = (
-        F.sum(F.col("nation_revenue").cast("decimal(30,8)"))
+        F.sum(F.col("nation_cents"))
         .over(Window.partitionBy("n_regionkey"))
-        .cast("decimal(30,8)")
+        .cast("bigint")
         .cast("double")
+        / F.lit(100.0)
     )
     return (
         nat.join(

@@ -116,8 +116,9 @@ def q_having(spark, sf_dir):
     "q_subquery_scalar",
     oracle="""
     SELECT o_orderkey,
-           o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
-                                       AS DOUBLE) / COUNT(*) FROM orders)
+           o_totalprice - (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                                AS BIGINT)) AS DOUBLE)
+                                  / 100.0 / COUNT(*) FROM orders)
              AS diff_from_mean
     FROM orders
     """,
@@ -129,8 +130,9 @@ def q_subquery_scalar(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderkey,
-               o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
-                                           AS DOUBLE) / COUNT(*) FROM orders_sq)
+               o_totalprice - (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                                    AS BIGINT)) AS DOUBLE)
+                                      / 100.0 / COUNT(*) FROM orders_sq)
                  AS diff_from_mean
         FROM orders_sq
         """

@@ -132,8 +132,8 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
-               AS revenue
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     preds AS (
@@ -180,9 +180,12 @@ def q_backtest_seasonal_naive(
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("revenue")
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue")
         )
     )
     from pyspark.sql import Window

@@ -120,7 +120,7 @@ def q_nested_denormalize_explode(
     oracle="""
     WITH per_order AS (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                AS total_qty,
              CAST(COUNT(*) AS INT) AS n_items
       FROM lineitem GROUP BY l_orderkey
@@ -155,8 +155,7 @@ def q_nested_field_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.size("qtys").alias("n_items"),
         F.expr(
-            "CAST(aggregate(qtys, CAST(0 AS DECIMAL(30,8)),"
-            " (acc, x) -> CAST(acc + CAST(x AS DECIMAL(30,8))"
-            " AS DECIMAL(30,8))) AS DOUBLE)"
+            "CAST(aggregate(qtys, CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + CAST(x AS BIGINT)) AS DOUBLE)"
         ).alias("total_qty"),
     )

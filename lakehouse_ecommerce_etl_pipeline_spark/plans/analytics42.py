@@ -69,8 +69,8 @@ def _build_dirty_csv(spark, sf_dir, src, path):
            CAST(COUNT(*) AS BIGINT) AS n_good,
            CAST({_N_BAD} AS BIGINT) AS n_corrupt,
            CAST(COUNT(*) AS BIGINT) AS n_dropmalformed,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
-             AS sum_good_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_good_price
     FROM orders
     """,
 )
@@ -124,9 +124,12 @@ def q_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_good"),
         F.lit(corrupt.count()).cast("bigint").alias("n_corrupt"),
         F.lit(n_dropped).cast("bigint").alias("n_dropmalformed"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-        .cast("double")
-        .alias("sum_good_price"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("sum_good_price"),
     )
     out = out.localCheckpoint(eager=True)
     permissive.unpersist()
@@ -185,8 +188,8 @@ def _build_dirty_json(spark, sf_dir, src, path):
     SELECT CAST(COUNT(*) + {_N_BAD_J} AS BIGINT) AS n_lines,
            CAST(COUNT(*) AS BIGINT) AS n_good,
            CAST({_N_BAD_J} AS BIGINT) AS n_corrupt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
-             AS sum_good_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_good_price
     FROM orders
     """,
 )
@@ -222,9 +225,12 @@ def q_json_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) + F.lit(n_corrupt)).cast("bigint").alias("n_lines"),
         F.count(F.lit(1)).cast("bigint").alias("n_good"),
         F.lit(n_corrupt).cast("bigint").alias("n_corrupt"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-        .cast("double")
-        .alias("sum_good_price"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("sum_good_price"),
     )
     out = out.localCheckpoint(eager=True)
     parsed.unpersist()

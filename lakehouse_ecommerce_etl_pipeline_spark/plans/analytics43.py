@@ -189,8 +189,8 @@ def q_also_bought_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
-               AS revenue
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
       FROM orders GROUP BY CAST(o_orderdate AS DATE),
                            dayofweek(o_orderdate)
     ),
@@ -242,9 +242,12 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofweek("o_orderdate").cast("int").alias("dow"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("revenue")
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue")
         )
     )
     w7 = Window.orderBy("d").rowsBetween(-3, 3)

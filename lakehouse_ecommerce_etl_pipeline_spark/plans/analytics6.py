@@ -21,10 +21,10 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
     "q_window_time_range",
     oracle="""
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS trailing_1h_value
+           ) AS DOUBLE) / 100.0 AS trailing_1h_value
     FROM events
     """,
 )
@@ -32,7 +32,8 @@ def q_window_time_range(spark, sf_dir):
     """Trailing one-hour sum per user — a RANGE (value-based) window
     frame, distinct from the ROWS frames elsewhere in the corpus: the
     frame extends to every peer within 3.6e9 microseconds, however
-    many rows that is. Decimal-exact accumulation under the frame.
+    many rows that is. Exact int64 cents accumulation under the
+    frame (DESIGN §21 rule 3).
 
     Scale: partitions by user (high cardinality) — one shuffle, then
     a per-key sort the range frame scans once with two pointers; no
@@ -47,10 +48,12 @@ def q_window_time_range(spark, sf_dir):
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(30,8)"))
-        .over(w)
-        .cast("double")
-        .alias("trailing_1h_value"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .over(w)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("trailing_1h_value"),
     )
 
 

@@ -56,24 +56,26 @@ def q_rule_validation(spark, sf_dir):
     "q_enrich_derived",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS item_total
+           CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS item_total
     FROM lineitem
     """,
 )
 def q_enrich_derived(spark, sf_dir):
     """Derived enrichment (docs:152): the TPC-H charged-amount formula
-    as an exact decimal computation. Input precisions are sized to the
-    data (prices 2 dp, rates 2 dp) so the 3-factor product stays under
-    DECIMAL(38) — oversized casts overflow precision and trigger
-    Spark's silent scale reduction, which diverges from other engines."""
+    on the exact integer lattice (DESIGN §21 rule 3): cents ×
+    (100 − discount bp) × (100 + tax bp) is an exact int64 in
+    1e-6-dollar units (≤ ~1.1e11 per row, exactly representable in
+    double), descaled once — no decimal typing rules on either
+    engine."""
     li = load(spark, sf_dir, "lineitem")
     item_total = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-        * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
-    ).cast("double")
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("bigint"))
+    ).cast("double") / F.lit(1000000.0)
     return with_derived(li, {"item_total": item_total}).select(
         "l_orderkey", "l_linenumber", "item_total"
     )
@@ -85,9 +87,11 @@ def q_enrich_derived(spark, sf_dir):
     WITH stats AS (
       SELECT o_custkey,
              COUNT(o_totalprice) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS s,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))
-                      * CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS ss
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS s,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      * CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 10000.0 AS ss
       FROM orders GROUP BY o_custkey
     )
     SELECT o.o_orderkey, o.o_custkey,
@@ -99,7 +103,7 @@ def q_enrich_derived(spark, sf_dir):
 )
 def q_anomaly_zscore(spark, sf_dir):
     """Anomaly detection on ordering behavior (docs:153): per-customer
-    z-scores from decimal-exact moments (one aggregate + broadcast
+    z-scores from exact integer-cents moments (one aggregate + broadcast
     join back — no window sort)."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     flagged = zscore_outliers(o, "o_totalprice", ["o_custkey"], z_threshold=3.0)

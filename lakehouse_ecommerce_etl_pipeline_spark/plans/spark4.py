@@ -126,8 +126,9 @@ def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY l_returnflag
@@ -149,10 +150,11 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         FROM lineitem_pipe
         |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> EXTEND CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                  AS disc4
         |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_lines,
-                     CAST(SUM(CAST(disc_price AS DECIMAL(30,8)))
-                          AS DOUBLE) AS revenue
+                     CAST(SUM(disc4) AS DOUBLE) / 10000.0 AS revenue
            GROUP BY l_returnflag
         """
     ).select("l_returnflag", "n_lines", "revenue")

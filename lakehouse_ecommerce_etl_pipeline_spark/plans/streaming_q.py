@@ -17,7 +17,8 @@ from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -130,7 +131,8 @@ def q_stream_transform_with_state(spark, sf_dir):
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -149,7 +151,8 @@ def q_stream_session_window(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,

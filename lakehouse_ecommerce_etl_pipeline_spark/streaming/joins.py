@@ -23,7 +23,10 @@ from lakehouse_ecommerce_etl_pipeline_spark.functions.timestamps import (
 )
 from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import _as_stream_dir
 
-_SUM_DECIMAL = "decimal(30,8)"
+# Exact engine-portable value sums: BIGINT integer-cents lattice
+# (DESIGN §21 rule 3; events.value is 2-dp-valued, so ROUND(v*100) is
+# never near a tie) — int64 partial sums stay associative across
+# micro-batches and engine builds; descale once at the end.
 
 
 def _events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -62,7 +65,12 @@ def stream_static_enrich_agg(
     )
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(_SUM_DECIMAL)).cast("double").alias("sum_value"),
+        (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("sum_value"),
     )
     return _drain(agg, "complete", "stream_enrich")
 

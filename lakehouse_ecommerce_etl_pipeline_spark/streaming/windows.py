@@ -20,7 +20,10 @@ from lakehouse_ecommerce_etl_pipeline_spark.functions.timestamps import (
     normalize_nanos_timestamps,
 )
 
-_SUM_DECIMAL = "decimal(30,8)"
+# Exact engine-portable value sums: BIGINT integer-cents lattice
+# (DESIGN §21 rule 3; events.value is 2-dp-valued, so ROUND(v*100) is
+# never near a tie) — int64 partial sums stay associative across
+# micro-batches and engine builds; descale once at the end.
 
 
 def _as_stream_dir(path: str) -> str:
@@ -68,7 +71,12 @@ def tumbling_agg_stream(
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_SUM_DECIMAL)).cast("double").alias("sum_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -154,7 +162,12 @@ def session_agg_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_SUM_DECIMAL)).cast("double").alias("sum_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             key_col,
@@ -221,7 +234,12 @@ def sliding_agg_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_SUM_DECIMAL)).cast("double").alias("sum_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -392,15 +392,13 @@ def _int_lit_mult(node: ast.AST) -> bool:
 # without re-triage).  Every entry must state WHY the shape is safe;
 # any edit to the named function changes the hash and forces
 # re-triage (the audit reports a stale-hash offence).
-_TRIAGED_OK = {
-    # The int-lit product (2*i - n - 1) multiplies row_number ints
-    # and scale-0 decimals (decimal(10,0) × decimal(18,0) — exact,
-    # identically typed on both engines); the wide decimal(30,8)
-    # cast is confined inside floor(sum(...)) → decimal(18,0) and
-    # never appears in a product.  No int × DECIMAL(p≥30,s>0) term.
-    # Value = sha256[:16] of the function's source segment; stale
-    # hash → the audit flags the function for re-triage.
-    ("analytics21.py", "q_gini_spend"): "37cfa989e829163f",
+_TRIAGED_OK: dict[tuple[str, str], str] = {
+    # EMPTY since round 11: the one former entry (q_gini_spend's
+    # int-lit × scale-0-decimal pairing) was retired when the whole
+    # registry moved onto integer lattices.  Entry format:
+    # (module basename, function name) → sha256[:16] of the
+    # function's source segment; a stale hash is REPORTED for
+    # re-triage, never silently excused.
 }
 
 

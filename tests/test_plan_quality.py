@@ -680,8 +680,9 @@ def test_numeric_portability_python_detector(tmp_path):
 
 def test_numeric_portability_registry_clean():
     """DESIGN §21 gate: zero int x wide-decimal product offences
-    across all 409 oracles and all plan modules (q_gini_spend's
-    triaged pairing is allowlisted in the audit with rationale)."""
+    across all 409 oracles and all plan modules (the allowlist has
+    been EMPTY since the round-11 integer-lattice sweep; py_offences
+    also applies rule 3 to plan modules)."""
     npa = _import_numeric_audit()
     from lakehouse_ecommerce_etl_pipeline_spark import plans as _p
 
@@ -731,3 +732,140 @@ def test_numeric_portability_rule2_shapes():
     SELECT u * v FROM a
     """
     assert npa.sql_offences(safe) == []
+
+
+def test_numeric_portability_rule3_shapes():
+    """Rule 3 (round 11 — the shape that shipped THROUGH the r10
+    audit's 0-offence report and became q_kfold_assign, the driver's
+    one red row in CORRECTNESS_r10): any CAST of a double-typed source
+    column to DECIMAL(p,s) in an oracle must flag; the BIGINT
+    integer-cents lattice and the CAST(FLOOR(..) AS DECIMAL(p,0))
+    exactness carve-out must NOT flag."""
+    npa = _import_numeric_audit()
+
+    # the literal r10 red-row shape (old q_kfold_assign oracle)
+    kfold_old = """
+    SELECT fold, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                AS DECIMAL(38,8)) AS sum_price
+    FROM f GROUP BY fold
+    """
+    offs = npa.rule3_sql_offences(kfold_old)
+    assert any("o_totalprice" in o for o in offs), offs
+
+    # the r11 fix: cents lattice — integer-cast subtree is masked
+    kfold_new = """
+    SELECT fold, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM f GROUP BY fold
+    """
+    assert npa.rule3_sql_offences(kfold_new) == []
+
+    # FLOOR exactness carve-out: scale-0 cast of an integer-valued
+    # FLOOR is deterministic on any build
+    floor_ok = """
+    SELECT CAST(FLOOR(l_quantity) AS DECIMAL(18,0)) AS x,
+           CAST(FLOOR(l_extendedprice / 100) AS DECIMAL(18,0)) AS y
+    FROM lineitem
+    """
+    assert npa.rule3_sql_offences(floor_ok) == []
+
+    # but a BARE double cast to scale-0 decimal still flags
+    # (rounding at units is real rounding)
+    bare0 = "SELECT CAST(o_totalprice AS DECIMAL(18,0)) AS d FROM orders"
+    assert npa.rule3_sql_offences(bare0), "bare scale-0 cast must flag"
+
+    # one-level alias laundering is tracked
+    laundered = """
+    WITH t AS (SELECT o_totalprice AS p FROM orders)
+    SELECT CAST(SUM(CAST(p AS DECIMAL(30,8))) AS DOUBLE) FROM t
+    """
+    assert npa.rule3_sql_offences(laundered), "aliased double col must flag"
+
+
+def test_numeric_portability_rule3_python_detector(tmp_path):
+    """Plan-side rule 3: a .cast('decimal(p,s)') whose receiver
+    references a double source column flags; the sanctioned
+    round→bigint lattice does not; a stale allowlist hash is reported
+    for re-triage, never silently excused."""
+    npa = _import_numeric_audit()
+
+    bad = tmp_path / "bad3.py"
+    bad.write_text(
+        "import pyspark.sql.functions as F\n"
+        "def q_bad3(spark, sf_dir):\n"
+        '    return x.agg(F.sum(F.col("o_totalprice")'
+        '.cast("decimal(30,8)")).alias("s"))\n'
+    )
+    offs = npa.py_offences(str(bad))
+    assert any("rule 3" in o for o in offs), offs
+
+    ok = tmp_path / "ok3.py"
+    ok.write_text(
+        "import pyspark.sql.functions as F\n"
+        "def q_ok3(spark, sf_dir):\n"
+        '    c = F.round(F.col("o_totalprice") * 100).cast("bigint")\n'
+        "    return x.agg((F.sum(c).cast('double') / F.lit(100.0))"
+        '.alias("s"))\n'
+    )
+    assert npa.py_offences(str(ok)) == []
+
+    # stale allowlist hash reports, never excuses
+    mod = tmp_path / "analytics_fake.py"
+    mod.write_text(
+        "import pyspark.sql.functions as F\n"
+        "def q_triaged(spark, sf_dir):\n"
+        '    d = x.select(F.col("v").cast("decimal(38,8)").alias("rev"))\n'
+        '    return d.select((F.lit(128) * F.col("rev")).alias("s"))\n'
+    )
+    key = ("analytics_fake.py", "q_triaged")
+    npa._TRIAGED_OK[key] = "0000000000000000"  # wrong on purpose
+    try:
+        offs = npa.py_offences(str(mod))
+        assert any("STALE" in o for o in offs), offs
+        assert any("128" in o or "triage" in o for o in offs), offs
+    finally:
+        del npa._TRIAGED_OK[key]
+
+
+def test_numeric_portability_registry_clean_rule3():
+    """DESIGN §21 rule-3 gate: zero double→decimal casts across all
+    oracles (the plan-module sweep is covered by
+    test_numeric_portability_registry_clean, whose py_offences now
+    includes rule 3)."""
+    npa = _import_numeric_audit()
+    from lakehouse_ecommerce_etl_pipeline_spark import plans as _p
+
+    bad = []
+    for name, sql in _p.oracle_sql().items():
+        for off in npa.rule3_sql_offences(sql):
+            bad.append(f"{name}: {off}")
+    assert bad == [], bad
+
+
+def test_no_decimal_typed_output_columns(spark):
+    """The unifying lesson of the r9 (q_ewma_taps) and r10
+    (q_kfold_assign) red rows: both emitted wide-DECIMAL comparison
+    columns, whose decimal→float lowering at the comparison boundary
+    double-rounds differently across engine builds once the scaled
+    integer exceeds 2^53 — while every driver-green row emits DOUBLE
+    or integer columns.  Gate: no registered query returns a
+    DecimalType column.  (Schema-only: builds every plan, executes
+    none of the scaling paths.)"""
+    from pyspark.sql.types import DecimalType
+
+    from lakehouse_ecommerce_etl_pipeline_spark import plans as _p
+
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in _p.queries().items():
+        try:
+            df = fn(spark, sf)
+        except Exception as e:  # pragma: no cover - surfaced as failure
+            bad.append(f"{name}: plan build failed: {e!r:.80}")
+            continue
+        for f in df.schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                bad.append(f"{name}.{f.name}: {f.dataType}")
+    assert bad == [], bad
