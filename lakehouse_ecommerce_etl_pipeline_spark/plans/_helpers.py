@@ -274,6 +274,14 @@ def _order_part_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "p.src", "p.dst")
 
 
+def _probe_file(h, path: str, size: int, chunk: int = 4096) -> None:
+    with open(path, "rb") as f:
+        h.update(f.read(chunk))
+        if size > 2 * chunk:
+            f.seek(-chunk, os.SEEK_END)
+            h.update(f.read(chunk))
+
+
 def _src_fingerprint(src: str) -> str:
     """Content-sensitive source fingerprint: size + mtime_ns + an
     md5 over the first and last 4 KiB.  mtime alone is NOT enough —
@@ -281,21 +289,29 @@ def _src_fingerprint(src: str) -> str:
     tar) would silently serve a stale artifact under a pure
     mtime-ordering check (r9 ADVICE); the head+tail probe catches
     changed bytes without rehashing multi-GB parquet.  Directory
-    sources fingerprint their sorted (name, size, mtime_ns) listing."""
+    sources fingerprint their sorted (name, size, mtime_ns) listing
+    PLUS a head+tail byte probe of each regular file (r10 ADVICE: a
+    directory regenerated with preserved sizes and mtimes must still
+    invalidate) — capped at the 16 largest files for very wide
+    directories, with the full listing still hashed."""
     import hashlib
 
     st = os.stat(src)
     h = hashlib.md5()
     if os.path.isdir(src):
+        entries = []
         for name in sorted(os.listdir(src)):
-            s = os.stat(os.path.join(src, name))
+            p = os.path.join(src, name)
+            s = os.stat(p)
             h.update(f"{name}:{s.st_size}:{s.st_mtime_ns};".encode())
+            if os.path.isfile(p):
+                entries.append((s.st_size, name, p))
+        probe = sorted(entries, reverse=True)[:16]
+        for size, name, p in sorted(probe, key=lambda e: e[1]):
+            h.update(f"|{name}:".encode())
+            _probe_file(h, p, size, chunk=2048)
         return f"dir:{st.st_mtime_ns}:{h.hexdigest()}"
-    with open(src, "rb") as f:
-        h.update(f.read(4096))
-        if st.st_size > 8192:
-            f.seek(-4096, os.SEEK_END)
-            h.update(f.read(4096))
+    _probe_file(h, src, st.st_size)
     return f"{st.st_size}:{st.st_mtime_ns}:{h.hexdigest()}"
 
 
@@ -315,19 +331,47 @@ def artifact_fresh(src: str, artifact: str) -> bool:
     sibling ``<artifact>.srcfp`` marker records the source
     fingerprint.  Marker present → fresh iff it matches the CURRENT
     fingerprint; a mismatch deletes the marker and reports stale, so
-    the caller rebuilds and the next check re-adopts the new
-    fingerprint.  Marker absent (legacy or just-rebuilt artifact) →
-    fall back to the mtime-ordering check and, when it passes, adopt
-    the current fingerprint atomically."""
-    if not os.path.exists(artifact):
+    the caller rebuilds.
+
+    The fingerprint the marker holds is recorded at BUILD TIME, not
+    at the next check (r10 ADVICE): every stale verdict writes the
+    PRE-BUILD source fingerprint to a ``.srcfp.pending`` sibling
+    (under double-checked locking a stale verdict is immediately
+    followed by the build).  The first check after the build promotes
+    the pending fingerprint to the marker iff the artifact's mtime
+    shows the build completed AFTER the stale verdict — so testdata
+    regenerated in place with PRESERVED mtimes between rebuild and
+    first re-check compares against the fingerprint the build was
+    made from and correctly invalidates.  A pending file with no
+    newer artifact (builder crashed before building) is discarded and
+    the verdict is conservatively stale; only true legacy artifacts
+    (no marker, no pending) use the mtime-ordering fallback."""
+    marker = _marker_path(artifact)
+    pending = marker + ".pending"
+
+    def _stale() -> bool:
+        # record the PRE-BUILD fingerprint for the build that follows
+        try:
+            fp_now = _src_fingerprint(src)
+        except OSError:
+            return False
+        tmp = f"{pending}.tmp{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                f.write(fp_now)
+            os.replace(tmp, pending)
+        except OSError:
+            pass
         return False
+
+    if not os.path.exists(artifact):
+        return _stale()
     try:
         if os.path.isdir(artifact) and not os.listdir(artifact):
-            return False
+            return _stale()
         fp = _src_fingerprint(src)
     except OSError:
         return False
-    marker = _marker_path(artifact)
     try:
         with open(marker) as f:
             recorded = f.read()
@@ -340,7 +384,49 @@ def artifact_fresh(src: str, artifact: str) -> bool:
             os.remove(marker)
         except OSError:
             pass
-        return False
+        return _stale()
+    # marker absent: just-rebuilt (pending holds the build-time fp)
+    # or legacy artifact
+    try:
+        with open(pending) as f:
+            pend = f.read()
+    except OSError:
+        pend = None
+    if pend is not None:
+        try:
+            # dir artifacts rewritten in place don't bump the dir's
+            # own mtime — take the max over the dir and its entries
+            st = os.stat(artifact)
+            amt = st.st_mtime_ns
+            if os.path.isdir(artifact):
+                for e in os.listdir(artifact):
+                    amt = max(
+                        amt, os.stat(os.path.join(artifact, e)).st_mtime_ns
+                    )
+            built_after = amt >= os.stat(pending).st_mtime_ns
+        except OSError:
+            return False
+        try:
+            os.remove(pending)
+        except OSError:
+            pass
+        if built_after:
+            tmp = f"{marker}.tmp{os.getpid()}"
+            try:
+                with open(tmp, "w") as f:
+                    f.write(pend)
+                os.replace(tmp, marker)
+            except OSError:
+                pass
+            if pend == fp:
+                return True
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+        # crashed-before-build, or source changed since the build's
+        # fingerprint: conservatively stale
+        return _stale()
     try:
         ok = os.path.getmtime(artifact) >= os.path.getmtime(src)
     except OSError:
@@ -353,7 +439,8 @@ def artifact_fresh(src: str, artifact: str) -> bool:
             os.replace(tmp, marker)
         except OSError:
             pass
-    return ok
+        return True
+    return _stale()
 
 
 def spill_final(df: DataFrame, sf_dir: str, name: str) -> DataFrame:

@@ -190,7 +190,12 @@ def shingle_set_reps_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         work_dir(sf_dir, "shared"), "shingle_set_rep_shingles"
     )
     with artifact_lock(mpath):
-        if not (artifact_fresh(src, mpath) and artifact_fresh(src, spath)):
+        # evaluate BOTH checks eagerly (r10 ADVICE): `and` would
+        # short-circuit past the second artifact's stale marker,
+        # leaving it to trigger a second full rebuild next call
+        fresh_m = artifact_fresh(src, mpath)
+        fresh_s = artifact_fresh(src, spath)
+        if not (fresh_m and fresh_s):
             sh = _doc_shingles(spark, sf_dir)
             keyed = sh.groupBy("doc_id").agg(
                 F.md5(
@@ -328,7 +333,9 @@ def _schema_evo_batches(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     b1 = os.path.join(base, "batch1")
     b2 = os.path.join(base, "batch2")
     with artifact_lock(b1):
-        if not (artifact_fresh(src, b1) and artifact_fresh(src, b2)):
+        fresh_1 = artifact_fresh(src, b1)
+        fresh_2 = artifact_fresh(src, b2)
+        if not (fresh_1 and fresh_2):
             orders = load(spark, sf_dir, "orders")
             early = orders.filter(F.col("o_orderdate") < F.lit(_EVO_CUTOFF))
             late = orders.filter(F.col("o_orderdate") >= F.lit(_EVO_CUTOFF))

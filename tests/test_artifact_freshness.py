@@ -150,3 +150,92 @@ def test_token_set_reps_keep_text_no_fanout_on_duplicate_ids(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_build_time_fingerprint_survives_regeneration_before_first_check(
+    tmp_path,
+):
+    """r10 ADVICE (medium): the marker must hold the fingerprint the
+    build was MADE FROM.  Scenario: stale verdict → build → testdata
+    regenerated in place with preserved mtimes BEFORE the first
+    post-build check.  The old mtime-fallback adoption would bless the
+    stale artifact with the NEW source's fingerprint permanently; the
+    pending-marker protocol compares the build-time fingerprint and
+    correctly invalidates."""
+    src = str(tmp_path / "src.parquet")
+    art = str(tmp_path / "derived.bin")
+    _touch(src, b"generation-one" * 100)
+    src_mtime = os.stat(src).st_mtime_ns
+
+    # stale verdict (artifact missing) records the pre-build fp
+    assert not artifact_fresh(src, art)
+    assert os.path.exists(_marker_path(art) + ".pending")
+
+    # the build lands
+    _touch(art, b"derived-from-gen-one")
+
+    # source regenerated IN PLACE with the same mtime, BEFORE any
+    # post-build freshness check
+    _touch(src, b"generation-TWO" * 100, mtime_ns=src_mtime)
+
+    # first post-build check: build-time fp (gen-one) != current fp
+    # (gen-TWO) -> stale, never blessed
+    assert not artifact_fresh(src, art), (
+        "stale artifact must not be blessed with the new source's "
+        "fingerprint"
+    )
+
+    # rebuild from gen-TWO; now it is genuinely fresh
+    _touch(art, b"derived-from-gen-TWO")
+    assert artifact_fresh(src, art)
+    # and stays fresh on repeat checks (marker promoted)
+    assert artifact_fresh(src, art)
+
+
+def test_crashed_build_is_conservatively_stale(tmp_path):
+    """A pending fingerprint with no newer artifact (builder crashed
+    between the stale verdict and the build) must not be promoted —
+    the verdict stays stale and the old artifact is never served."""
+    src = str(tmp_path / "src.parquet")
+    art = str(tmp_path / "derived.bin")
+    _touch(art, b"old-artifact")
+    import time
+
+    time.sleep(0.01)
+    _touch(src, b"newer-source" * 50)
+
+    # stale verdict records pending (artifact older than source)
+    assert not artifact_fresh(src, art)
+    pending = _marker_path(art) + ".pending"
+    assert os.path.exists(pending)
+    # ensure the pending file is strictly newer than the artifact
+    os.utime(pending, ns=(os.stat(art).st_mtime_ns + 10_000_000,) * 2)
+
+    # no build happened; the next check must stay stale
+    assert not artifact_fresh(src, art)
+    assert not os.path.exists(_marker_path(art))
+
+
+def test_dir_source_content_probe_catches_preserved_size_and_mtime(
+    tmp_path,
+):
+    """r10 ADVICE (low): directory-shaped sources must detect a
+    same-size same-mtime byte change in a member file — the file-
+    source head+tail md5 guarantee now applies to dir sources too."""
+    srcdir = tmp_path / "src_table"
+    srcdir.mkdir()
+    member = str(srcdir / "part-0.parquet")
+    _touch(member, b"AAAA" * 256)
+    m_mtime = os.stat(member).st_mtime_ns
+    art = str(tmp_path / "derived.bin")
+
+    assert not artifact_fresh(str(srcdir), art)
+    _touch(art, b"derived")
+    assert artifact_fresh(str(srcdir), art)
+
+    # regenerate the member with SAME size and SAME mtime
+    _touch(member, b"BBBB" * 256, mtime_ns=m_mtime)
+    assert not artifact_fresh(str(srcdir), art), (
+        "same-size same-mtime byte change in a dir member must "
+        "invalidate"
+    )
