@@ -1,0 +1,237 @@
+"""Round-11 integer-lattice value pins.
+
+The r11 sweep (DESIGN §21 rule 3) rewrote ~70 money/measure
+aggregates from double→DECIMAL casts onto exact integer lattices.
+The DuckDB oracle proves Spark and DuckDB agree — but both sides now
+share the SAME formulation, so the oracle alone cannot catch a
+semantics slip introduced by the rewrite (e.g. a boundary double-
+counted in the winsorized split, a descale applied twice).  These
+pins re-derive each converted result in pure Python/pandas from the
+raw parquet bytes and assert equality — an implementation-independent
+third opinion.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _tbl(name, cols):
+    return pq.read_table(
+        os.path.join(SF0001, f"{name}.parquet"), columns=cols
+    ).to_pydict()
+
+
+def _cents(x: float) -> int:
+    # the engines' ROUND(x*100): 2-dp values land within ~4e-3 of an
+    # integer, so any round-to-nearest agrees
+    return int(round(x * 100))
+
+
+def test_weighted_avg_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_weighted_avg,
+    )
+
+    li = _tbl("lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    part = _tbl("part", ["p_partkey", "p_brand"])
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    num: dict[str, int] = {}
+    den: dict[str, int] = {}
+    n: dict[str, int] = {}
+    for pk, price, disc in zip(
+        li["l_partkey"], li["l_extendedprice"], li["l_discount"]
+    ):
+        b = brand[pk]
+        c, d = _cents(price), _cents(disc)
+        num[b] = num.get(b, 0) + c * d
+        den[b] = den.get(b, 0) + c
+        n[b] = n.get(b, 0) + 1
+    rows = {r["p_brand"]: r for r in q_weighted_avg(spark, SF0001).collect()}
+    assert set(rows) == set(num)
+    for b, r in rows.items():
+        # the plan's exact float recipe over the same exact ints
+        expected = (float(num[b]) / 10000.0) / (float(den[b]) / 100.0)
+        assert r["wavg_discount"] == expected, (b, r["wavg_discount"], expected)
+        assert r["n_lines"] == n[b]
+
+
+def test_discount_depth_net_revenue_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics35 import (
+        q_discount_depth,
+    )
+
+    li = _tbl("lineitem", ["l_extendedprice", "l_discount"])
+    agg: dict[int, int] = {}
+    for price, disc in zip(li["l_extendedprice"], li["l_discount"]):
+        band = math.floor(disc * 100)
+        agg[band] = agg.get(band, 0) + _cents(price) * (100 - _cents(disc))
+    rows = {
+        r["discount_pct"]: r["net_revenue"]
+        for r in q_discount_depth(spark, SF0001).collect()
+    }
+    assert set(rows) == set(agg)
+    for band, got in rows.items():
+        assert got == float(agg[band]) / 10000.0, (band, got, agg[band])
+
+
+def test_enrich_derived_item_total_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.rules_q import (
+        q_enrich_derived,
+    )
+
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata (the
+    # dedup tier depends on duplicate keys), so pin the full-table
+    # MULTISET of item_total values instead of a keyed lookup.
+    li = _tbl("lineitem", ["l_extendedprice", "l_discount", "l_tax"])
+    expected = sorted(
+        float(_cents(p) * (100 - _cents(d)) * (100 + _cents(t))) / 1000000.0
+        for p, d, t in zip(
+            li["l_extendedprice"], li["l_discount"], li["l_tax"]
+        )
+    )
+    got = sorted(
+        r["item_total"] for r in q_enrich_derived(spark, SF0001).collect()
+    )
+    assert got == expected
+
+
+def test_winsorized_mean_matches_numpy_clamp(spark):
+    """The boundary-split formulation must equal the plain 'clamp
+    then mean' definition: interior cents + n_lo*p05 + n_hi*p95 is
+    algebraically sum(clamped).  numpy's linear-interpolation
+    percentile is the same estimator quantile_cont/F.percentile use."""
+    import numpy as np
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics17 import (
+        q_winsorized_mean,
+    )
+
+    cust = _tbl("customer", ["c_mktsegment", "c_acctbal"])
+    by_seg: dict[str, list[int]] = {}
+    for seg, bal in zip(cust["c_mktsegment"], cust["c_acctbal"]):
+        by_seg.setdefault(seg, []).append(_cents(bal))
+    rows = {
+        r["c_mktsegment"]: r for r in q_winsorized_mean(spark, SF0001).collect()
+    }
+    assert set(rows) == set(by_seg)
+    for seg, cents in by_seg.items():
+        a = np.asarray(cents, dtype=np.float64)
+        p05 = float(np.percentile(a, 5, method="linear"))
+        p95 = float(np.percentile(a, 95, method="linear"))
+        clamped = np.clip(a, p05, p95)
+        expected = float(clamped.sum()) / 100.0 / len(cents)
+        got = rows[seg]["winsorized_mean"]
+        assert abs(got - expected) < 1e-9, (seg, got, expected)
+        assert rows[seg]["n_customers"] == len(cents)
+
+
+def test_time_weighted_avg_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics15 import (
+        q_time_weighted_avg,
+    )
+
+    ev = _tbl("events", ["user_id", "event_id", "ts", "value"])
+    per_user: dict = {}
+    for u, e, ts, v in zip(
+        ev["user_id"], ev["event_id"], ev["ts"], ev["value"]
+    ):
+        per_user.setdefault(u, []).append((ts, e, v))
+    expected = {}
+    for u, evs in per_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        wsum100 = 0
+        total = 0
+        for (ts, _e, v), (ts2, _e2, _v2) in zip(evs, evs[1:]):
+            dur = int(ts2.timestamp()) - int(ts.timestamp())
+            wsum100 += _cents(v) * dur
+            total += dur
+        if total > 0:
+            expected[u] = (total, float(wsum100) / 100.0 / float(total))
+    rows = {
+        r["user_id"]: (r["total_s"], r["twa_value"])
+        for r in q_time_weighted_avg(spark, SF0001).collect()
+    }
+    assert rows == expected
+
+
+def test_tpch_q6_matches_pure_python(spark):
+    import datetime as dt
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch import (
+        q_tpch_q6_forecast_revenue,
+    )
+
+    li = _tbl("lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
+    acc = 0
+    for ship, disc, qty, price in zip(
+        li["l_shipdate"], li["l_discount"], li["l_quantity"], li["l_extendedprice"]
+    ):
+        s = ship.replace(tzinfo=None) if ship.tzinfo else ship
+        if lo <= s < hi and 0.05 <= disc <= 0.07 and qty < 24:
+            acc += _cents(price) * _cents(disc)
+    got = q_tpch_q6_forecast_revenue(spark, SF0001).collect()[0]["revenue"]
+    assert got == float(acc) / 10000.0
+
+
+def test_anomaly_zscore_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.rules_q import (
+        q_anomaly_zscore,
+    )
+
+    o = _tbl("orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    groups: dict = {}
+    for ok, ck, price in zip(
+        o["o_orderkey"], o["o_custkey"], o["o_totalprice"]
+    ):
+        groups.setdefault(ck, []).append((ok, price))
+    expected = {}
+    for ck, orders in groups.items():
+        n = len(orders)
+        if n <= 1:
+            continue
+        s = float(sum(_cents(p) for _ok, p in orders)) / 100.0
+        ss = float(sum(_cents(p) * _cents(p) for _ok, p in orders)) / 10000.0
+        var = (ss - s * s / n) / (n - 1)
+        if not var > 0:
+            continue
+        std = math.sqrt(var)
+        for ok, p in orders:
+            z = (p - s / n) / std
+            expected[ok] = round(z, 6)
+    rows = {
+        r["o_orderkey"]: r["zscore"]
+        for r in q_anomaly_zscore(spark, SF0001).collect()
+    }
+    assert set(rows) == set(expected)
+    for ok, z in rows.items():
+        assert abs(z - expected[ok]) < 1e-9, (ok, z, expected[ok])
+
+
+def test_incremental_agg_merge_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics8 import (
+        q_incremental_agg_merge,
+    )
+
+    o = _tbl("orders", ["o_orderpriority", "o_totalprice"])
+    agg: dict[str, list[int]] = {}
+    for pri, price in zip(o["o_orderpriority"], o["o_totalprice"]):
+        a = agg.setdefault(pri, [0, 0])
+        a[0] += 1
+        a[1] += _cents(price)
+    rows = {
+        r["o_orderpriority"]: (r["n_orders"], r["total_price"])
+        for r in q_incremental_agg_merge(spark, SF0001).collect()
+    }
+    assert rows == {
+        pri: (c, float(cents) / 100.0) for pri, (c, cents) in agg.items()
+    }
