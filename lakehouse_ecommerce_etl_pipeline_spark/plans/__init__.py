@@ -223,3 +223,28 @@ def _curate_window() -> None:
 
 
 _curate_window()
+
+# ------------------------------------------------------------------
+# RECORDED r12 closing window (SURVEY §8 r11 record) — apply at the
+# START of round 12 by replacing _FIRST_WINDOW above with: 2 rotating
+# parity sentinels NOT in the r8–r11 sentinel blocks (pick from
+# q_count / q_fn_to_date / q_scan_csv / q_merge_upsert, last
+# sentinel-checked r6/r7) + these 48 never-driver-checked rows —
+# 38 oracled: q_incremental_agg_merge q_zorder_stats q_pareto_frontier
+# q_grid_radius_join q_event_transitions q_sequence_pattern
+# q_quintile_transition q_dq_expectations q_pointintime_scd2_join
+# q_association_rules q_allocation_largest_remainder
+# q_percent_of_parent q_log2_histogram q_checksum_table
+# q_normalize_embeddings q_duplicate_payments q_above_p90_customers
+# q_price_dispersion q_discount_depth q_interval_overlap_join
+# q_late_arriving_dim q_rank_auc q_gini_impurity q_array_setops
+# q_negative_sampling q_hard_negatives q_stream_interval_join_outer
+# q_dup_rate_by_source q_stream_incremental_dedup q_random_projection
+# q_dataset_card q_simhash_md5 q_dedup_minby q_logreg_score
+# q_split_by_cluster_leakage_safe q_cdc_join_maintenance
+# q_profile_table q_stream_transform_with_state
+# — and 10 rows-only: q_simhash q_ann_ivf q_kmeans_clusters
+# q_bpe_train_merges q_bpe_encode_corpus q_pq_encode q_pq_adc_topk
+# q_ivfpq_topk q_ann_recall q_logreg_train.
+# 2 + 48 = 50 → 420/420 driver-checked at end of r12.  All 48 are
+# pre-certified at sf0.01 by docs/SWEEP_r11_sf0.01.json (0 fail).
