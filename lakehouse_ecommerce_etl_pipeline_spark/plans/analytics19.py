@@ -129,22 +129,27 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT label,
              generate_subscripts(embedding, 1) - 1 AS pos,
-             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,8)) AS qv
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216)
+                  AS BIGINT) AS qv
       FROM embeddings
     )
     SELECT label, CAST(pos AS INTEGER) AS pos,
-           CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS centroid
+           CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE) / 16777216.0 / COUNT(*)
+             AS centroid
     FROM q GROUP BY label, pos
     """,
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding space (supervised class
     means, the labeled companion of q_kmeans_clusters): explode
-    components with position, decimal-exact mean per (label,
-    dimension). float→double→DECIMAL(20,8) quantization is exact
-    (floats have ≤ 2^-24 granularity well inside 8 decimal places...
-    within the value range here), so the sums are associative and the
-    centroids bit-match.
+    components with position, exact-integer mean per (label,
+    dimension).  Components quantize via FLOOR(v·2^24) → BIGINT
+    (DESIGN §21 rule 3 / the q_feature_moments precedent): the ×2^24
+    product is EXACT (power-of-two scaling never rounds a double)
+    and FLOOR has no tie to break on any engine build — unlike the
+    previous DECIMAL(20,8) cast, whose 8-dp rounding path is
+    build-sensitive for raw float components.  int64 sums are
+    associative; one /2^24 descale at the end.
 
     100 TB: one narrow explode (64× rows of 3 small columns — the
     payload array itself never shuffles) and one map-side-combinable
@@ -157,11 +162,17 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             F.col("pos").cast("int").alias("pos"),
-            F.col("v").cast("double").cast("decimal(20,8)").alias("qv"),
+            F.floor(F.col("v").cast("double") * 16777216)
+            .cast("bigint")
+            .alias("qv"),
         )
     )
     return q.groupBy("label", "pos").agg(
-        (F.sum("qv").cast("double") / F.count(F.lit(1))).alias("centroid")
+        (
+            F.sum("qv").cast("bigint").cast("double")
+            / F.lit(16777216.0)
+            / F.count(F.lit(1))
+        ).alias("centroid")
     )
 
 

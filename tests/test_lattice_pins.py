@@ -235,3 +235,28 @@ def test_incremental_agg_merge_matches_pure_python(spark):
     assert rows == {
         pri: (c, float(cents) / 100.0) for pri, (c, cents) in agg.items()
     }
+
+
+def test_label_centroids_matches_pure_python(spark):
+    """FLOOR(v*2^24) dyadic quantization: the scaling product is
+    exact, FLOOR is tie-free, so the centroid must equal a pure-
+    Python re-derivation bit-for-bit."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics19 import (
+        q_label_centroids,
+    )
+
+    emb = _tbl("embeddings", ["label", "embedding"])
+    acc: dict = {}
+    for label, vec in zip(emb["label"], emb["embedding"]):
+        for pos, v in enumerate(vec):
+            k = (label, pos)
+            s, n = acc.get(k, (0, 0))
+            acc[k] = (s + math.floor(float(v) * 16777216), n + 1)
+    rows = {
+        (r["label"], r["pos"]): r["centroid"]
+        for r in q_label_centroids(spark, SF0001).collect()
+    }
+    assert set(rows) == set(acc)
+    for k, got in rows.items():
+        s, n = acc[k]
+        assert got == float(s) / 16777216.0 / float(n), (k, got)
