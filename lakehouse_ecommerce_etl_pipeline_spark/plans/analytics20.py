@@ -53,13 +53,14 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
     ),
     terms AS (
       SELECT n,
-             CAST(
+             CAST(FLOOR(
                (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
-               / CAST(n * r * c AS DOUBLE)
-             AS DECIMAL(30,12)) AS term
+               / CAST(n * r * c AS DOUBLE) * 1000000000000
+             ) AS BIGINT) AS term
       FROM m
     )
-    SELECT CAST(SUM(term) AS DOUBLE) AS chi2_stat,
+    SELECT CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1000000000000.0
+             AS chi2_stat,
            CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM orders) - 1 AS INTEGER)
            * CAST((SELECT COUNT(DISTINCT o_orderpriority) FROM orders) - 1
                   AS INTEGER) AS dof,
@@ -72,9 +73,10 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority: contingency cells + marginals via windows over the
     (tiny) cell table, per-cell terms (o·n − r·c)²/(n·r·c) computed
     as IEEE expressions of exact integers (identical on both
-    engines), then quantized to DECIMAL(30,12) so the final sum is
-    order-independent — a float Σ would tie the statistic to
-    partitioning.
+    engines), then FLOOR-quantized onto a 1e-12 integer lattice so
+    the final sum is order-independent — a float Σ would tie the
+    statistic to partitioning, and FLOOR (unlike a decimal cast's
+    rounding) has no tie for engine builds to break (DESIGN §21).
 
     100 TB: one shuffle to build the cells; everything after runs on
     |status|×|priority| rows. The integer products o·n, r·c and n·r·c
@@ -104,9 +106,11 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(Window.partitionBy()).cast(dec).alias("n"),
     )
     diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
-    term = (
-        (diff * diff) / (F.col("n") * F.col("r") * F.col("c")).cast("double")
-    ).cast("decimal(30,12)")
+    term = F.floor(
+        (diff * diff)
+        / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+        * F.lit(1000000000000)
+    ).cast("bigint")
     terms = m.select("n", term.alias("term"))
     o = load(spark, sf_dir, "orders")
     dof = (
@@ -114,7 +118,10 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (o.select("o_orderpriority").distinct().count() - 1)
     )
     return terms.agg(
-        F.sum("term").cast("double").alias("chi2_stat"),
+        (
+            F.sum("term").cast("bigint").cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("chi2_stat"),
         F.lit(dof).cast("int").alias("dof"),
         # released BIGINT (the output contract); exact — n is a count
         F.max("n").cast("bigint").alias("n"),
