@@ -260,3 +260,135 @@ def test_label_centroids_matches_pure_python(spark):
     for k, got in rows.items():
         s, n = acc[k]
         assert got == float(s) / 16777216.0 / float(n), (k, got)
+
+
+def test_tpch_q3_top10_matches_pure_python(spark):
+    """Revenue lattice through a 3-way join + top-10: per-order
+    1e-4-unit sums re-derived in pure Python."""
+    import datetime as dt
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch import (
+        q_tpch_q3_shipping_priority,
+    )
+
+    cust = _tbl("customer", ["c_custkey", "c_mktsegment"])
+    building = {
+        c for c, seg in zip(cust["c_custkey"], cust["c_mktsegment"])
+        if seg == "BUILDING"
+    }
+    orders = _tbl("orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = dt.datetime(1995, 3, 15)
+    odate = {}
+    for ok, ck, od in zip(
+        orders["o_orderkey"], orders["o_custkey"], orders["o_orderdate"]
+    ):
+        d = od.replace(tzinfo=None) if od.tzinfo else od
+        if ck in building and d < cutoff:
+            odate[ok] = d
+    li = _tbl("lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    rev4: dict = {}
+    for ok, ship, p, disc in zip(
+        li["l_orderkey"], li["l_shipdate"], li["l_extendedprice"], li["l_discount"]
+    ):
+        s = ship.replace(tzinfo=None) if ship.tzinfo else ship
+        if ok in odate and s > cutoff:
+            rev4[ok] = rev4.get(ok, 0) + _cents(p) * (100 - _cents(disc))
+    top = sorted(
+        ((float(r) / 10000.0, ok) for ok, r in rev4.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    rows = q_tpch_q3_shipping_priority(spark, SF0001).collect()
+    got = [(r["revenue"], r["l_orderkey"]) for r in rows]
+    assert got == top
+
+
+def test_gapfill_locf_hourly_sums_match_pure_python(spark):
+    """The hourly cents sums feeding LOCF: re-derive observed buckets
+    exactly; spot-check carried-forward gaps stay constant."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics9 import (
+        q_gapfill_locf,
+    )
+
+    ev = _tbl("events", ["user_id", "ts", "value"])
+    US_H = 3_600_000_000
+    obs: dict = {}
+    for u, ts, v in zip(ev["user_id"], ev["ts"], ev["value"]):
+        h = (int(ts.timestamp()) * 1_000_000) // US_H
+        key = (u, h)
+        c, n = obs.get(key, (0, 0))
+        obs[key] = (c + _cents(v), n + 1)
+    rows = q_gapfill_locf(spark, SF0001).collect()
+    by_key = {(r["user_id"], r["hour_bucket"]): r for r in rows}
+    # every observed bucket appears with the exact cents sum
+    for (u, h), (c, n) in obs.items():
+        r = by_key[(u, h)]
+        assert r["n_obs"] == n
+        assert r["filled_value"] == float(c) / 100.0, (u, h)
+    # gap rows carry the latest prior observed value
+    last: dict = {}
+    for (u, h) in sorted(by_key):
+        r = by_key[(u, h)]
+        if (u, h) in obs:
+            last[u] = r["filled_value"]
+        else:
+            assert r["n_obs"] == 0
+            assert r["filled_value"] == last[u], (u, h)
+
+
+def test_gini_spend_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics21 import (
+        q_gini_spend,
+    )
+
+    cust = _tbl("customer", ["c_custkey", "c_mktsegment"])
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    orders = _tbl("orders", ["o_custkey", "o_totalprice"])
+    spend_c: dict = {}
+    for ck, p in zip(orders["o_custkey"], orders["o_totalprice"]):
+        spend_c[ck] = spend_c.get(ck, 0) + _cents(p)
+    per_seg: dict = {}
+    for ck, c in spend_c.items():
+        per_seg.setdefault(seg[ck], []).append((math.floor(c / 100), ck))
+    rows = {r["c_mktsegment"]: r for r in q_gini_spend(spark, SF0001).collect()}
+    assert set(rows) == set(per_seg)
+    for s, items in per_seg.items():
+        items.sort(key=lambda t: (t[0], t[1]))
+        n = len(items)
+        num = sum((2 * (i + 1) - n - 1) * x for i, (x, _ck) in enumerate(items))
+        den = n * sum(x for x, _ck in items)
+        expected = float(num) / float(den)
+        assert abs(rows[s]["gini"] - expected) < 1e-12, (s,)
+        assert rows[s]["n_customers"] == n
+
+
+def test_trailing_zscore_flags_match_pure_python(spark):
+    """The homogeneous-degree-2 inequality on the cents lattice must
+    reproduce the brute-force trailing-window flag set exactly."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics23 import (
+        q_trailing_zscore_anomaly,
+    )
+
+    ev = _tbl("events", ["event_id", "user_id", "ts", "value"])
+    per_user: dict = {}
+    for e, u, ts, v in zip(
+        ev["event_id"], ev["user_id"], ev["ts"], ev["value"]
+    ):
+        per_user.setdefault(u, []).append((ts, e, _cents(v)))
+    expected = set()
+    exp_winsum = {}
+    for u, evs in per_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        for i, (_ts, e, c) in enumerate(evs):
+            win = [cc for _t, _e, cc in evs[max(0, i - 20):i]]
+            n = len(win)
+            if n < 10:
+                continue
+            s = sum(win)
+            ssq = sum(x * x for x in win)
+            if (n * c - s) ** 2 > 9 * (n * ssq - s * s):
+                expected.add(e)
+                exp_winsum[e] = float(s) / 100.0
+    rows = {r["event_id"]: r for r in q_trailing_zscore_anomaly(spark, SF0001).collect()}
+    assert set(rows) == expected
+    for e, r in rows.items():
+        assert r["win_sum"] == exp_winsum[e]
