@@ -134,79 +134,72 @@ from lakehouse_ecommerce_etl_pipeline_spark.plans import streaming_q  # noqa: F4
 # task 1, r7 task 1): a small rotating §2-parity sentinel block (every
 # parity row already carries MULTIPLE driver passes from r1–r10) frees
 # the remaining slots for rows the driver has never value-checked.
-# This round's window = the RECORDED r11 queue executed verbatim
-# (SURVEY §8 r10 record, VERDICT r10 task 3): 47 never-driver-checked
-# rows — attribution/session/funnel, time series, stats & ML prep,
-# graph & similarity, multimodal — all pre-certified at sf0.01 by the
-# r10 closing sweep (docs/SWEEP_r10_sf0.01.json, 0 fail) and absent
-# from CORRECTNESS_r01–r10; cumulative driver-checked grows 325 → 372
-# (target ≥370).  PLUS q_kfold_assign as the mandated re-check row
-# (VERDICT r10 task 1: the driver's one red row in r10 — its oracle's
-# bare double→DECIMAL cast inside SUM was engine-version-sensitive;
-# now re-latticed onto BIGINT integer cents on both sides, the
-# q_ewma_taps precedent — see plans/analytics44.py), PLUS two parity
-# sentinels rotated to rows NOT in the r7/r8/r9/r10 sentinel blocks
-# (last driver-checked r6).  2 + 1 + 47 = 50.
+# This round's window = the RECORDED r12 closing window executed
+# verbatim (SURVEY §8 r11 item 5, VERDICT r11 task 1): the 48
+# remaining never-driver-checked registry rows (38 oracled + 10
+# rows-only), all pre-certified at sf0.01 by the r11 closing sweep
+# (docs/SWEEP_r11_sf0.01.json, 0 fail) and absent from
+# CORRECTNESS_r01–r11, PLUS two parity sentinels rotated to rows NOT
+# in the r8–r11 sentinel blocks (q_count, q_fn_to_date — last
+# driver-checked r6).  2 + 48 = 50; cumulative driver-checked closes
+# 372 → **420/420**.
 _FIRST_WINDOW = [
     # --- §2-parity sentinels (2 of the 26, rotating per round; all
-    # 26 are driver-green in r1–r10, full list stays registered) ---
-    "q_fn_cast_timestamp",
-    "q_fn_string_split",
-    # --- mandated re-check: the r10 red row, fixed on the BIGINT
-    # integer-cents lattice (VERDICT r10 task 1) ---
-    "q_kfold_assign",
-    # --- recorded r11 queue: attribution / session / funnel ---
-    "q_attribution_first_last",
-    "q_attribution_linear",
-    "q_attribution_time_decay",
-    "q_funnel_no_interference",
-    "q_session_conversion_rate",
-    "q_time_to_convert",
-    "q_new_vs_returning",
-    "q_retention_sweep",
-    "q_survival_curve",
-    # --- time series ---
-    "q_gapfill_locf",
-    "q_gapfill_interpolate",
-    "q_autocorr_lag",
-    "q_trailing_zscore_anomaly",
-    "q_time_weighted_avg",
-    "q_date_spine_zero_fill",
-    "q_dow_seasonality_index",
-    "q_dow_hour_heatmap",
-    "q_aov_trend_monthly",
-    "q_top_movers_wow",
-    "q_interorder_gap",
-    "q_sliding_distinct_users",
-    "q_tvd_drift_weekly",
-    # --- stats & ML prep ---
-    "q_groupwise_regression",
-    "q_winsorized_mean",
-    "q_mode_per_group",
-    "q_weighted_avg",
-    "q_kth_order_statistic",
-    "q_quantile_bucket_assign",
-    "q_quantile_normalize",
-    "q_feature_moments",
-    "q_feature_hashing",
-    "q_label_centroids",
-    "q_knn_classify",
-    "q_gini_spend",
-    # --- graph & similarity ---
-    "q_two_hop_neighbors",
-    "q_degree_distribution",
-    "q_reciprocal_nn",
-    "q_also_bought_topk",
-    "q_category_overlap",
-    "q_pairwise_distance_histogram",
-    # --- multimodal ---
-    "q_multimodal_bytestats",
-    "q_multimodal_framehash",
-    "q_multimodal_temporal_pool",
-    "q_multimodal_blockhash_neardup",
-    "q_multimodal_jpeg420",
-    "q_multimodal_video_frames",
-    "q_multimodal_pipeline_e2e",
+    # 26 are driver-green in r1–r11, full list stays registered) ---
+    "q_count",
+    "q_fn_to_date",
+    # --- recorded r12 closing queue: the 38 remaining oracled rows ---
+    "q_incremental_agg_merge",
+    "q_zorder_stats",
+    "q_pareto_frontier",
+    "q_grid_radius_join",
+    "q_event_transitions",
+    "q_sequence_pattern",
+    "q_quintile_transition",
+    "q_dq_expectations",
+    "q_pointintime_scd2_join",
+    "q_association_rules",
+    "q_allocation_largest_remainder",
+    "q_percent_of_parent",
+    "q_log2_histogram",
+    "q_checksum_table",
+    "q_normalize_embeddings",
+    "q_duplicate_payments",
+    "q_above_p90_customers",
+    "q_price_dispersion",
+    "q_discount_depth",
+    "q_interval_overlap_join",
+    "q_late_arriving_dim",
+    "q_rank_auc",
+    "q_gini_impurity",
+    "q_array_setops",
+    "q_negative_sampling",
+    "q_hard_negatives",
+    "q_stream_interval_join_outer",
+    "q_dup_rate_by_source",
+    "q_stream_incremental_dedup",
+    "q_random_projection",
+    "q_dataset_card",
+    "q_simhash_md5",
+    "q_dedup_minby",
+    "q_logreg_score",
+    "q_split_by_cluster_leakage_safe",
+    "q_cdc_join_maintenance",
+    "q_profile_table",
+    "q_stream_transform_with_state",
+    # --- the 10 rows-only rows (driver certifies row count + schema;
+    # values are engine-specific — each carries an exact-parity pytest,
+    # see SURVEY §8 r11 item 5's certification table) ---
+    "q_simhash",
+    "q_ann_ivf",
+    "q_kmeans_clusters",
+    "q_bpe_train_merges",
+    "q_bpe_encode_corpus",
+    "q_pq_encode",
+    "q_pq_adc_topk",
+    "q_ivfpq_topk",
+    "q_ann_recall",
+    "q_logreg_train",
 ]
 
 
