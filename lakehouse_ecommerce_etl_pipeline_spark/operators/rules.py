@@ -80,24 +80,22 @@ def zscore_outliers(
     their group mean.
 
     Moments computed from exact integer-cents sums (engine-portable,
-    DESIGN §21 rule 3: Σc and Σc² are exact int64 per group — per-key
-    order counts are bounded, so Σc² ≲ 1e17 ≪ 2^63 — and every
-    downstream step is the same IEEE double op on both engines;
-    value_col must be 2-dp-valued). One aggregate + one broadcastable
-    join back; no window sort needed.
+    DESIGN §21 rule 3: Σc is exact int64 per group; Σc² accumulates on
+    decimal(38,0) — like q_chi2_independence's quadratic terms — so a
+    group big enough to exceed 2^63 raises/NULLs instead of silently
+    wrapping the way a BIGINT sum would in non-ANSI Spark while the
+    DuckDB oracle's SUM(BIGINT) promotes to exact HUGEINT (r11 ADVICE
+    item 2).  Every downstream step is the same IEEE double op on both
+    engines; value_col must be 2-dp-valued. One aggregate + one
+    broadcastable join back; no window sort needed.
     """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
     sums = df.groupBy(*partition_by).agg(
         F.count(value_col).alias("__n"),
-        (
-            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).cast(
-                "double"
-            )
-            / F.lit(100.0)
-        ).alias("__s"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("__s"),
         (
             F.sum(
-                F.round(F.col(value_col) * 100).cast("bigint")
-                * F.round(F.col(value_col) * 100).cast("bigint")
+                cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")
             ).cast("double")
             / F.lit(10000.0)
         ).alias("__ss"),

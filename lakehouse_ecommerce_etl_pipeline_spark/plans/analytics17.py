@@ -95,7 +95,8 @@ def q_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(CAST(SUM(CASE WHEN b.cents > q.p05c AND b.cents < q.p95c
                                THEN b.cents ELSE 0 END) AS BIGINT) AS DOUBLE)
             + SUM(CASE WHEN b.cents <= q.p05c THEN 1 ELSE 0 END) * q.p05c
-            + SUM(CASE WHEN b.cents >= q.p95c THEN 1 ELSE 0 END) * q.p95c)
+            + SUM(CASE WHEN b.cents >= q.p95c AND b.cents > q.p05c
+                       THEN 1 ELSE 0 END) * q.p95c)
              / 100.0 / COUNT(*) AS winsorized_mean,
            COUNT(*) AS n_customers
     FROM b JOIN q USING (c_mktsegment)
@@ -130,7 +131,15 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0))
     ).cast("bigint")
     n_lo = F.sum(F.when(F.col("cents") <= F.col("p05c"), 1).otherwise(0))
-    n_hi = F.sum(F.when(F.col("cents") >= F.col("p95c"), 1).otherwise(0))
+    # tails are DISJOINT: a value equal to BOTH bounds (degenerate
+    # p05 == p95 segment) lands only in n_lo, so the mean collapses to
+    # the bound — the clamp-then-mean definition — instead of
+    # double-counting (r11 ADVICE item 1)
+    n_hi = F.sum(
+        F.when(
+            (F.col("cents") >= F.col("p95c")) & (F.col("cents") > F.col("p05c")), 1
+        ).otherwise(0)
+    )
     return (
         cust.join(F.broadcast(q), "c_mktsegment")
         .groupBy("c_mktsegment")

@@ -392,3 +392,39 @@ def test_trailing_zscore_flags_match_pure_python(spark):
     assert set(rows) == expected
     for e, r in rows.items():
         assert r["win_sum"] == exp_winsum[e]
+
+
+def test_winsorized_mean_degenerate_segment_is_bound(spark, tmp_path):
+    """r11 ADVICE item 1: with p05 == p95 (constant-ish segment) the
+    clamp-then-mean definition collapses to the bound itself.  The old
+    boundary split counted a value equal to BOTH bounds in n_lo AND
+    n_hi, inflating the mean; the disjoint-tail form must return the
+    bound exactly.  Synthetic table because the shipped testdata has
+    no degenerate segment — the oracle shares the formulation and is
+    structurally blind to this."""
+    import pandas as pd
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics17 import (
+        q_winsorized_mean,
+    )
+
+    df = pd.DataFrame(
+        {
+            "c_mktsegment": ["CONST"] * 7 + ["NORMAL"] * 100,
+            "c_acctbal": [42.00] * 7 + [float(i) for i in range(100)],
+        }
+    )
+    spark.createDataFrame(df).write.parquet(str(tmp_path / "customer.parquet"))
+    rows = {
+        r["c_mktsegment"]: r
+        for r in q_winsorized_mean(spark, str(tmp_path)).collect()
+    }
+    assert rows["CONST"]["winsorized_mean"] == 42.00
+    assert rows["CONST"]["n_customers"] == 7
+    # the non-degenerate segment still matches the numpy clamp
+    import numpy as np
+
+    a = np.arange(100, dtype=np.float64) * 100.0  # cents
+    p05, p95 = np.percentile(a, [5, 95], method="linear")
+    exp = float(np.clip(a, p05, p95).sum()) / 100.0 / 100.0
+    assert abs(rows["NORMAL"]["winsorized_mean"] - exp) < 1e-9
