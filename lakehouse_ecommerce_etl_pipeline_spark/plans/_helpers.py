@@ -290,26 +290,24 @@ def _src_fingerprint(src: str) -> str:
     mtime-ordering check (r9 ADVICE); the head+tail probe catches
     changed bytes without rehashing multi-GB parquet.  Directory
     sources fingerprint their sorted (name, size, mtime_ns) listing
-    PLUS a head+tail byte probe of each regular file (r10 ADVICE: a
-    directory regenerated with preserved sizes and mtimes must still
-    invalidate) — capped at the 16 largest files for very wide
-    directories, with the full listing still hashed."""
+    PLUS a head+tail byte probe of EVERY regular member file (r10
+    ADVICE: a directory regenerated with preserved sizes and mtimes
+    must still invalidate; r11 ADVICE item 3 removed the former
+    16-largest-files cap — a same-size same-mtime byte change in a
+    SMALL member of a wide directory now invalidates too; 2 KiB
+    head+tail per member is cheap even for wide dirs)."""
     import hashlib
 
     st = os.stat(src)
     h = hashlib.md5()
     if os.path.isdir(src):
-        entries = []
         for name in sorted(os.listdir(src)):
             p = os.path.join(src, name)
             s = os.stat(p)
             h.update(f"{name}:{s.st_size}:{s.st_mtime_ns};".encode())
             if os.path.isfile(p):
-                entries.append((s.st_size, name, p))
-        probe = sorted(entries, reverse=True)[:16]
-        for size, name, p in sorted(probe, key=lambda e: e[1]):
-            h.update(f"|{name}:".encode())
-            _probe_file(h, p, size, chunk=2048)
+                h.update(f"|{name}:".encode())
+                _probe_file(h, p, s.st_size, chunk=2048)
         return f"dir:{st.st_mtime_ns}:{h.hexdigest()}"
     _probe_file(h, src, st.st_size)
     return f"{st.st_size}:{st.st_mtime_ns}:{h.hexdigest()}"
@@ -379,6 +377,15 @@ def artifact_fresh(src: str, artifact: str) -> bool:
         recorded = None
     if recorded is not None:
         if recorded == fp:
+            # the build this marker certifies has been adjudicated —
+            # drop any leftover pending sibling so a later marker loss
+            # can't promote an ancient pre-build fingerprint (r11
+            # ADVICE item 4; also stops .pending litter accumulating
+            # next to every artifact that went stale once)
+            try:
+                os.remove(pending)
+            except OSError:
+                pass
             return True
         try:
             os.remove(marker)

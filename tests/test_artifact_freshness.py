@@ -239,3 +239,64 @@ def test_dir_source_content_probe_catches_preserved_size_and_mtime(
         "same-size same-mtime byte change in a dir member must "
         "invalidate"
     )
+
+
+def test_wide_dir_small_member_byte_change_invalidates(tmp_path):
+    """r11 ADVICE item 3: the old probe byte-checked only the 16
+    largest members; a same-size same-mtime byte change in a SMALL
+    member of a >16-file directory served a stale artifact.  Every
+    regular member is probed now."""
+    src = str(tmp_path / "srcdir")
+    art = str(tmp_path / "derived")
+    os.makedirs(src)
+    # 20 large members + 1 small one (the 16-largest cap excluded it)
+    for i in range(20):
+        _touch(os.path.join(src, f"big-{i:02d}.bin"), bytes([i]) * 10000)
+    small = os.path.join(src, "small.bin")
+    _touch(small, b"aaaa")
+    small_mtime = os.stat(small).st_mtime_ns
+
+    os.makedirs(art)
+    _touch(os.path.join(art, "part-0"), b"derived")
+    assert artifact_fresh(src, art)
+
+    # same size, same mtime, different bytes — in the SMALL member
+    _touch(small, b"bbbb", mtime_ns=small_mtime)
+    assert not artifact_fresh(src, art), (
+        "byte change in a small member of a wide dir must invalidate"
+    )
+
+
+def test_pending_sibling_removed_on_fresh_match(tmp_path):
+    """r11 ADVICE item 4: once the marker matches, the adjudicated
+    .srcfp.pending sibling must be deleted — a later marker loss must
+    NOT promote the ancient pre-build fingerprint (which would force a
+    spurious rebuild), and stale-once artifacts must not accumulate
+    .pending litter."""
+    src = str(tmp_path / "src.parquet")
+    art = str(tmp_path / "derived")
+    _touch(src, b"generation-one" * 100)
+
+    # stale verdict records the pending fingerprint…
+    assert not artifact_fresh(src, art)
+    pending = _marker_path(art) + ".pending"
+    assert os.path.exists(pending)
+
+    # …build happens, first check promotes pending → marker
+    os.makedirs(art)
+    _touch(os.path.join(art, "part-0"), b"derived-bytes")
+    assert artifact_fresh(src, art)
+    assert os.path.exists(_marker_path(art))
+
+    # a later fresh check clears any leftover pending sibling
+    _touch(pending, b"ancient-pre-build-fingerprint")
+    assert artifact_fresh(src, art)
+    assert not os.path.exists(pending), (
+        "fresh match must clear the adjudicated pending sibling"
+    )
+
+    # marker lost afterwards → legacy mtime fallback, NOT a promotion
+    # of the ancient pending (it was deleted); artifact newer than src
+    # stays fresh instead of a spurious full rebuild
+    os.remove(_marker_path(art))
+    assert artifact_fresh(src, art)
