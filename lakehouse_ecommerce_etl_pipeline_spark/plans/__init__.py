@@ -218,26 +218,39 @@ def _curate_window() -> None:
 _curate_window()
 
 # ------------------------------------------------------------------
-# RECORDED r12 closing window (SURVEY §8 r11 record) — apply at the
-# START of round 12 by replacing _FIRST_WINDOW above with: 2 rotating
-# parity sentinels NOT in the r8–r11 sentinel blocks (pick from
-# q_count / q_fn_to_date / q_scan_csv / q_merge_upsert, last
-# sentinel-checked r6/r7) + these 48 never-driver-checked rows —
-# 38 oracled: q_incremental_agg_merge q_zorder_stats q_pareto_frontier
-# q_grid_radius_join q_event_transitions q_sequence_pattern
-# q_quintile_transition q_dq_expectations q_pointintime_scd2_join
-# q_association_rules q_allocation_largest_remainder
-# q_percent_of_parent q_log2_histogram q_checksum_table
-# q_normalize_embeddings q_duplicate_payments q_above_p90_customers
-# q_price_dispersion q_discount_depth q_interval_overlap_join
-# q_late_arriving_dim q_rank_auc q_gini_impurity q_array_setops
-# q_negative_sampling q_hard_negatives q_stream_interval_join_outer
-# q_dup_rate_by_source q_stream_incremental_dedup q_random_projection
-# q_dataset_card q_simhash_md5 q_dedup_minby q_logreg_score
-# q_split_by_cluster_leakage_safe q_cdc_join_maintenance
-# q_profile_table q_stream_transform_with_state
-# — and 10 rows-only: q_simhash q_ann_ivf q_kmeans_clusters
-# q_bpe_train_merges q_bpe_encode_corpus q_pq_encode q_pq_adc_topk
-# q_ivfpq_topk q_ann_recall q_logreg_train.
-# 2 + 48 = 50 → 420/420 driver-checked at end of r12.  All 48 are
-# pre-certified at sf0.01 by docs/SWEEP_r11_sf0.01.json (0 fail).
+# RECORDED r13 re-certification window (SURVEY §8 r12 record, VERDICT
+# r11 task 2) — apply at the START of round 13 by replacing
+# _FIRST_WINDOW above.  Coverage closed at 420/420 in r12, so r13+
+# windows re-certify the ~73 integer-lattice-converted rows whose
+# driver passes predate the r11 sweep (docs/RECERT_LEDGER_r11.txt;
+# 13 were re-certified inside the r11 window, 5 inside the r12
+# window → 55 remain, plus q_winsorized_mean re-touched in r12 by the
+# disjoint-tails ADVICE fix = 56).  r13 = 2 rotating parity sentinels
+# NOT in the r9–r12 sentinel blocks (pick from q_scan_csv /
+# q_merge_upsert / q_rejected_records / q_join_leftsemi, last checked
+# r7) + these 48 rows, priority per VERDICT r11 task 2 —
+# 15 TPC-H: q_tpch_q3_shipping_priority q_tpch_q5_local_supplier
+# q_tpch_q6_forecast_revenue q_tpch_q7_nation_volume
+# q_tpch_q8_market_share q_tpch_q9_product_profit
+# q_tpch_q10_returned_items q_tpch_q11_important_value_share
+# q_tpch_q14_promo_share q_tpch_q15_top_supplier
+# q_tpch_q17_small_quantity_revenue q_tpch_q18_large_volume
+# q_tpch_q19_brand_revenue q_tpch_q20_heavy_shippers
+# q_tpch_q22_idle_customers
+# 5 streaming: q_stream_tumbling_agg q_stream_sliding_agg
+# q_stream_session_window q_stream_static_join q_batch_session_window
+# 7 bench/§2-visible: q_groupby_agg q_star_join q_cube q_window_frame
+# q_events_window_agg q_enrich_derived q_winsorized_mean
+# 21 remainder (alphabetical): q_abc_classification q_anomaly_zscore
+# q_backtest_seasonal_naive q_change_point_flags q_chi2_independence
+# q_csv_corrupt_recovery q_cusum_control q_ewma_taps q_file_provenance
+# q_grouping_sets q_json_corrupt_recovery q_mann_kendall_s
+# q_mom_growth q_nested_field_pruning q_pandas_udaf_agg
+# q_pandas_udaf_window q_recursive_month_series q_rfm_segments
+# q_rollup q_salted_aggregate q_seasonal_decompose
+# 2 + 48 = 50.  r14 takes the ledger's final 8 (q_sliding_window_agg
+# q_sql_pipe_syntax q_sql_session_variables q_sql_udf
+# q_subquery_scalar q_supplier_hhi q_theil_sen_trend
+# q_window_time_range) closing the re-certification ledger, + 40
+# oldest-certification refresh rows (latest pass r1–r4; exact list in
+# SURVEY §8 r12 record).
