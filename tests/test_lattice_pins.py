@@ -428,3 +428,177 @@ def test_winsorized_mean_degenerate_segment_is_bound(spark, tmp_path):
     p05, p95 = np.percentile(a, [5, 95], method="linear")
     exp = float(np.clip(a, p05, p95).sum()) / 100.0 / 100.0
     assert abs(rows["NORMAL"]["winsorized_mean"] - exp) < 1e-9
+
+
+# --- r12 additions: pins for the r13 re-certification queue's TPC-H
+# rows (both-sides lattice rewrites the oracle is structurally blind
+# to).  One pin per arithmetic SHAPE: join-revenue (q5), multi-term
+# product (q9), conditional ratio (q14), integer threshold-avg (q17),
+# having-sum (q18); q3/q6 were pinned in r11.  All dims are
+# unique-keyed in the testdata (verified), so dict joins are exact.
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def _rev_units(p, d):
+    return _cents(p) * (100 - _cents(d))
+
+
+def test_tpch_q5_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch import (
+        q_tpch_q5_local_supplier,
+    )
+
+    li = _tbl("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    o = _tbl("orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    c = _tbl("customer", ["c_custkey", "c_nationkey"])
+    s = _tbl("supplier", ["s_suppkey", "s_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    r = _tbl("region", ["r_regionkey", "r_name"])
+    lo, hi = _ts("1996-01-01"), _ts("1997-01-01")
+    omap = {
+        k: cust
+        for k, cust, d in zip(o["o_orderkey"], o["o_custkey"], o["o_orderdate"])
+        if lo <= d < hi
+    }
+    cmap = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    smap = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    nmap = {k: (nm, rk) for k, nm, rk in zip(n["n_nationkey"], n["n_name"], n["n_regionkey"])}
+    asia = {k for k, nm in zip(r["r_regionkey"], r["r_name"]) if nm == "ASIA"}
+    units: dict[str, int] = {}
+    for ok, sk, p, d in zip(
+        li["l_orderkey"], li["l_suppkey"], li["l_extendedprice"], li["l_discount"]
+    ):
+        cust = omap.get(ok)
+        if cust is None:
+            continue
+        cn = cmap[cust]
+        if smap.get(sk) != cn:
+            continue
+        nm, rk = nmap[cn]
+        if rk not in asia:
+            continue
+        units[nm] = units.get(nm, 0) + _rev_units(p, d)
+    rows = {x["n_name"]: x["revenue"] for x in q_tpch_q5_local_supplier(spark, SF0001).collect()}
+    assert rows == {nm: float(u) / 10000.0 for nm, u in units.items()}
+
+
+def test_tpch_q9_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch3 import (
+        q_tpch_q9_product_profit,
+    )
+
+    li = _tbl(
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    s = _tbl("supplier", ["s_suppkey", "s_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name"])
+    p = _tbl("part", ["p_partkey", "p_name", "p_retailprice"])
+    o = _tbl("orders", ["o_orderkey", "o_orderdate"])
+    smap = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    nmap = dict(zip(n["n_nationkey"], n["n_name"]))
+    pmap = {
+        k: rp
+        for k, nm, rp in zip(p["p_partkey"], p["p_name"], p["p_retailprice"])
+        if "red" in nm
+    }
+    omap = dict(zip(o["o_orderkey"], o["o_orderdate"]))
+    units: dict[tuple, int] = {}
+    for ok, sk, pk, q, ep, d in zip(
+        li["l_orderkey"], li["l_suppkey"], li["l_partkey"],
+        li["l_quantity"], li["l_extendedprice"], li["l_discount"],
+    ):
+        rp = pmap.get(pk)
+        if rp is None:
+            continue
+        key = (nmap[smap[sk]], omap[ok].year)
+        profit = _rev_units(ep, d) - _cents(rp) * 100 * int(q)
+        units[key] = units.get(key, 0) + profit
+    rows = q_tpch_q9_product_profit(spark, SF0001).collect()
+    got = {(x["nation"], x["o_year"]): x["sum_profit"] for x in rows}
+    assert got == {k: float(u) / 10000.0 for k, u in units.items()}
+    # ordering contract: nation asc, year desc
+    assert [(x["nation"], x["o_year"]) for x in rows] == sorted(
+        got, key=lambda k: (k[0], -k[1])
+    )
+
+
+def test_tpch_q14_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch2 import (
+        q_tpch_q14_promo_share,
+    )
+
+    li = _tbl("lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    p = _tbl("part", ["p_partkey", "p_type"])
+    ptype = dict(zip(p["p_partkey"], p["p_type"]))
+    lo, hi = _ts("1996-09-01"), _ts("1996-10-01")
+    promo = total = 0
+    for pk, sd, ep, d in zip(
+        li["l_partkey"], li["l_shipdate"], li["l_extendedprice"], li["l_discount"]
+    ):
+        if not (lo <= sd < hi) or pk not in ptype:
+            continue
+        u = _rev_units(ep, d)
+        total += u
+        if ptype[pk] == "PROMO":
+            promo += u
+    expected = 100.0 * float(promo) / float(total)
+    got = q_tpch_q14_promo_share(spark, SF0001).collect()[0]["promo_revenue_pct"]
+    assert got == expected
+
+
+def test_tpch_q17_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch3 import (
+        q_tpch_q17_small_quantity_revenue,
+    )
+
+    li = _tbl("lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    p = _tbl("part", ["p_partkey", "p_brand"])
+    brand = {k for k, b in zip(p["p_partkey"], p["p_brand"]) if b == "Brand#13"}
+    stats: dict[int, list[int]] = {}
+    rows = [
+        (pk, int(q), ep)
+        for pk, q, ep in zip(li["l_partkey"], li["l_quantity"], li["l_extendedprice"])
+        if pk in brand
+    ]
+    for pk, q, _ in rows:
+        s = stats.setdefault(pk, [0, 0])
+        s[0] += q
+        s[1] += 1
+    cents_sum = sum(
+        _cents(ep) for pk, q, ep in rows if q * 5 * stats[pk][1] < stats[pk][0]
+    )
+    expected = float(cents_sum) / 100.0 / 7.0
+    got = q_tpch_q17_small_quantity_revenue(spark, SF0001).collect()[0]["avg_yearly"]
+    assert got == expected
+
+
+def test_tpch_q18_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch2 import (
+        q_tpch_q18_large_volume,
+    )
+
+    li = _tbl("lineitem", ["l_orderkey", "l_quantity"])
+    o = _tbl("orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    c = _tbl("customer", ["c_custkey", "c_name"])
+    qty: dict[int, int] = {}
+    for ok, q in zip(li["l_orderkey"], li["l_quantity"]):
+        qty[ok] = qty.get(ok, 0) + int(q)
+    cmap = dict(zip(c["c_custkey"], c["c_name"]))
+    expected = {}
+    for ok, ck, od, tp in zip(
+        o["o_orderkey"], o["o_custkey"], o["o_orderdate"], o["o_totalprice"]
+    ):
+        q = qty.get(ok, 0)
+        if q > 120:
+            expected[(ck, cmap[ck], ok, od, tp)] = float(q)
+    got = {
+        (x["c_custkey"], x["c_name"], x["o_orderkey"], x["o_orderdate"], x["o_totalprice"]): x["total_qty"]
+        for x in q_tpch_q18_large_volume(spark, SF0001).collect()
+    }
+    assert got == expected
