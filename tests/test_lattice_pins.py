@@ -602,3 +602,31 @@ def test_tpch_q18_matches_pure_python(spark):
         for x in q_tpch_q18_large_volume(spark, SF0001).collect()
     }
     assert got == expected
+
+
+def test_stream_tumbling_agg_matches_pure_python(spark):
+    """Pin for the r13-queue streaming rows' shared converted shape:
+    the cents-lattice tumbling sum (streaming/windows.py dsum helper,
+    r11 sweep).  Re-derives hourly (window_start, event_type) counts
+    and cents sums from raw parquet bytes and compares the DRAINED
+    STREAM — subsumes the existing stream/batch parity test with an
+    implementation-independent third opinion."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.streaming_q import (
+        q_stream_tumbling_agg,
+    )
+
+    ev = _tbl("events", ["ts", "event_type", "value"])
+    agg: dict[tuple, list[int]] = {}
+    for ts, et, v in zip(ev["ts"], ev["event_type"], ev["value"]):
+        key = (ts.replace(minute=0, second=0, microsecond=0), et)
+        s = agg.setdefault(key, [0, 0])
+        s[0] += 1
+        s[1] += _cents(v)
+    rows = q_stream_tumbling_agg(spark, SF0001).collect()
+    got = {
+        (x["window_start"], x["event_type"]): (x["n_events"], x["sum_value"])
+        for x in rows
+    }
+    assert got == {
+        k: (n, float(c) / 100.0) for k, (n, c) in agg.items()
+    }
