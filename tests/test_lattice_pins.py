@@ -630,3 +630,102 @@ def test_stream_tumbling_agg_matches_pure_python(spark):
     assert got == {
         k: (n, float(c) / 100.0) for k, (n, c) in agg.items()
     }
+
+
+def test_tpch_q10_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch import (
+        q_tpch_q10_returned_items,
+    )
+
+    li = _tbl("lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    o = _tbl("orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    c = _tbl("customer", ["c_custkey", "c_name", "c_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name"])
+    lo, hi = _ts("1996-10-01"), _ts("1997-01-01")
+    omap = {
+        k: cust
+        for k, cust, d in zip(o["o_orderkey"], o["o_custkey"], o["o_orderdate"])
+        if lo <= d < hi
+    }
+    cmap = {k: (nm, nk) for k, nm, nk in zip(c["c_custkey"], c["c_name"], c["c_nationkey"])}
+    nmap = dict(zip(n["n_nationkey"], n["n_name"]))
+    units: dict[tuple, int] = {}
+    for ok, rf, ep, d in zip(
+        li["l_orderkey"], li["l_returnflag"], li["l_extendedprice"], li["l_discount"]
+    ):
+        if rf != "R":
+            continue
+        cust = omap.get(ok)
+        if cust is None:
+            continue
+        nm, nk = cmap[cust]
+        key = (cust, nm, nmap[nk])
+        units[key] = units.get(key, 0) + _rev_units(ep, d)
+    expected = sorted(
+        (
+            (ck, cn, float(u) / 10000.0, nn)
+            for (ck, cn, nn), u in units.items()
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )[:20]
+    got = [
+        (x["c_custkey"], x["c_name"], x["revenue"], x["n_name"])
+        for x in q_tpch_q10_returned_items(spark, SF0001).collect()
+    ]
+    assert got == expected
+
+
+def test_tpch_q11_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch3 import (
+        q_tpch_q11_important_value_share,
+    )
+
+    li = _tbl("lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    s = _tbl("supplier", ["s_suppkey", "s_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name"])
+    smap = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    nmap = dict(zip(n["n_nationkey"], n["n_name"]))
+    val: dict[str, int] = {}
+    for sk, ep, d in zip(li["l_suppkey"], li["l_extendedprice"], li["l_discount"]):
+        nm = nmap[smap[sk]]
+        val[nm] = val.get(nm, 0) + _rev_units(ep, d)
+    total = sum(val.values())
+    expected = sorted(
+        ((nm, float(u) / 10000.0) for nm, u in val.items() if u * 25 > total),
+        key=lambda r: (-r[1], r[0]),
+    )
+    got = [
+        (x["n_name"], x["value"])
+        for x in q_tpch_q11_important_value_share(spark, SF0001).collect()
+    ]
+    assert got == expected
+
+
+def test_tpch_q22_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch3 import (
+        q_tpch_q22_idle_customers,
+    )
+
+    c = _tbl("customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name"])
+    o = _tbl("orders", ["o_custkey", "o_orderpriority"])
+    urgent = {
+        ck for ck, pr in zip(o["o_custkey"], o["o_orderpriority"]) if pr == "1-URGENT"
+    }
+    pos = [_cents(b) for b in c["c_acctbal"] if b > 0]
+    threshold = float(sum(pos)) / 100.0 / len(pos)
+    nmap = dict(zip(n["n_nationkey"], n["n_name"]))
+    agg: dict[str, list[int]] = {}
+    for ck, b, nk in zip(c["c_custkey"], c["c_acctbal"], c["c_nationkey"]):
+        if b > threshold and ck not in urgent:
+            s = agg.setdefault(nmap[nk], [0, 0])
+            s[0] += 1
+            s[1] += _cents(b)
+    expected = [
+        (nm, agg[nm][0], float(agg[nm][1]) / 100.0) for nm in sorted(agg)
+    ]
+    got = [
+        (x["nation"], x["numcust"], x["totacctbal"])
+        for x in q_tpch_q22_idle_customers(spark, SF0001).collect()
+    ]
+    assert got == expected
