@@ -729,3 +729,186 @@ def test_tpch_q22_matches_pure_python(spark):
         for x in q_tpch_q22_idle_customers(spark, SF0001).collect()
     ]
     assert got == expected
+
+
+def test_tpch_q7_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch2 import (
+        q_tpch_q7_nation_volume,
+    )
+
+    li = _tbl(
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    o = _tbl("orders", ["o_orderkey", "o_custkey"])
+    c = _tbl("customer", ["c_custkey", "c_nationkey"])
+    s = _tbl("supplier", ["s_suppkey", "s_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name"])
+    omap = dict(zip(o["o_orderkey"], o["o_custkey"]))
+    cmap = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    smap = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    nmap = dict(zip(n["n_nationkey"], n["n_name"]))
+    units: dict[tuple, int] = {}
+    for ok, sk, sd, ep, d in zip(
+        li["l_orderkey"], li["l_suppkey"], li["l_shipdate"],
+        li["l_extendedprice"], li["l_discount"],
+    ):
+        sn, cn = nmap[smap[sk]], nmap[cmap[omap[ok]]]
+        if (sn, cn) not in {("NATION_0", "NATION_1"), ("NATION_1", "NATION_0")}:
+            continue
+        key = (sn, cn, sd.year)
+        units[key] = units.get(key, 0) + _rev_units(ep, d)
+    got = {
+        (x["supp_nation"], x["cust_nation"], x["l_year"]): x["revenue"]
+        for x in q_tpch_q7_nation_volume(spark, SF0001).collect()
+    }
+    assert got == {k: float(u) / 10000.0 for k, u in units.items()}
+
+
+def test_tpch_q8_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch3 import (
+        q_tpch_q8_market_share,
+    )
+
+    li = _tbl(
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+    o = _tbl("orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    c = _tbl("customer", ["c_custkey", "c_nationkey"])
+    s = _tbl("supplier", ["s_suppkey", "s_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    p = _tbl("part", ["p_partkey", "p_type"])
+    lo, hi = _ts("1996-01-01"), _ts("1998-01-01")
+    omap = {
+        k: (cust, d.year)
+        for k, cust, d in zip(o["o_orderkey"], o["o_custkey"], o["o_orderdate"])
+        if lo <= d < hi
+    }
+    cmap = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    smap = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    nmap = dict(zip(n["n_nationkey"], n["n_name"]))
+    region2 = {k for k, rk in zip(n["n_nationkey"], n["n_regionkey"]) if rk == 2}
+    econ = {k for k, t in zip(p["p_partkey"], p["p_type"]) if t == "ECONOMY"}
+    num: dict[int, int] = {}
+    den: dict[int, int] = {}
+    for ok, sk, pk, ep, d in zip(
+        li["l_orderkey"], li["l_suppkey"], li["l_partkey"],
+        li["l_extendedprice"], li["l_discount"],
+    ):
+        ent = omap.get(ok)
+        if ent is None or pk not in econ or cmap[ent[0]] not in region2:
+            continue
+        yr = ent[1]
+        u = _rev_units(ep, d)
+        den[yr] = den.get(yr, 0) + u
+        if nmap[smap[sk]] == "NATION_7":
+            num[yr] = num.get(yr, 0) + u
+    rows = q_tpch_q8_market_share(spark, SF0001).collect()
+    got = [(x["o_year"], x["mkt_share"]) for x in rows]
+    expected = sorted(
+        (yr, float(num.get(yr, 0)) / float(dv)) for yr, dv in den.items()
+    )
+    assert got == expected
+
+
+def test_tpch_q15_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch3 import (
+        q_tpch_q15_top_supplier,
+    )
+
+    li = _tbl("lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    s = _tbl("supplier", ["s_suppkey", "s_name"])
+    lo, hi = _ts("1996-01-01"), _ts("1996-04-01")
+    rev: dict[int, int] = {}
+    for sk, sd, ep, d in zip(
+        li["l_suppkey"], li["l_shipdate"], li["l_extendedprice"], li["l_discount"]
+    ):
+        if lo <= sd < hi:
+            rev[sk] = rev.get(sk, 0) + _rev_units(ep, d)
+    best = max(rev.values())
+    smap = dict(zip(s["s_suppkey"], s["s_name"]))
+    expected = sorted(
+        (sk, smap[sk], float(u) / 10000.0) for sk, u in rev.items() if u == best
+    )
+    got = [
+        (x["s_suppkey"], x["s_name"], x["total_revenue"])
+        for x in q_tpch_q15_top_supplier(spark, SF0001).collect()
+    ]
+    assert got == expected
+
+
+def test_tpch_q19_matches_pure_python(spark):
+    # pinned at sf0.01: the sf0.001 slice matches ZERO rows of the
+    # disjunctive predicate (SUM → NULL on both engines — asserted
+    # below anyway), while sf0.01 selects 131 lineitems, exercising
+    # the lattice sum itself
+    import os
+
+    sf001 = "/root/testdata/sf0.01"
+
+    def _tbl01(name, cols):
+        import pyarrow.parquet as _pq
+
+        return _pq.read_table(
+            os.path.join(sf001, f"{name}.parquet"), columns=cols
+        ).to_pydict()
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch2 import (
+        q_tpch_q19_brand_revenue,
+    )
+
+    li = _tbl01("lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    p = _tbl01("part", ["p_partkey", "p_brand", "p_size"])
+    pmap = {k: (b, sz) for k, b, sz in zip(p["p_partkey"], p["p_brand"], p["p_size"])}
+    total = None
+    for pk, q, ep, d in zip(
+        li["l_partkey"], li["l_quantity"], li["l_extendedprice"], li["l_discount"]
+    ):
+        b, sz = pmap[pk]
+        if (
+            (b == "Brand#12" and 1 <= sz <= 5 and 1 <= q <= 11)
+            or (b == "Brand#23" and 1 <= sz <= 10 and 10 <= q <= 20)
+            or (b == "Brand#34" and 1 <= sz <= 15 and 20 <= q <= 30)
+        ):
+            total = (total or 0) + _rev_units(ep, d)
+    got = q_tpch_q19_brand_revenue(spark, sf001).collect()[0]["revenue"]
+    assert total is not None  # sf0.01 selects 131 lineitems
+    assert got == float(total) / 10000.0
+    # and the empty slice agrees on SQL NULL semantics at sf0.001
+    assert q_tpch_q19_brand_revenue(spark, SF0001).collect()[0]["revenue"] is None
+
+
+def test_tpch_q20_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.tpch4 import (
+        q_tpch_q20_heavy_shippers,
+    )
+
+    li = _tbl("lineitem", ["l_suppkey", "l_partkey", "l_shipdate", "l_quantity"])
+    p = _tbl("part", ["p_partkey", "p_name"])
+    s = _tbl("supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    red = {k for k, nm in zip(p["p_partkey"], p["p_name"]) if nm.startswith("red")}
+    lo, hi = _ts("1997-01-01"), _ts("1998-01-01")
+    qty: dict[int, int] = {}
+    for sk, pk, sd, q in zip(
+        li["l_suppkey"], li["l_partkey"], li["l_shipdate"], li["l_quantity"]
+    ):
+        if pk in red and lo <= sd < hi:
+            qty[sk] = qty.get(sk, 0) + int(q)
+    heavy = {sk for sk, q in qty.items() if q > 50}
+    nmap = {
+        k: nm
+        for k, nm, rk in zip(n["n_nationkey"], n["n_name"], n["n_regionkey"])
+        if rk == 1
+    }
+    expected = sorted(
+        (nm, nmap[nk])
+        for sk, nm, nk in zip(s["s_suppkey"], s["s_name"], s["s_nationkey"])
+        if nk in nmap and sk in heavy
+    )
+    got = [
+        (x["s_name"], x["nation"])
+        for x in q_tpch_q20_heavy_shippers(spark, SF0001).collect()
+    ]
+    assert got == expected
