@@ -912,3 +912,126 @@ def test_tpch_q20_matches_pure_python(spark):
         for x in q_tpch_q20_heavy_shippers(spark, SF0001).collect()
     ]
     assert got == expected
+
+
+def test_stream_sliding_agg_matches_pure_python(spark):
+    """2 h windows sliding hourly: every event lands in exactly the
+    two hour-aligned windows [trunc(ts)-1h, trunc(ts)]."""
+    import datetime
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics25 import (
+        q_stream_sliding_agg,
+    )
+
+    ev = _tbl("events", ["ts", "event_type", "value"])
+    agg: dict[tuple, list[int]] = {}
+    for ts, et, v in zip(ev["ts"], ev["event_type"], ev["value"]):
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        for ws in (h, h - datetime.timedelta(hours=1)):
+            s = agg.setdefault((ws, et), [0, 0])
+            s[0] += 1
+            s[1] += _cents(v)
+    got = {
+        (x["window_start"], x["event_type"]): (x["n_events"], x["sum_value"])
+        for x in q_stream_sliding_agg(spark, SF0001).collect()
+    }
+    assert got == {k: (n, float(c) / 100.0) for k, (n, c) in agg.items()}
+
+
+def test_stream_session_window_matches_pure_python(spark):
+    """30-min-gap sessionization: a gap >= 30 min starts a new island;
+    session end = last event + gap (session_window semantics)."""
+    import datetime
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.streaming_q import (
+        q_stream_session_window,
+    )
+
+    ev = _tbl("events", ["user_id", "ts", "value"])
+    by_user: dict[int, list] = {}
+    for u, ts, v in zip(ev["user_id"], ev["ts"], ev["value"]):
+        by_user.setdefault(u, []).append((ts, v))
+    gap = datetime.timedelta(minutes=30)
+    expected = set()
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r[0])
+        cur: list = []
+        for ts, v in rows:
+            if cur and ts - cur[-1][0] >= gap:
+                expected.add(
+                    (u, cur[0][0], cur[-1][0] + gap, len(cur),
+                     float(sum(_cents(x[1]) for x in cur)) / 100.0)
+                )
+                cur = []
+            cur.append((ts, v))
+        expected.add(
+            (u, cur[0][0], cur[-1][0] + gap, len(cur),
+             float(sum(_cents(x[1]) for x in cur)) / 100.0)
+        )
+    got = {
+        (x["user_id"], x["session_start"], x["session_end"],
+         x["n_events"], x["sum_value"])
+        for x in q_stream_session_window(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def test_stream_static_join_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.streaming_q import (
+        q_stream_static_join,
+    )
+
+    ev = _tbl("events", ["user_id", "value"])
+    c = _tbl("customer", ["c_custkey", "c_mktsegment"])
+    seg = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    agg: dict[str, list[int]] = {}
+    for u, v in zip(ev["user_id"], ev["value"]):
+        if u in seg:
+            s = agg.setdefault(seg[u], [0, 0])
+            s[0] += 1
+            s[1] += _cents(v)
+    got = {
+        x["c_mktsegment"]: (x["n_events"], x["sum_value"])
+        for x in q_stream_static_join(spark, SF0001).collect()
+    }
+    assert got == {k: (n, float(c_) / 100.0) for k, (n, c_) in agg.items()}
+
+
+def test_batch_session_window_matches_pure_python(spark):
+    """Native session_window (20-min gap, BATCH): a gap strictly
+    greater than 20 min starts a new island; end = last + gap."""
+    import datetime
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics25 import (
+        q_batch_session_window,
+    )
+
+    ev = _tbl("events", ["user_id", "event_id", "ts", "value"])
+    by_user: dict[int, list] = {}
+    for u, eid, ts, v in zip(
+        ev["user_id"], ev["event_id"], ev["ts"], ev["value"]
+    ):
+        by_user.setdefault(u, []).append((ts, eid, v))
+    gap = datetime.timedelta(minutes=20)
+    expected = set()
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        cur: list = []
+        for ts, _eid, v in rows:
+            if cur and ts - cur[-1][0] > gap:
+                expected.add(
+                    (u, cur[0][0], cur[-1][0] + gap, len(cur),
+                     float(sum(_cents(x[1]) for x in cur)) / 100.0)
+                )
+                cur = []
+            cur.append((ts, v))
+        expected.add(
+            (u, cur[0][0], cur[-1][0] + gap, len(cur),
+             float(sum(_cents(x[1]) for x in cur)) / 100.0)
+        )
+    got = {
+        (x["user_id"], x["session_start"], x["session_end"],
+         x["n_events"], x["sum_value"])
+        for x in q_batch_session_window(spark, SF0001).collect()
+    }
+    assert got == expected
