@@ -1035,3 +1035,229 @@ def test_batch_session_window_matches_pure_python(spark):
         for x in q_batch_session_window(spark, SF0001).collect()
     }
     assert got == expected
+
+
+# --- bench-visible r13-queue rows (VERDICT r11 priority list):
+# q_groupby_agg / q_star_join / q_cube / q_window_frame /
+# q_events_window_agg, plus the rollup/grouping-sets family and the
+# pandas-UDAF faces that share the same converted dsum/cents shape.
+
+
+def test_groupby_agg_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics import (
+        q_groupby_agg,
+    )
+
+    li = _tbl(
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+    cut = _ts("1998-09-02")
+    agg: dict[tuple, list[int]] = {}
+    for rf, ls, sd, q, ep, d in zip(
+        li["l_returnflag"], li["l_linestatus"], li["l_shipdate"],
+        li["l_quantity"], li["l_extendedprice"], li["l_discount"],
+    ):
+        if sd > cut:
+            continue
+        s = agg.setdefault((rf, ls), [0, 0, 0, 0])
+        s[0] += _cents(q)
+        s[1] += _cents(ep)
+        s[2] += _cents(ep) * (100 - _cents(d))
+        s[3] += 1
+    got = {
+        (x["l_returnflag"], x["l_linestatus"]): (
+            x["sum_qty"], x["sum_base_price"], x["sum_disc_price"],
+            x["avg_qty"], x["count_order"],
+        )
+        for x in q_groupby_agg(spark, SF0001).collect()
+    }
+    assert got == {
+        k: (
+            float(cq) / 100.0,
+            float(cp) / 100.0,
+            float(cd) / 10000.0,
+            float(cq) / 100.0 / n,
+            n,
+        )
+        for k, (cq, cp, cd, n) in agg.items()
+    }
+
+
+def test_star_join_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics import (
+        q_star_join,
+    )
+
+    o = _tbl("orders", ["o_custkey", "o_totalprice"])
+    c = _tbl("customer", ["c_custkey", "c_nationkey"])
+    n = _tbl("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    r = _tbl("region", ["r_regionkey", "r_name"])
+    cmap = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    nmap = {k: (nm, rk) for k, nm, rk in zip(n["n_nationkey"], n["n_name"], n["n_regionkey"])}
+    rmap = dict(zip(r["r_regionkey"], r["r_name"]))
+    agg: dict[tuple, list[int]] = {}
+    for ck, tp in zip(o["o_custkey"], o["o_totalprice"]):
+        nm, rk = nmap[cmap[ck]]
+        s = agg.setdefault((rmap[rk], nm), [0, 0])
+        s[0] += _cents(tp)
+        s[1] += 1
+    got = {
+        (x["r_name"], x["n_name"]): (x["revenue"], x["n_orders"])
+        for x in q_star_join(spark, SF0001).collect()
+    }
+    assert got == {k: (float(cts) / 100.0, n_) for k, (cts, n_) in agg.items()}
+
+
+def _grouping_levels(rows, keyfns):
+    """Aggregate (cents, count) under each grouping-set key fn."""
+    out = {}
+    for kf in keyfns:
+        for key_vals, cts in rows:
+            k = kf(key_vals)
+            s = out.setdefault(k, [0, 0])
+            s[0] += cts
+            s[1] += 1
+    return out
+
+
+def test_rollup_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics import (
+        q_rollup,
+    )
+
+    li = _tbl("lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    rows = [((rf, ls), _cents(q)) for rf, ls, q in zip(
+        li["l_returnflag"], li["l_linestatus"], li["l_quantity"])]
+    agg = _grouping_levels(
+        rows,
+        [lambda k: (k[0], k[1]), lambda k: (k[0], None), lambda k: (None, None)],
+    )
+    got = {
+        (x["l_returnflag"], x["l_linestatus"]): (x["sum_qty"], x["n_rows"])
+        for x in q_rollup(spark, SF0001).collect()
+    }
+    assert got == {k: (float(c) / 100.0, n) for k, (c, n) in agg.items()}
+
+
+def test_cube_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics import q_cube
+
+    o = _tbl("orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    rows = [((st, pr), _cents(tp)) for st, pr, tp in zip(
+        o["o_orderstatus"], o["o_orderpriority"], o["o_totalprice"])]
+    agg = _grouping_levels(
+        rows,
+        [
+            lambda k: (k[0], k[1]),
+            lambda k: (k[0], None),
+            lambda k: (None, k[1]),
+            lambda k: (None, None),
+        ],
+    )
+    got = {
+        (x["o_orderstatus"], x["o_orderpriority"]): (x["sum_price"], x["n_rows"])
+        for x in q_cube(spark, SF0001).collect()
+    }
+    assert got == {k: (float(c) / 100.0, n) for k, (c, n) in agg.items()}
+
+
+def test_grouping_sets_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics import (
+        q_grouping_sets,
+    )
+
+    o = _tbl("orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    rows = [((st, pr), _cents(tp)) for st, pr, tp in zip(
+        o["o_orderstatus"], o["o_orderpriority"], o["o_totalprice"])]
+    agg = _grouping_levels(
+        rows, [lambda k: (k[0], None), lambda k: (None, k[1])]
+    )
+    got = {
+        (x["o_orderstatus"], x["o_orderpriority"]): (x["n_rows"], x["sum_price"])
+        for x in q_grouping_sets(spark, SF0001).collect()
+    }
+    assert got == {k: (n, float(c) / 100.0) for k, (c, n) in agg.items()}
+
+
+def test_window_frame_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics import (
+        q_window_frame,
+    )
+
+    ev = _tbl("events", ["event_id", "user_id", "ts", "value"])
+    by_user: dict[int, list] = {}
+    for eid, u, ts, v in zip(ev["event_id"], ev["user_id"], ev["ts"], ev["value"]):
+        by_user.setdefault(u, []).append((ts, eid, v))
+    expected = {}
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        run = 0
+        for ts, eid, v in rows:
+            run += _cents(v)
+            expected[eid] = float(run) / 100.0
+    got = {
+        x["event_id"]: x["running_sum"]
+        for x in q_window_frame(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def test_events_window_agg_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics import (
+        q_events_window_agg,
+    )
+
+    ev = _tbl("events", ["ts", "event_type", "value"])
+    agg: dict[tuple, list[int]] = {}
+    for ts, et, v in zip(ev["ts"], ev["event_type"], ev["value"]):
+        s = agg.setdefault((ts.replace(minute=0, second=0, microsecond=0), et), [0, 0])
+        s[0] += 1
+        s[1] += _cents(v)
+    got = {
+        (x["window_start"], x["event_type"]): (x["n_events"], x["sum_value"])
+        for x in q_events_window_agg(spark, SF0001).collect()
+    }
+    assert got == {k: (n, float(c) / 100.0) for k, (n, c) in agg.items()}
+
+
+def test_pandas_udaf_agg_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.sources_q import (
+        q_pandas_udaf_agg,
+    )
+
+    o = _tbl("orders", ["o_orderpriority", "o_totalprice"])
+    agg: dict[str, list[int]] = {}
+    for pr, tp in zip(o["o_orderpriority"], o["o_totalprice"]):
+        s = agg.setdefault(pr, [0, 0])
+        s[0] += _cents(tp)
+        s[1] += 1
+    got = {
+        x["o_orderpriority"]: (x["total_cents"], x["n_orders"])
+        for x in q_pandas_udaf_agg(spark, SF0001).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_pandas_udaf_window_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.sources_q import (
+        q_pandas_udaf_window,
+    )
+
+    o = _tbl("orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    by_cust: dict[int, list] = {}
+    for ok, ck, tp in zip(o["o_orderkey"], o["o_custkey"], o["o_totalprice"]):
+        by_cust.setdefault(ck, []).append((ok, tp))
+    expected = {}
+    for ck, rows in by_cust.items():
+        rows.sort()
+        run = 0
+        for ok, tp in rows:
+            run += _cents(tp)
+            expected[ok] = run
+    got = {
+        x["o_orderkey"]: x["running_cents"]
+        for x in q_pandas_udaf_window(spark, SF0001).collect()
+    }
+    assert got == expected
