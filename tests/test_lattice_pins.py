@@ -1261,3 +1261,103 @@ def test_pandas_udaf_window_matches_pure_python(spark):
         for x in q_pandas_udaf_window(spark, SF0001).collect()
     }
     assert got == expected
+
+
+def test_mom_growth_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics16 import (
+        q_mom_growth,
+    )
+
+    o = _tbl("orders", ["o_orderdate", "o_totalprice"])
+    months: dict = {}
+    for d, tp in zip(o["o_orderdate"], o["o_totalprice"]):
+        m = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        months[m] = months.get(m, 0) + _cents(tp)
+    seq = sorted(months)
+    expected = {}
+    for i, m in enumerate(seq):
+        rev = float(months[m]) / 100.0
+        if i == 0:
+            expected[m] = (rev, None)
+        else:
+            prev = float(months[seq[i - 1]]) / 100.0
+            expected[m] = (rev, (rev - prev) / prev)
+    got = {
+        x["month"]: (x["revenue"], x["mom_growth"])
+        for x in q_mom_growth(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def test_sliding_window_agg_matches_pure_python(spark):
+    import datetime
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics2 import (
+        q_sliding_window_agg,
+    )
+
+    ev = _tbl("events", ["ts", "value"])
+    agg: dict = {}
+    for ts, v in zip(ev["ts"], ev["value"]):
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        for ws in (h, h - datetime.timedelta(hours=1)):
+            s = agg.setdefault(ws, [0, 0])
+            s[0] += 1
+            s[1] += _cents(v)
+    got = {
+        x["window_start"]: (x["n_events"], x["sum_value"])
+        for x in q_sliding_window_agg(spark, SF0001).collect()
+    }
+    assert got == {k: (n, float(c) / 100.0) for k, (n, c) in agg.items()}
+
+
+def test_salted_aggregate_matches_pure_python(spark):
+    """Salting is a plan transformation, not a semantics one: the
+    two-phase result must equal the direct pure-Python group-by."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics17 import (
+        q_salted_aggregate,
+    )
+
+    li = _tbl("lineitem", ["l_returnflag", "l_extendedprice"])
+    agg: dict = {}
+    for rf, ep in zip(li["l_returnflag"], li["l_extendedprice"]):
+        s = agg.setdefault(rf, [0, 0])
+        s[0] += _cents(ep)
+        s[1] += 1
+    got = {
+        x["l_returnflag"]: (x["sum_price"], x["n_lines"])
+        for x in q_salted_aggregate(spark, SF0001).collect()
+    }
+    assert got == {k: (float(c) / 100.0, n) for k, (c, n) in agg.items()}
+
+
+def test_cusum_control_matches_pure_python(spark):
+    """The two-window unroll of S_t = max(0, S_{t-1} + (x_t - mu))
+    must equal the direct recursion computed in exact integers."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics49 import (
+        q_cusum_control,
+    )
+
+    o = _tbl("orders", ["o_orderdate", "o_totalprice"])
+    daily: dict = {}
+    for d, tp in zip(o["o_orderdate"], o["o_totalprice"]):
+        daily[d] = daily.get(d, 0) + _cents(tp)
+    days = sorted(daily)
+    n, total = len(days), sum(daily.values())
+    expected = {}
+    cum = 0
+    s_direct = 0  # the recursion itself, scaled by n
+    run_min = 0
+    for d in days:
+        dev = daily[d] * n - total
+        cum += dev
+        run_min = min(run_min, cum)
+        s_direct = max(0, s_direct + dev)
+        scaled = cum - min(run_min, 0)
+        assert scaled == s_direct  # identity the plan relies on
+        expected[d] = (daily[d], scaled, float(scaled) / float(n))
+    got = {
+        x["day"]: (x["cents"], x["cusum_scaled"], x["cusum_cents"])
+        for x in q_cusum_control(spark, SF0001).collect()
+    }
+    assert got == expected
