@@ -1361,3 +1361,138 @@ def test_cusum_control_matches_pure_python(spark):
         for x in q_cusum_control(spark, SF0001).collect()
     }
     assert got == expected
+
+
+def test_window_time_range_matches_pure_python(spark):
+    """RANGE (value-based) trailing-1h frame: includes every same-user
+    event within 3.6e9 micros INCLUDING peers at the exact same
+    timestamp, regardless of row position."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics6 import (
+        q_window_time_range,
+    )
+
+    ev = _tbl("events", ["user_id", "event_id", "ts", "value"])
+    by_user: dict[int, list] = {}
+    for u, eid, ts, v in zip(ev["user_id"], ev["event_id"], ev["ts"], ev["value"]):
+        us = int(ts.timestamp() * 1_000_000)
+        by_user.setdefault(u, []).append((us, eid, _cents(v)))
+    expected = {}
+    for u, rows in by_user.items():
+        for us, eid, _c in rows:
+            s = sum(c2 for us2, _e2, c2 in rows if us - 3_600_000_000 <= us2 <= us)
+            expected[eid] = float(s) / 100.0
+    got = {
+        x["event_id"]: x["trailing_1h_value"]
+        for x in q_window_time_range(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def test_supplier_hhi_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics34 import (
+        q_supplier_hhi,
+    )
+
+    li = _tbl("lineitem", ["l_suppkey", "l_extendedprice"])
+    s = _tbl("supplier", ["s_suppkey", "s_nationkey"])
+    smap = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    sup_cents: dict[tuple, int] = {}
+    for sk, ep in zip(li["l_suppkey"], li["l_extendedprice"]):
+        key = (smap[sk], sk)
+        sup_cents[key] = sup_cents.get(key, 0) + _cents(ep)
+    nat_cents: dict[int, int] = {}
+    for (nk, _sk), c in sup_cents.items():
+        nat_cents[nk] = nat_cents.get(nk, 0) + c
+    import math as _m
+
+    hhi: dict[int, int] = {}
+    top: dict[int, float] = {}
+    nsup: dict[int, int] = {}
+    for (nk, _sk), c in sup_cents.items():
+        share = (float(c) / 100.0) / (float(nat_cents[nk]) / 100.0)
+        hhi[nk] = hhi.get(nk, 0) + int(_m.floor(share * share * 1e12))
+        top[nk] = max(top.get(nk, 0.0), share)
+        nsup[nk] = nsup.get(nk, 0) + 1
+    got = {
+        x["s_nationkey"]: (x["n_suppliers"], x["hhi"], x["top_share"])
+        for x in q_supplier_hhi(spark, SF0001).collect()
+    }
+    assert got == {
+        nk: (nsup[nk], float(hhi[nk]) / 1e12, top[nk]) for nk in hhi
+    }
+
+
+def _q6dp(x: float):
+    """Spark/DuckDB double→DECIMAL(25,6): HALF_UP at 1e-6 on the exact
+    decimal expansion of the IEEE double."""
+    import decimal
+
+    return decimal.Decimal(x).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+    )
+
+
+def test_backtest_seasonal_naive_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics39 import (
+        q_backtest_seasonal_naive,
+    )
+
+    o = _tbl("orders", ["o_orderdate", "o_totalprice"])
+    daily: dict = {}
+    for d, tp in zip(o["o_orderdate"], o["o_totalprice"]):
+        daily[d.date()] = daily.get(d.date(), 0) + _cents(tp)
+    days = sorted(daily)
+    rev = [float(daily[d]) / 100.0 for d in days]
+    import decimal
+
+    err_n = decimal.Decimal(0)
+    err_s = decimal.Decimal(0)
+    n_days = 0
+    for i in range(len(days)):
+        if i < 7:
+            continue  # both lags defined only from index 7 on
+        err_n += _q6dp(abs(rev[i] - rev[i - 1]))
+        err_s += _q6dp(abs(rev[i] - rev[i - 7]))
+        n_days += 1
+    got = {
+        x["model"]: (x["n_days"], x["total_abs_err"])
+        for x in q_backtest_seasonal_naive(spark, SF0001).collect()
+    }
+    assert got == {
+        "naive_1d": (n_days, float(err_n)),
+        "seasonal_7d": (n_days, float(err_s)),
+    }
+
+
+def test_seasonal_decompose_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics43 import (
+        q_seasonal_decompose,
+    )
+
+    o = _tbl("orders", ["o_orderdate", "o_totalprice"])
+    daily: dict = {}
+    for d, tp in zip(o["o_orderdate"], o["o_totalprice"]):
+        daily[d.date()] = daily.get(d.date(), 0) + _cents(tp)
+    days = sorted(daily)
+    rev = [float(daily[d]) / 100.0 for d in days]
+    det_rows = []  # (date, dow, revenue, trend, detrended)
+    for i in range(3, len(days) - 3):
+        tsum = sum((_q6dp(rev[j]) for j in range(i - 3, i + 4)))
+        trend = float(tsum) / 7
+        dow = ((days[i].weekday() + 1) % 7) + 1  # Spark: 1=Sunday
+        det_rows.append((days[i], dow, rev[i], trend, rev[i] - trend))
+    seas_sum: dict = {}
+    seas_n: dict = {}
+    for _d, dow, _r, _t, det in det_rows:
+        seas_sum[dow] = seas_sum.get(dow, 0) + _q6dp(det)
+        seas_n[dow] = seas_n.get(dow, 0) + 1
+    seasonal = {dow: float(s) / seas_n[dow] for dow, s in seas_sum.items()}
+    expected = {
+        d: (r, t, seasonal[dow], det - seasonal[dow])
+        for d, dow, r, t, det in det_rows
+    }
+    got = {
+        x["d"]: (x["revenue"], x["trend"], x["seasonal"], x["residual"])
+        for x in q_seasonal_decompose(spark, SF0001).collect()
+    }
+    assert got == expected
