@@ -1496,3 +1496,140 @@ def test_seasonal_decompose_matches_pure_python(spark):
         for x in q_seasonal_decompose(spark, SF0001).collect()
     }
     assert got == expected
+
+
+def test_csv_corrupt_recovery_matches_pure_python(spark):
+    """The converted part is the good-row cents sum, which must equal
+    the CLEAN orders table's sum — corrupt lines must never leak into
+    the lattice aggregate."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics42 import (
+        _N_BAD,
+        q_csv_corrupt_recovery,
+    )
+
+    o = _tbl("orders", ["o_totalprice"])
+    n = len(o["o_totalprice"])
+    total = sum(_cents(p) for p in o["o_totalprice"])
+    row = q_csv_corrupt_recovery(spark, SF0001).collect()[0]
+    assert (
+        row["n_lines"], row["n_good"], row["n_corrupt"],
+        row["n_dropmalformed"], row["sum_good_price"],
+    ) == (n + _N_BAD, n, _N_BAD, n, float(total) / 100.0)
+
+
+def test_json_corrupt_recovery_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics42 import (
+        _N_BAD_J,
+        q_json_corrupt_recovery,
+    )
+
+    o = _tbl("orders", ["o_totalprice"])
+    n = len(o["o_totalprice"])
+    total = sum(_cents(p) for p in o["o_totalprice"])
+    row = q_json_corrupt_recovery(spark, SF0001).collect()[0]
+    assert (
+        row["n_lines"], row["n_good"], row["n_corrupt"], row["sum_good_price"]
+    ) == (n + _N_BAD_J, n, _N_BAD_J, float(total) / 100.0)
+
+
+def test_file_provenance_matches_pure_python(spark):
+    """Path-derived provenance report must equal the data-derived
+    monthly report computed from raw parquet bytes."""
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics52 import (
+        q_file_provenance,
+    )
+
+    o = _tbl("orders", ["o_orderdate", "o_custkey", "o_totalprice"])
+    agg: dict = {}
+    for d, ck, tp in zip(o["o_orderdate"], o["o_custkey"], o["o_totalprice"]):
+        m = d.date().replace(day=1)
+        s = agg.setdefault(m, [0, 0, set()])
+        s[0] += 1
+        s[1] += _cents(tp)
+        s[2].add(ck)
+    got = {
+        x["order_month"]: (x["n_rows"], x["total_cents"], x["n_customers"])
+        for x in q_file_provenance(spark, SF0001).collect()
+    }
+    assert got == {m: (n, c, len(ks)) for m, (n, c, ks) in agg.items()}
+
+
+def test_sql_pipe_syntax_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.spark4 import (
+        q_sql_pipe_syntax,
+    )
+
+    li = _tbl("lineitem", ["l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"])
+    cut = _ts("1996-01-01")
+    agg: dict = {}
+    for rf, sd, ep, d in zip(
+        li["l_returnflag"], li["l_shipdate"], li["l_extendedprice"], li["l_discount"]
+    ):
+        if sd < cut:
+            continue
+        s = agg.setdefault(rf, [0, 0])
+        s[0] += 1
+        s[1] += _rev_units(ep, d)
+    got = {
+        x["l_returnflag"]: (x["n_lines"], x["revenue"])
+        for x in q_sql_pipe_syntax(spark, SF0001).collect()
+    }
+    assert got == {k: (n, float(u) / 10000.0) for k, (n, u) in agg.items()}
+
+
+def test_sql_udf_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_sql_udf,
+    )
+
+    li = _tbl("lineitem", ["l_returnflag", "l_extendedprice", "l_discount"])
+    agg: dict = {}
+    for rf, ep, d in zip(li["l_returnflag"], li["l_extendedprice"], li["l_discount"]):
+        s = agg.setdefault(rf, [0, 0])
+        s[0] += _rev_units(ep, d)
+        s[1] += 1
+    got = {
+        x["l_returnflag"]: (x["net_revenue"], x["n_lines"])
+        for x in q_sql_udf(spark, SF0001).collect()
+    }
+    assert got == {k: (float(u) / 10000.0, n) for k, (u, n) in agg.items()}
+
+
+def test_subquery_scalar_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics3 import (
+        q_subquery_scalar,
+    )
+
+    o = _tbl("orders", ["o_orderkey", "o_totalprice"])
+    mean = float(sum(_cents(p) for p in o["o_totalprice"])) / 100.0 / len(
+        o["o_totalprice"]
+    )
+    expected = {
+        ok: tp - mean for ok, tp in zip(o["o_orderkey"], o["o_totalprice"])
+    }
+    got = {
+        x["o_orderkey"]: x["diff_from_mean"]
+        for x in q_subquery_scalar(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def test_sql_session_variables_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.spark4b import (
+        _MIN_CENTS,
+        q_sql_session_variables,
+    )
+
+    o = _tbl("orders", ["o_orderpriority", "o_totalprice"])
+    agg: dict = {}
+    for pr, tp in zip(o["o_orderpriority"], o["o_totalprice"]):
+        c = _cents(tp)
+        if c >= _MIN_CENTS:
+            s = agg.setdefault(pr, [0, 0])
+            s[0] += 1
+            s[1] += c
+    got = {
+        x["o_orderpriority"]: (x["n_orders"], x["total_cents"])
+        for x in q_sql_session_variables(spark, SF0001).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
