@@ -1633,3 +1633,168 @@ def test_sql_session_variables_matches_pure_python(spark):
         for x in q_sql_session_variables(spark, SF0001).collect()
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_chi2_independence_matches_pure_python(spark):
+    """FLOOR 1e-12 lattice terms over exact integer marginals (the
+    r11 final conversion) re-derived directly."""
+    import math as _m
+
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics20 import (
+        q_chi2_independence,
+    )
+
+    o = _tbl("orders", ["o_orderstatus", "o_orderpriority"])
+    cells: dict = {}
+    for s, p in zip(o["o_orderstatus"], o["o_orderpriority"]):
+        cells[(s, p)] = cells.get((s, p), 0) + 1
+    r: dict = {}
+    c: dict = {}
+    n = 0
+    for (s, p), cnt in cells.items():
+        r[s] = r.get(s, 0) + cnt
+        c[p] = c.get(p, 0) + cnt
+        n += cnt
+    total_terms = 0
+    for (s, p), cnt in cells.items():
+        diff = float(cnt * n - r[s] * c[p])
+        total_terms += int(_m.floor(diff * diff / float(n * r[s] * c[p]) * 1e12))
+    row = q_chi2_independence(spark, SF0001).collect()[0]
+    assert row["chi2_stat"] == float(total_terms) / 1e12
+    assert row["dof"] == (len(r) - 1) * (len(c) - 1)
+    assert row["n"] == n
+
+
+def test_abc_classification_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics15 import (
+        q_abc_classification,
+    )
+
+    li = _tbl("lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    rev: dict[int, int] = {}
+    for pk, ep, d in zip(li["l_partkey"], li["l_extendedprice"], li["l_discount"]):
+        rev[pk] = rev.get(pk, 0) + _rev_units(ep, d)
+    order = sorted(rev, key=lambda pk: (-rev[pk], pk))
+    total = sum(rev.values())
+    expected = {}
+    cum = 0
+    for pk in order:
+        cum += rev[pk]
+        cls = "A" if cum * 5 <= total * 4 else ("B" if cum * 20 <= total * 19 else "C")
+        expected[pk] = (float(rev[pk]) / 10000.0, cls)
+    got = {
+        x["l_partkey"]: (x["revenue"], x["abc_class"])
+        for x in q_abc_classification(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def _ntile(keys, k=5):
+    """SQL NTILE over an already-ordered key list: first n%k tiles get
+    one extra row."""
+    n = len(keys)
+    base, extra = divmod(n, k)
+    out = {}
+    i = 0
+    for t in range(1, k + 1):
+        size = base + (1 if t <= extra else 0)
+        for key in keys[i : i + size]:
+            out[key] = t
+        i += size
+    return out
+
+
+def test_rfm_segments_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics15 import (
+        q_rfm_segments,
+    )
+
+    o = _tbl("orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    base: dict = {}
+    for ck, d, tp in zip(o["o_custkey"], o["o_orderdate"], o["o_totalprice"]):
+        s = base.setdefault(ck, [None, 0, 0])
+        s[0] = d if s[0] is None or d > s[0] else s[0]
+        s[1] += 1
+        s[2] += _cents(tp)
+    custs = list(base)
+    r_score = _ntile(sorted(custs, key=lambda ck: (_neg_ts(base[ck][0]), ck)))
+    f_score = _ntile(sorted(custs, key=lambda ck: (-base[ck][1], ck)))
+    m_score = _ntile(sorted(custs, key=lambda ck: (-base[ck][2], ck)))
+    expected = {
+        ck: (
+            base[ck][0],
+            base[ck][1],
+            float(base[ck][2]) / 100.0,
+            r_score[ck],
+            f_score[ck],
+            m_score[ck],
+        )
+        for ck in custs
+    }
+    got = {
+        x["o_custkey"]: (
+            x["last_order"], x["frequency"], x["monetary"],
+            x["r_score"], x["f_score"], x["m_score"],
+        )
+        for x in q_rfm_segments(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def _neg_ts(d):
+    return -d.timestamp()
+
+
+def test_change_point_flags_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics30 import (
+        _CP_W,
+        q_change_point_flags,
+    )
+
+    o = _tbl("orders", ["o_orderdate", "o_totalprice"])
+    daily: dict = {}
+    for d, tp in zip(o["o_orderdate"], o["o_totalprice"]):
+        daily[d.date()] = daily.get(d.date(), 0) + _cents(tp)
+    days = sorted(daily)
+    rev = [float(daily[d]) / 100.0 for d in days]
+    expected = {}
+    for i in range(_CP_W, len(days) - _CP_W + 1):
+        before = sum(rev[i - _CP_W : i]) / _CP_W
+        after = sum(rev[i : i + _CP_W]) / _CP_W
+        if abs(after - before) > 0.5 * before:
+            expected[days[i]] = (rev[i], before, after)
+    got = {
+        x["day"]: (x["revenue"], x["before_mean"], x["after_mean"])
+        for x in q_change_point_flags(spark, SF0001).collect()
+    }
+    # float mean: Spark AVG over a ROWS frame sums in frame order,
+    # Python sum() over the same slice is the same left-to-right order
+    assert got == expected
+
+
+def test_recursive_month_series_matches_pure_python(spark):
+    from lakehouse_ecommerce_etl_pipeline_spark.plans.analytics11 import (
+        q_recursive_month_series,
+    )
+
+    o = _tbl("orders", ["o_orderdate", "o_totalprice"])
+    monthly: dict = {}
+    for d, tp in zip(o["o_orderdate"], o["o_totalprice"]):
+        m = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        s = monthly.setdefault(m, [0, 0])
+        s[0] += 1
+        s[1] += _cents(tp)
+    lo, hi = min(monthly), max(monthly)
+    expected = {}
+    m = lo
+    while m <= hi:
+        n, c = monthly.get(m, (0, 0))
+        expected[m] = (n, float(c) / 100.0)
+        nxt_month = (m.month % 12) + 1
+        nxt_year = m.year + (1 if m.month == 12 else 0)
+        m = m.replace(year=nxt_year, month=nxt_month)
+    got = {
+        x["month_start"]: (x["n_orders"], x["revenue"])
+        for x in q_recursive_month_series(spark, SF0001).collect()
+    }
+    assert got == expected
