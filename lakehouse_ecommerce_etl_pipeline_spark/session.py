@@ -91,6 +91,16 @@ def get_spark(
         # nanos timestamp type — read as long and convert at the source
         # (plans/_helpers.load truncates to micros, matching DuckDB)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # JVM (pre-4.1) case mapping for lower()/upper() under
+        # UTF8_BINARY: Spark 4.1's ICU path builds a full-Unicode
+        # title-case table in a single-threaded class init (~5 min per
+        # fresh JVM on this host, all other task threads blocked on the
+        # init monitor — thread-dump evidence in OPTIMIZATION_r12.md).
+        # Result-identical here: the corpus is pure ASCII at every SF
+        # (audited) and no initcap/titlecase expression exists in the
+        # package, so ICU and JVM mappings agree bit-for-bit (pinned by
+        # tests/test_icu_casemap.py). Re-evaluate for non-ASCII corpora.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         # naive parquet timestamps (isAdjustedToUTC=false) read as
         # session-UTC TIMESTAMP, not TIMESTAMP_NTZ: time-arithmetic
         # (unix_micros, window(), watermarks) requires TIMESTAMP, and the
