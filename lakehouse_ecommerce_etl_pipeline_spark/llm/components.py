@@ -67,10 +67,16 @@ def connected_components(
                 "label",
             )
         )
-        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = updated.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
+        # materialize the round ONCE, then read both the convergence
+        # probe and the next-round labels from the checkpointed blocks
+        # (the former filter(...).count() + checkpoint pair executed
+        # the join+aggregate twice per round — r12 optimization,
+        # measured ~2x per-round cost)
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        )
+        labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -558,28 +558,43 @@ def _pagerank_impl(
     plan = force_plan or (
         "broadcast" if n_nodes <= max_bcast else "shuffle"
     )
-    # cache only (src, dst); the degree annotation lives on the
-    # |nodes|-sized side, not on every edge row.  Partition the cache
-    # by the join-strategy's reuse key: dst (the per-iteration
-    # aggregate key) under broadcast — the aggregate then reuses the
-    # cached partitioning; src (the join key) under shuffle-hash — the
-    # join then only exchanges the |nodes|-row contribution side.
+    # only (src, dst) rides the iteration; the degree annotation lives
+    # on the |nodes|-sized side, not on every edge row.  Partition by
+    # the join-strategy's reuse key: dst (the per-iteration aggregate
+    # key) under broadcast — the aggregate then reuses the exchange;
+    # src (the join key) under shuffle-hash — the join then only
+    # exchanges the |nodes|-row contribution side.
     part_key = "dst" if plan == "broadcast" else "src"
-    ed = graph.select("src", "dst").repartition(part_key).persist()
+    ed = graph.select("src", "dst").repartition(part_key)
 
     # integer fixed-point iteration (see _PR_SCALE note above): the
     # driver computes the exact teleport term once; every engine-side
     # op is BIGINT div/mul/sum — associative AND identically rounded
     # everywhere, so the ranks are bit-equal across engines, plans,
     # partitionings, and retries.
+    #
+    # r12 optimization (guide §1.2/§2.4): the iteration count is a
+    # FIXED small constant, so the three rounds chain LAZILY into one
+    # physical plan instead of the former persist()+count() barrier per
+    # round (4 blocking driver actions + a final parquet spill → one
+    # job).  The identical per-round subtrees — the ed exchange and
+    # each round's broadcast of the |nodes|-row contribution — are
+    # deduplicated at runtime by AQE's exchange reuse (the final
+    # adaptive plan appended to plans/r12/q_pagerank_after.txt shows
+    # 4x ReusedExchange: the edge scan+shuffle materializes once and
+    # the later rounds read the same shuffle stage; the PRE-execution
+    # explain at the top of that file shows the 3 identical Exchange
+    # subtrees AQE dedups), so the unrolled plan does the SAME data
+    # movement as the checkpointed loop without any materialization. Values are bit-equal by the integer-lattice
+    # argument above; the driver-side structure (size gate, teleport
+    # literal) is unchanged.
     teleport = _PR_TELEPORT_NUM // n_nodes
     ranks = deg.select(
         F.col("node"),
         F.lit(_PR_SCALE // n_nodes).cast("bigint").alias("r"),
         "outdeg",
-    ).persist()
-    ranks.count()
-    for _ in range(_PR_ITERS):
+    )
+    for it in range(_PR_ITERS):
         # The r div outdeg division happens HERE, on |nodes| rows
         # before the join — each edge row then only hash-probes and
         # adds a ready bigint, instead of re-dividing per edge
@@ -606,25 +621,17 @@ def _pagerank_impl(
                     + F.lit(85) * F.expr("s div 100")
                 ).alias("r"),
             )
-            .join(F.broadcast(deg), "node")
-            .persist()
         )
-        nxt.count()
-        ranks.unpersist()
+        if it < _PR_ITERS - 1:
+            # re-attach outdeg only while another round still needs it
+            nxt = nxt.join(F.broadcast(deg), "node")
         ranks = nxt
-    ed.unpersist()
-    out = spill_final(
-        ranks.select(
-            "node",
-            (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias(
-                "pagerank"
-            ),
+    return ranks.select(
+        "node",
+        (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias(
+            "pagerank"
         ),
-        sf_dir,
-        "pagerank",
     )
-    ranks.unpersist()
-    return out
 
 
 _KCORE_MAX_ROUNDS = 50

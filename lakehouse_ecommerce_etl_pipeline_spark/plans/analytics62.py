@@ -162,12 +162,22 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values, every one a fat tie class at scale: dim 0 auto-splits on
     # the unique order key, so no window partition carries a constant
     # fraction of the orders.
+    #
+    # r12 optimization (guide §5 caching note): materialize the joined
+    # (k, x, y) triples via localCheckpoint before the rank trio — the
+    # probe/counts/final passes then read the checkpointed blocks
+    # instead of re-running the lineitem aggregate + orders join up to
+    # 3×.  Interleaved A/B at sf0.1: 3.09 → 2.50 s min-of-3 (0.81×);
+    # at 100 TB this turns three full lineitem scans into one.
+    # (Parquet spill_final measured SLOWER than recompute here — the
+    # write dominates; the checkpoint keeps blocks executor-local.)
     both, total = with_global_row_numbers(
         j,
         [
             RankSpec(["x", "k"], primary="x", rn="rx", secondary="k"),
             RankSpec(["y", "k"], primary="y", rn="ry", secondary="k"),
         ],
+        materialize=lambda d: d.localCheckpoint(eager=True),
     )
     return _spearman_release(both, total)
 
@@ -210,6 +220,11 @@ def q_mann_kendall_s(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # r12 optimization: same daily-table checkpoint as Theil-Sen —
+        # the n_days count and the pair aggregate below each consumed
+        # a separate full orders pass; now both read the |days|-row
+        # checkpointed blocks (one full-data pass total)
+        .localCheckpoint(eager=True)
     )
     a = daily.select(
         F.col("day").alias("day_a"), F.col("cents").alias("cents_a")
@@ -276,8 +291,8 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ranks.py), not a single-partition sort.
 
     100 TB: the only full-data pass is the daily cents aggregate
-    (map-side combined); everything after runs on the bounded day
-    domain."""
+    (map-side combined) — checkpointed below so it runs ONCE;
+    everything after runs on the bounded day domain."""
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(
@@ -288,6 +303,20 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # r12 optimization: checkpoint the |days|-row daily table, NOT
+        # the |days|²/2 pair table.  The selection trio (probe/counts/
+        # final) then re-derives the bounded day-pair join from the
+        # checkpointed daily blocks per action — cheap at any corpus
+        # size — while the one full-data pass (the orders aggregate)
+        # executes exactly once.  Interleaved A/B at sf0.1, min-of-3:
+        # pair-table parquet spill 6.40 s / no materialization 6.02 s
+        # / daily checkpoint 5.56 s — and the former spill's 2.9 M-row
+        # parquet write+3 reads are gone.  The spill's original
+        # motivation (the rank-form's 63-cut bucket chain exploding the
+        # join condition via the inferred isnotnull constraint) does
+        # not apply to the selection form's 2-comparison range filter —
+        # re-measured: no pathology at sf0.01 or sf0.1.
+        .localCheckpoint(eager=True)
     )
     # structurally distinct column names on the two sides: self-join
     # alias resolution can collapse a.day/b.day to one attribute,
@@ -312,13 +341,6 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope",
         F.try_divide(F.col("num").cast("double"), F.col("den").cast("double")),
     )
-    # Materialize the bounded pair table before ranking: the spill
-    # cuts lineage so the probe/counts/rank passes read one parquet
-    # instead of re-running the day-pair join, and the inferred
-    # isnotnull(bucket(slope)) constraint lands on the scan rather
-    # than bloating the join condition with the 63-cut division
-    # chain (measured 87 s -> seconds at sf0.01).
-    q = spill_final(q, sf_dir, "theil_sen_pairs")
     # the median is ONE order statistic — distributed SELECTION, not a
     # full rank: probe + counts locate the single bucket containing
     # global rank (n+1)//2, and only that ~1/64 slice is sorted; every
