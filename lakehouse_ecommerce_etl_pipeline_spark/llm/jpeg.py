@@ -121,6 +121,14 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
+# encoder code tables are pure functions of the module-constant table
+# shapes — built once at import, not per encode_jpeg call (guide §4.5:
+# amortize fixed init; the encoder runs per image row inside
+# mapInPandas workers, so a per-call rebuild multiplied by the corpus)
+_DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
+
+
 # ------------------------------------------------------------------
 # bit I/O
 
@@ -527,8 +535,8 @@ def encode_jpeg(
     else:
         planes = [arr[:, :, 0].astype(np.float64)]
 
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    dc_codes = _DC_CODES
+    ac_codes = _AC_CODES
 
     # sampling factors + per-component padded planes and coefficients
     if sub420:
