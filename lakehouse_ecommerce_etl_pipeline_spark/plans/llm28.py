@@ -34,15 +34,23 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 def shingle_hashes(text_col: str, k: int = _K):
     """Positional (order-preserving, duplicate-preserving) token
-    array → array of md5(k-gram) — computed entirely in-row."""
+    array → array of unhex(md5(k-gram)) — computed entirely in-row.
+
+    The hash is released by NO query (both consumers aggregate or
+    join on it internally), so it rides the exchanges as 16-byte
+    BINARY instead of the 32-char hex string (guide §2.3: halve the
+    column, halve its shuffle bytes; equality joins/groupBy on binary
+    are bytewise-identical to the hex comparison). 128-bit width is
+    load-bearing: a 64-bit hash would birthday-collide on the 10^13
+    shingles of a 100 TB corpus and change dup-set membership."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
     return F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice(toks, i, k)))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
 
 
 @register(

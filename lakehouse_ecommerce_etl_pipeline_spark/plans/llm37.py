@@ -339,6 +339,15 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("si").alias("j"),
             p_expr.alias("p"),
         )
+        # r12 optimization (guide §5): poff (k² rows) is consumed
+        # TWICE — by pself and by the union — so without a cut the
+        # whole win-table chain (4 histogram passes + window cumsum +
+        # join) executed twice inside the pall barrier job.  The tiny
+        # checkpoint truncates it; interleaved A/B at sf0.1 min-of-3:
+        # 3.14 → 2.11 s (an h-only checkpoint measured 2.58 — the
+        # double-consumed node is the right cut, not the histogram).
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     pself = poff.groupBy("i").agg(
         (F.lit(_P_SCALE) - F.sum("p")).cast("bigint").alias("p")
