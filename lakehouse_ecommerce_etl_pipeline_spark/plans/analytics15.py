@@ -513,10 +513,14 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     seeds = F.array(*[F.lit(i) for i in range(_BLOOM_HASHES)])
 
-    dim = (
-        orders.filter(F.col("o_totalprice") > 400000)
-        .select(F.col("o_orderkey").alias("k"))
-        .distinct()
+    # NO distinct on the key set (r12, guide §2.4 "a distinct on data
+    # that is already unique"): o_orderkey is the orders PK, and both
+    # consumers are duplicate-insensitive anyway (bit_or absorbs
+    # repeats; leftsemi ignores build-side multiplicity) — the removed
+    # exchange was pure cost. A/B min-of-4 at sf0.1: 1.33 → 1.08 s,
+    # identical 120k-row output.
+    dim = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("k")
     )
     words = (
         dim.select("k", F.explode(seeds).alias("seed"))
