@@ -69,7 +69,7 @@ def connected_components(
         )
         # materialize the round ONCE, then read both the convergence
         # probe and the next-round labels from the checkpointed blocks
-        # (the former filter(...).count() + checkpoint pair executed
+        # (the former filter+count probe / checkpoint pair executed
         # the join+aggregate twice per round — r12 optimization,
         # measured ~2x per-round cost)
         updated = updated.localCheckpoint(eager=True)

@@ -46,7 +46,7 @@ EXPECTED = {
     "operators/wap.py": (3, "scalar|sample", "reject count + 10-row reason sample + staged-row scalar (audit verdict)"),
     "plans/analytics11.py": (1, "scalar", "recursive-CTE bound literal"),
     "plans/analytics13.py": (1, "sample", "foreachBatch sink collects the per-batch demo rows (bounded fixture)"),
-    "plans/analytics16.py": (7, "loop|scalar", "PageRank/k-core: n_nodes/n_edges gates + per-iteration persist discipline + k-core min scalar"),
+    "plans/analytics16.py": (5, "loop|scalar", "PageRank/k-core: n_nodes gate + k-core min scalar + k-core peel probes (pagerank's per-iteration persist/count barriers removed by the r12 lazy unroll)"),
     "plans/analytics20.py": (2, "scalar", "chi2 dof: two distinct-counts over tiny domains"),
     "plans/analytics21.py": (2, "loop", "connected-components convergence probe + persist discipline"),
     "plans/analytics23.py": (1, "scalar", "basket total N for lift (one value)"),
