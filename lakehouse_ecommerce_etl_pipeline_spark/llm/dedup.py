@@ -304,7 +304,15 @@ def jaccard_pairs(
     - all-pairs (bounded subsets/tests only): classic token self-join.
     """
     if pairs is not None:
-        ta = token_array(df, id_col, text_col)
+        # the token-array table feeds BOTH join sides below, and the
+        # two joins key on different ids, so nothing dedups the
+        # subtree — without this the corpus was scanned and tokenized
+        # twice per verification (r12 optimization, guide §5). Lazy
+        # localCheckpoint: the first consumer's computation persists
+        # the blocks, the second reads them — no extra blocking pass,
+        # and the call stays lazy for every caller (incl. foreachBatch
+        # micro-batches).
+        ta = token_array(df, id_col, text_col).localCheckpoint(eager=False)
         a = ta.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
         b = ta.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
         joined = pairs.join(a, "id_a").join(b, "id_b")

@@ -79,7 +79,16 @@ def kmeans(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Lloyd's iterations with deterministic seeding (the k smallest
-    ids), returning (id, cluster, dist_sq)."""
+    ids), returning (id, cluster, dist_sq).
+
+    The (id, vector) projection is materialized once up front
+    (localCheckpoint): the loop re-reads the SAME rows 2 + 2·iters
+    times (dim probe, seed collect, per-iteration update + the final
+    assignment), and without it every pass re-ran the upstream scan/
+    derivation (r12 optimization, guide §5). Partitioning — and with
+    it the float partial-sum order of the centroid means — is
+    unchanged, so the trajectory is bit-identical."""
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     dim = len(df.select(vec_col).first()[0])
     seeds = [
         [float(x) for x in r[0]]

@@ -48,8 +48,33 @@ def train_logreg(
 ) -> list[float]:
     """Full-batch GD on mean log-loss; returns [w0, w1..wk]. The
     gradient aggregation is one hash aggregate per iteration —
-    partial sums combine map-side, the driver sees k+1 doubles."""
-    n = df.count()
+    partial sums combine map-side, the driver sees k+1 doubles.
+
+    The projected feature table is persisted for the duration of the
+    loop: every iteration re-reads the SAME (k+1)-column numeric
+    rows, and without the cache each of the ``iters`` aggregates
+    re-ran the upstream scan + feature extraction (regexp/tokenize
+    string work) from parquet — iters+1 full passes for one pass of
+    useful data (r12 optimization, guide §5).  Caching preserves the
+    scan partitioning, so per-partition partial-sum order — and with
+    it the learned float trajectory — is bit-identical."""
+    df = df.select(label_col, *feature_cols).persist()
+    try:
+        n = df.count()
+        w = _gd_loop(df, feature_cols, label_col, lr, iters, n)
+    finally:
+        df.unpersist()
+    return w
+
+
+def _gd_loop(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float,
+    iters: int,
+    n: int,
+) -> list[float]:
     w = [0.0] * (len(feature_cols) + 1)
     for _ in range(iters):
         z = margin(feature_cols, w)

@@ -44,7 +44,14 @@ def train_codebooks(
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """One k-means codebook per subspace (deterministic smallest-id
-    seeding, Lloyd iterations); returns codebooks[m][k][subdim]."""
+    seeding, Lloyd iterations); returns codebooks[m][k][subdim].
+
+    The (id, vector) projection is materialized once (localCheckpoint)
+    before the m concurrent training loops: each subspace re-reads it
+    2 + 2·iters times, so without it the upstream scan/derivation ran
+    m·(2 + 2·iters) times (r12 optimization, guide §5).  Partitioning
+    is preserved, so the float mean trajectories are bit-identical."""
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     dim = len(df.select(vec_col).first()[0])
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     subdim = dim // m
@@ -176,6 +183,9 @@ def ivfpq_index(
     100 TB: the index build is two bounded k-means loops plus one
     encode pass; the stored index is the (id, cell, m-byte codes)
     table — the embedding column is never read again at query time."""
+    # one materialization serves the coarse Lloyd loop (2 + 2·iters
+    # passes) and the residual derivation (r12 optimization, guide §5)
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     cents = _lloyd_centroids(df, kc, iters, id_col, vec_col)
     assigned = assign_clusters(df, cents, vec_col)
     cent_lit = F.array(
@@ -189,7 +199,10 @@ def ivfpq_index(
             F.element_at(cent_lit, F.col("cluster") + 1),
             lambda a, b: a - b,
         ).alias("residual"),
-    )
+    # materialized once: res feeds codebook training, the encode pass
+    # AND the (id, cell) re-attach below — each re-ran the coarse
+    # assignment chain before (r12 optimization, guide §5)
+    ).localCheckpoint(eager=True)
     cbs = train_codebooks(
         res, m=m, k=k, iters=iters, id_col=id_col, vec_col="residual"
     )

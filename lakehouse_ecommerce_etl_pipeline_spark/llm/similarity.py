@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_ecommerce_etl_pipeline_spark.functions.vectors import cosine, dot, norm
@@ -115,6 +115,69 @@ def distinct_vector_reps(
     return member_map, rep_vectors
 
 
+def _spread_to_cores(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's core count when
+    the input has FEWER partitions: the per-row vector math below
+    (cosine folds, cell-pair verification) is CPU-bound, and a tiny
+    parquet footprint otherwise scans as 1-2 partitions that pin the
+    whole computation to 1-2 cores — the measured load_parallel
+    rationale (plans/_helpers.py).  The old crossJoin+groupBy
+    assignment spread the work incidentally through its exchanges;
+    with those removed (guide §2.4) the spread must be explicit.  A
+    no-op at scale: inputs already at/above core count pass through
+    untouched, so production tables pay no extra exchange.  Callers
+    must be partition-order-independent (per-row projections,
+    max/count aggregates, threshold filters — NOT float partial-sum
+    trainers)."""
+    sp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < sp:
+        return df.repartition(sp)
+    return df
+
+
+def _nearest_cell(
+    cent_rows: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """Row-wise argmax-cosine centroid pick as ONE expression: a fold
+    over the literal (neg_cid, cvec) centroid array whose lambda
+    keeps the better of (accumulated, candidate) — identical ordering
+    (csim desc, centroid_id asc tie-break; NULL cosine — the
+    zero-norm case — never beats a non-NULL and an all-NULL row falls
+    back to the smallest centroid id) to the former crossJoin +
+    max-struct aggregate + join-back, but with ZERO exchanges: the
+    old shape shuffled the n×k scored rows into a groupBy(id) and
+    then shuffled the vector table again to re-attach the winner (r12
+    optimization, guide §2.4).  One lambda body holds ONE cosine fold
+    — an inlined per-centroid expression (k copies) measured ~2×
+    slower, an expression-size effect.  ``cent_rows`` must be sorted
+    ascending by centroid id; centroid sets are k ≤ a few dozen
+    literal arrays — driver/codegen-sized by construction.  Cosine
+    here is try_divide arithmetic over finite inputs: NULL happens
+    (zero vectors), NaN cannot."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(-int(cid)).cast("int").alias("neg_cid"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+            )
+            for cid, cvec in cent_rows
+        ]
+    )
+    zero = F.struct(
+        F.lit(None).cast("double").alias("csim"),
+        F.lit(-int(cent_rows[0][0])).cast("int").alias("neg_cid"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        s = cosine(F.col(vec_col), c["cvec"])
+        take = s.isNotNull() & (acc["csim"].isNull() | (s > acc["csim"]))
+        return F.when(
+            take, F.struct(s.alias("csim"), c["neg_cid"].alias("neg_cid"))
+        ).otherwise(acc)
+
+    return F.aggregate(cents_lit, zero, step)
+
+
 def cosine_near_dup_pairs_blocked(
     vectors: DataFrame,
     threshold: float,
@@ -151,24 +214,38 @@ def cosine_near_dup_pairs_blocked(
     import math
 
     spark = vectors.sparkSession
-    cents = seed_centroids(vectors, n_cells, id_col, vec_col)
-    joined = vectors.select(id_col, vec_col).crossJoin(F.broadcast(cents))
-    scored = joined.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine(vec_col, "cvec").alias("csim"),
+    # centroids are k tiny rows and were ALREADY collected below for
+    # the admissible-cell-pair computation — collect them first and
+    # assign cells with the row-wise literal argmin (_nearest_cell):
+    # the former crossJoin + groupBy(id) + join-back cost two
+    # exchanges of the vector table per consumer.  The assignment is
+    # then materialized ONCE (localCheckpoint): its three consumers
+    # (radii collect, a-side, b-side) each re-ran the whole
+    # assignment chain before (r12 optimization, guide §2.4/§5).
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in seed_centroids(vectors, n_cells, id_col, vec_col).collect()
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(F.col("csim"), (-F.col("centroid_id")).alias("neg_cid"))
-        ).alias("b")
-    )
-    assigned = vectors.join(best, id_col).select(
-        F.col(id_col),
-        F.col(vec_col),
-        (-F.col("b.neg_cid")).alias("cell"),
-        F.col("b.csim").alias("ccos"),
+    if not cent_rows:
+        return vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine_sim"),
+        ).limit(0)
+    assigned = (
+        _spread_to_cores(vectors.select(id_col, vec_col))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_cell(cent_rows, vec_col).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-F.col("b.neg_cid")).alias("cell"),
+            F.col("b.csim").alias("ccos"),
+        )
     )
 
     clamped = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("ccos")))
@@ -178,7 +255,7 @@ def cosine_near_dup_pairs_blocked(
         .agg(F.max(F.acos(clamped)).alias("r"))
         .collect()  # O(n_cells) driver decision
     }
-    cvecs = {r["centroid_id"]: r["cvec"] for r in cents.collect()}
+    cvecs = dict(cent_rows)
 
     def angle(u, v):
         d = sum(x * y for x, y in zip(u, v))
@@ -236,25 +313,28 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast argmin).
-    centroids: (centroid_id, cvec). Adds ``centroid_id``."""
-    joined = vectors.crossJoin(F.broadcast(centroids))
-    scored = joined.select(
+    """Assign each vector to its nearest centroid. centroids:
+    (centroid_id, cvec). Adds ``centroid_id``.
+
+    The centroid table is collected (k tiny rows — model-sized, the
+    same synchronization point as k-means) and the argmin runs as a
+    row-wise literal expression: the former crossJoin + max-struct
+    groupBy(id) + join-back shape cost two exchanges of the vector
+    table for a decision that is a pure per-row function (r12
+    optimization, guide §2.4); tie-break and NULL-cosine ordering are
+    identical (_nearest_cell)."""
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in centroids.collect()
+    )
+    if not cent_rows:
+        return vectors.select(
+            F.col(id_col), F.col(vec_col), F.lit(0).alias("centroid_id")
+        ).limit(0)
+    return _spread_to_cores(vectors.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
-        F.col("centroid_id"),
-        cosine(vec_col, "cvec").alias("csim"),
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("csim"), (-F.col("centroid_id")).alias("neg_cid"))).alias(
-            "best"
-        )
-    )
-    return (
-        vectors.join(best, id_col)
-        .select(
-            F.col(id_col), F.col(vec_col), (-F.col("best.neg_cid")).alias("centroid_id")
-        )
+        (-_nearest_cell(cent_rows, vec_col)["neg_cid"]).alias("centroid_id"),
     )
 
 
@@ -284,8 +364,15 @@ def ivf_topk(
     round_to: int = 6,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` centroids nearest
-    the query, brute-force only inside those buckets."""
-    cents = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    the query, brute-force only inside those buckets.
+
+    The k-row centroid table is evaluated ONCE (collect) and re-enters
+    both consumers as a local relation: the probe's former lazy
+    reference re-ran the seed top-k scan of the vector table a second
+    time next to ivf_assign's collect (r12 optimization, guide §5)."""
+    spark = vectors.sparkSession
+    cents0 = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    cents = spark.createDataFrame(cents0.collect(), cents0.schema)
     assigned = ivf_assign(vectors, cents, id_col, vec_col)
     probe = (
         cents.crossJoin(F.broadcast(query_vec))
@@ -346,7 +433,11 @@ def ivf_topk_multi(
     stays identical to ``topk_multi``. With n_probe == n_centroids
     the probe filter passes everything, so IVF degenerates to the
     exact ranking — the identity tests/test_ann_recall.py pins."""
-    cents = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    # centroids collected once, shared as a local relation by the
+    # assignment and the probe (see ivf_topk — r12 optimization)
+    spark = vectors.sparkSession
+    cents0 = seed_centroids(vectors, n_centroids, id_col, vec_col)
+    cents = spark.createDataFrame(cents0.collect(), cents0.schema)
     assigned = ivf_assign(vectors, cents, id_col, vec_col)
     probe = (
         cents.crossJoin(F.broadcast(queries))

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.plans._helpers import (
     load,
     order_part_edges,
-    spill_final,
 )
 from lakehouse_ecommerce_etl_pipeline_spark.plans.registry import register
 
@@ -90,38 +89,33 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # one materialization of the pair-mining build, pre-partitioned on
-    # dst so every round's MIN-by-dst reuses the cached partitioning
-    # (same discipline as q_pagerank)
-    ed = edges.repartition("dst").persist()
+    # r12 optimization (guide §1.2/§2.4, the q_pagerank unroll applied
+    # to the second fixed-round kernel): _CC_ITERS is a small constant
+    # and the loop has no convergence probe, so the rounds chain
+    # LAZILY into one physical plan instead of the former
+    # persist()+count() barrier per round plus a final parquet spill
+    # (5 blocking driver actions → one job).  The repartition("dst")
+    # exchange and each round's broadcast of the |nodes|-row label
+    # table are deduplicated at runtime by AQE exchange reuse, exactly
+    # as in plans/r12/q_pagerank_after.txt; labels are integer MIN
+    # fixpoints, so values are partitioning-independent by
+    # construction.
+    ed = edges.repartition("dst")
     lbl = (
         ed.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
-        .persist()
     )
-    lbl.count()
     for _ in range(_CC_ITERS):
         msgs = ed.join(F.broadcast(lbl), ed["src"] == lbl["node"]).select(
             F.col("dst").alias("node"), "lbl"
         )
-        nxt = (
+        lbl = (
             msgs.unionByName(lbl)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
         )
-        nxt.count()
-        lbl.unpersist()
-        lbl = nxt
-    ed.unpersist()
-    out = spill_final(
-        lbl.select("node", F.col("lbl").alias("component")),
-        sf_dir,
-        "connected_components",
-    )
-    lbl.unpersist()
-    return out
+    return lbl.select("node", F.col("lbl").alias("component"))
 
 
 # ------------------------------------------------- Gini concentration

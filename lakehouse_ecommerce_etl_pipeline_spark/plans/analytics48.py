@@ -297,7 +297,12 @@ def q_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    n1 = sym.select(F.col("src").alias("node"), F.col("dst").alias("nb")).distinct()
+    # order_part_edges is DISTINCT (src < dst) by construction, so the
+    # symmetric orientation is already a set — the former .distinct()
+    # here was a redundant full exchange of |2E| rows (r12
+    # optimization, guide §2.4; the oracle's DISTINCT stays, DuckDB
+    # plans it however it likes)
+    n1 = sym.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
     hop = n1.alias("a").join(
         sym.alias("b"), F.col("b.src") == F.col("a.nb")
     )

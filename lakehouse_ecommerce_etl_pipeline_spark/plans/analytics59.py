@@ -108,12 +108,20 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_co"))
         .select("src", "dst", F.expr(_COST).alias("w"))
     )
+    # r12 optimization (guide §1.2/§2.4, the q_pagerank/q_connected_
+    # components unroll applied to the third fixed-round kernel):
+    # _ROUNDS is a small constant and there is no convergence probe,
+    # so the relaxations chain LAZILY into one physical plan instead
+    # of the former persist()+count() barrier per round plus a final
+    # localCheckpoint (6 blocking driver actions → one job); AQE
+    # exchange reuse dedups the identical weighted-edge subtree across
+    # rounds.  dist is an integer MIN fixpoint over integer path
+    # costs — partitioning-independent by construction.
     sym = we.unionByName(
         we.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
-    ).persist()
-    sym.count()
+    ).repartition("src")
     dist = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % _SEED_MOD == 0)
@@ -121,28 +129,18 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("node"),
             F.lit(0).cast("long").alias("dist"),
         )
-        .persist()
     )
-    dist.count()
     for _ in range(_ROUNDS):
         msgs = sym.join(F.broadcast(dist), sym["src"] == dist["node"]).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
-        nxt = (
+        dist = (
             msgs.unionByName(dist)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .persist()
         )
-        nxt.count()
-        dist.unpersist()
-        dist = nxt
-    out = dist.select("node", F.col("dist").cast("long").alias("dist"))
-    rows = out.localCheckpoint(eager=True)
-    dist.unpersist()
-    sym.unpersist()
-    return rows
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
 
 
 @register(

@@ -121,6 +121,10 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(m, "doc_id")
         .filter(F.col("doc_id") == F.col("rep_id"))
         .select("doc_id", "text")
+        # consumed by BOTH the signature chain and the Jaccard
+        # verification; lazily checkpointed so the rep join runs once
+        # (r12 optimization, guide §5)
+        .localCheckpoint(eager=False)
     )
     sigs = minhash_signatures_universal(rep_docs, "doc_id", "text", _NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)

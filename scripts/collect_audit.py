@@ -40,7 +40,7 @@ EXPECTED = {
     "llm/kmeans.py": (3, "loop|sample", "k seed rows + dim probe + per-iteration k-row centroid collect"),
     "llm/logreg.py": (3, "scalar|loop", "n and loss scalars per training iteration (d+1-sized gradient)"),
     "llm/pq.py": (4, "sample", "k codebook seeds and dim probes per subspace (k,dim bounded)"),
-    "llm/similarity.py": (2, "buckets", "O(n_cells) centroid collect — the IVF probe decision"),
+    "llm/similarity.py": (5, "buckets", "O(n_cells) centroid collects — the IVF probe/assignment decisions (blocked-pairs seed + radii, ivf_assign literal argmin, ivf_topk/_multi shared seed collect)"),
     "operators/ranks.py": (8, "buckets", "probe cuts / bucket counts / fat-bucket stats — the O(n_buckets) boundary-cut actions"),
     "operators/skew.py": (1, "doc", "docstring text"),
     "operators/wap.py": (3, "scalar|sample", "reject count + 10-row reason sample + staged-row scalar (audit verdict)"),
@@ -48,14 +48,12 @@ EXPECTED = {
     "plans/analytics13.py": (1, "sample", "foreachBatch sink collects the per-batch demo rows (bounded fixture)"),
     "plans/analytics16.py": (5, "loop|scalar", "PageRank/k-core: n_nodes gate + k-core min scalar + k-core peel probes (pagerank's per-iteration persist/count barriers removed by the r12 lazy unroll)"),
     "plans/analytics20.py": (2, "scalar", "chi2 dof: two distinct-counts over tiny domains"),
-    "plans/analytics21.py": (2, "loop", "connected-components convergence probe + persist discipline"),
     "plans/analytics23.py": (1, "scalar", "basket total N for lift (one value)"),
     "plans/analytics29.py": (1, "scalar", "customer total for cumulative share"),
     "plans/analytics33.py": (1, "scalar", "gap total sizing the survival denominator"),
     "plans/analytics37.py": (2, "scalar", "doc total N for PMI + late-dim max key scalar"),
     "plans/analytics42.py": (7, "scalar|doc", "corrupt/dropped row counts for the reconciliation row (one is docstring text)"),
     "plans/analytics43.py": (2, "loop", "BFS frontier convergence + persist discipline"),
-    "plans/analytics59.py": (3, "loop", "bounded BFS variant: frontier probes + persist discipline"),
     "plans/analytics62.py": (1, "scalar", "day-domain count gating the Spearman widening (bounded by calendar)"),
     "plans/lakehouse.py": (1, "sample", "toPandas of the bounded Excel-sheet fixture (ingest demo)"),
     "plans/llm21.py": (1, "sink-stats", "the action that writes tar shards (shard-count rows)"),
