@@ -94,26 +94,30 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the loop has no convergence probe, so the rounds chain
     # LAZILY into one physical plan instead of the former
     # persist()+count() barrier per round plus a final parquet spill
-    # (5 blocking driver actions → one job).  The repartition("dst")
-    # exchange and each round's broadcast of the |nodes|-row label
-    # table are deduplicated at runtime by AQE exchange reuse, exactly
-    # as in plans/r12/q_pagerank_after.txt; labels are integer MIN
+    # (5 blocking driver actions → one job).  The "keep my own label"
+    # term rides a SELF-LOOP per node instead of a union with the
+    # previous generation: min(lbl(v), min over in-neighbors) is then
+    # ONE join+aggregate, and the previous generation appears only
+    # inside the round's broadcast build — the union form referenced
+    # it a second time in plain (non-broadcast) position, which AQE
+    # cannot fold into the broadcast build, so each generation
+    # re-executed (the subplan audit caught exactly that duplicated
+    # join).  The repartition("dst") edge exchange is deduplicated
+    # across rounds by AQE exchange reuse, exactly as in
+    # plans/r12/q_pagerank_after.txt; labels are integer MIN
     # fixpoints, so values are partitioning-independent by
     # construction.
-    ed = edges.repartition("dst")
-    lbl = (
-        ed.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
-    )
+    nodes = edges.select("src").distinct()
+    ed = edges.unionByName(
+        nodes.select("src", F.col("src").alias("dst"))
+    ).repartition("dst")
+    lbl = nodes.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
     for _ in range(_CC_ITERS):
-        msgs = ed.join(F.broadcast(lbl), ed["src"] == lbl["node"]).select(
-            F.col("dst").alias("node"), "lbl"
-        )
         lbl = (
-            msgs.unionByName(lbl)
-            .groupBy("node")
+            ed.join(F.broadcast(lbl), ed["src"] == lbl["node"])
+            .groupBy(F.col("dst"))
             .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("dst").alias("node"), "lbl")
         )
     return lbl.select("node", F.col("lbl").alias("component"))
 

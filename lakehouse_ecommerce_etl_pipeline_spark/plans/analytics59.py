@@ -113,32 +113,43 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _ROUNDS is a small constant and there is no convergence probe,
     # so the relaxations chain LAZILY into one physical plan instead
     # of the former persist()+count() barrier per round plus a final
-    # localCheckpoint (6 blocking driver actions → one job); AQE
-    # exchange reuse dedups the identical weighted-edge subtree across
-    # rounds.  dist is an integer MIN fixpoint over integer path
-    # costs — partitioning-independent by construction.
-    sym = we.unionByName(
+    # localCheckpoint (6 blocking driver actions → one job).  The
+    # Bellman-Ford "keep" term rides a WEIGHT-0 SELF-LOOP per
+    # reachable node (graph nodes ∪ seeds — seeds can be edgeless
+    # parts) instead of a union with the previous distance table:
+    # min(dist(v), min over u→v of dist(u)+w) is then ONE
+    # join+aggregate and the previous generation appears only inside
+    # the round's broadcast build (the union form re-executed it — see
+    # q_connected_components).  AQE exchange reuse dedups the
+    # weighted-edge subtree across rounds; dist is an integer MIN
+    # fixpoint over integer path costs — partitioning-independent by
+    # construction.
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % _SEED_MOD == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    sym0 = we.unionByName(
         we.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
-    ).repartition("src")
-    dist = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") % _SEED_MOD == 0)
-        .select(
-            F.col("p_partkey").alias("node"),
-            F.lit(0).cast("long").alias("dist"),
-        )
     )
-    for _ in range(_ROUNDS):
-        msgs = sym.join(F.broadcast(dist), sym["src"] == dist["node"]).select(
-            F.col("dst").alias("node"),
-            (F.col("dist") + F.col("w")).alias("dist"),
+    loop_nodes = (
+        sym0.select("src").unionByName(seeds.select(F.col("node").alias("src")))
+        .distinct()
+    )
+    sym = sym0.unionByName(
+        loop_nodes.select(
+            "src", F.col("src").alias("dst"), F.lit(0).cast("bigint").alias("w")
         )
+    ).repartition("src")
+    dist = seeds.select("node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(_ROUNDS):
         dist = (
-            msgs.unionByName(dist)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            sym.join(F.broadcast(dist), sym["src"] == dist["node"])
+            .groupBy(F.col("dst"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+            .select(F.col("dst").alias("node"), "dist")
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
 
