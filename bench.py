@@ -76,6 +76,28 @@ def main() -> int:
     except ValueError:
         sf = sf_tag
 
+    # r13 (VERDICT r12 item 1 — close the cross-run artifact-caching
+    # question): every bench invocation starts from COLD derived
+    # scratch.  The shared materialized intermediates
+    # (order_part_pairs/edges, copurchase_graph/degrees, vector_reps,
+    # document_reps, ...) are parquet tables derived from the testdata
+    # and reused across sessions by design (materialized-view
+    # discipline); reused across *bench invocations* they would mean
+    # the timed region never pays their build.  Clearing the target
+    # SF's shared subtree here guarantees the first timed consumer
+    # rebuilds them from the parquet inputs inside THIS invocation
+    # (rep 1 pays the build; min-of-N still reports the steady-state
+    # plan, and both are recorded in OPTIMIZATION_r13.md).  Format
+    # fixtures (ORC/JSON/Avro/protobuf/tar inputs the parquet-only
+    # testdata cannot provide) live in sibling subtrees and stay.
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    shutil.rmtree(
+        os.path.join("/tmp", "lakehouse_spark_work", tag, "shared"),
+        ignore_errors=True,
+    )
+
     spark = get_spark("bench")
     qs = plans.queries()
 
@@ -93,18 +115,9 @@ def main() -> int:
             except Exception:  # noqa: BLE001 — warm-up is best-effort
                 pass
 
-    # Pre-build the per-SF shared scratch artifacts (co-purchase
-    # pairs/edges/degree-annotated graph) so the timed loop measures
-    # the steady-state plans. These are materialized-once tables by
-    # design (plans/_helpers.py) — a production deployment would read
-    # the published edge table, not rebuild it per query; the
-    # mtime-guard makes this a no-op on every run after the first.
-    try:
-        from lakehouse_ecommerce_etl_pipeline_spark.plans import _helpers
-
-        _helpers.copurchase_graph(spark, sf_dir)
-    except Exception:  # noqa: BLE001 — warm-up is best-effort
-        pass
+    # (r13: the former untimed pre-build of the shared scratch
+    # artifacts is gone — with the cold-scratch guarantee above, the
+    # first timed rep of the first consumer pays the build.)
 
     # Untimed warm-up at the TARGET SF: the first action of a session
     # pays parquet footer reads, codegen, and executor-pool spin-up that

@@ -87,7 +87,16 @@ def kmeans(
     assignment), and without it every pass re-ran the upstream scan/
     derivation (r12 optimization, guide §5). Partitioning — and with
     it the float partial-sum order of the centroid means — is
-    unchanged, so the trajectory is bit-identical."""
+    unchanged, so the trajectory is bit-identical.
+
+    Checkpoint lifetime (r12 ADVICE item 2): the returned plan reads
+    the checkpointed blocks, so there is no in-function scope to
+    unpersist in — blocks free when ContextCleaner GCs the RDD after
+    the caller drops the DataFrame.  The same applies to every
+    localCheckpoint whose result IS the returned lazy plan (pq,
+    similarity, dedup, llm8/llm31/llm37/analytics62 call sites);
+    bounded scopes (logreg's try/finally, bpe/rank-centrality's
+    persist/unpersist loops) release explicitly."""
     df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     dim = len(df.select(vec_col).first()[0])
     seeds = [

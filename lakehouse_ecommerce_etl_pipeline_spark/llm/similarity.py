@@ -128,9 +128,26 @@ def _spread_to_cores(df: DataFrame) -> DataFrame:
     untouched, so production tables pay no extra exchange.  Callers
     must be partition-order-independent (per-row projections,
     max/count aggregates, threshold filters — NOT float partial-sum
-    trainers)."""
+    trainers).
+
+    r13 (ADVICE r12): the gate reads ``df.inputFiles()`` — a
+    driver-side FileIndex listing — instead of the former
+    ``df.rdd.getNumPartitions()`` probe, which under AQE finalized a
+    throwaway plan instance and could materialize upstream shuffle
+    stages the returned DataFrame then re-executed.  File count is the
+    right proxy for the hazard this guard exists for (a tiny parquet
+    footprint scanning as 1-2 tasks): fewer files than cores → spread;
+    a file-less plan (in-memory/checkpointed input, 0 files) or a
+    many-file scan passes through untouched.  A derived input whose
+    lineage already shuffles sits at ≈ shuffle.partitions anyway — the
+    worst case here is one redundant round-robin exchange, never a
+    hidden execution."""
     sp = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < sp:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file plan: nothing to spread
+        return df
+    if 0 < n_files < sp:
         return df.repartition(sp)
     return df
 

@@ -102,11 +102,14 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it a second time in plain (non-broadcast) position, which AQE
     # cannot fold into the broadcast build, so each generation
     # re-executed (the subplan audit caught exactly that duplicated
-    # join).  The repartition("dst") edge exchange is deduplicated
-    # across rounds by AQE exchange reuse, exactly as in
-    # plans/r12/q_pagerank_after.txt; labels are integer MIN
-    # fixpoints, so values are partitioning-independent by
-    # construction.
+    # join).  The repartition("dst") edge exchange is EXPECTED to be
+    # deduplicated across rounds by AQE exchange reuse at runtime —
+    # the committed pre-execution plan dump shows the subtree per
+    # round (ReusedExchange only appears in the final adaptive plan,
+    # unlike q_pagerank whose dump happens to show it), so the win
+    # here rests on the interleaved A/B timings and the oracle, not
+    # the dump (r12 ADVICE item 3); labels are integer MIN fixpoints,
+    # so values are partitioning-independent by construction.
     nodes = edges.select("src").distinct()
     ed = edges.unionByName(
         nodes.select("src", F.col("src").alias("dst"))

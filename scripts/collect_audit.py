@@ -31,16 +31,22 @@ import re
 import sys
 
 PKG = "lakehouse_ecommerce_etl_pipeline_spark"
-PAT = re.compile(r"\.collect\(\)|\.head\(\)|\.first\(\)|\.count\(\)|\.toPandas\(\)")
+PAT = re.compile(
+    r"\.collect\(\)|\.head\(\)|\.first\(\)|\.count\(\)|\.toPandas\(\)"
+    # .rdd is an eager driver-side plan finalization under AQE (it can
+    # materialize upstream shuffle stages of a throwaway plan instance)
+    # — r12 ADVICE: audit it like the other driver actions
+    r"|\.rdd\b"
+)
 
 # file -> (expected sites, classes, justification)
 EXPECTED = {
-    "llm/bpe.py": (3, "loop", "per-generation top-pair decision + persist/count/unpersist discipline"),
+    "llm/bpe.py": (2, "buckets|loop", "alphabet²-bounded pair-count collect + per-round delta collect — the driver-maintained BPE decision table (r13 delta trainer)"),
     "llm/components.py": (1, "loop", "limit(1).count() convergence probe per label-propagation round"),
     "llm/kmeans.py": (3, "loop|sample", "k seed rows + dim probe + per-iteration k-row centroid collect"),
     "llm/logreg.py": (3, "scalar|loop", "n and loss scalars per training iteration (d+1-sized gradient)"),
     "llm/pq.py": (4, "sample", "k codebook seeds and dim probes per subspace (k,dim bounded)"),
-    "llm/similarity.py": (5, "buckets", "O(n_cells) centroid collects — the IVF probe/assignment decisions (blocked-pairs seed + radii, ivf_assign literal argmin, ivf_topk/_multi shared seed collect)"),
+    "llm/similarity.py": (6, "buckets|doc", "O(n_cells) centroid collects — the IVF probe/assignment decisions (blocked-pairs seed + radii, ivf_assign literal argmin, ivf_topk/_multi shared seed collect); one docstring mention of the removed .rdd probe"),
     "operators/ranks.py": (8, "buckets", "probe cuts / bucket counts / fat-bucket stats — the O(n_buckets) boundary-cut actions"),
     "operators/skew.py": (1, "doc", "docstring text"),
     "operators/wap.py": (3, "scalar|sample", "reject count + 10-row reason sample + staged-row scalar (audit verdict)"),
@@ -64,6 +70,7 @@ EXPECTED = {
     "plans/llm6.py": (2, "sample", "1-row query-vector collects"),
     "plans/llm7.py": (1, "scalar", "candidate count sizing the negative-sampling threshold"),
     "sinks/catalog.py": (1, "scalar", "COUNT(*) validation scalar (reference parity O4)"),
+    "sources/table.py": (1, "scalar", ".rdd.getNumPartitions() sizing the zorder compaction's range partitioner — a maintenance op on a RAW parquet read (no upstream shuffles to double-execute)"),
     "sinks/merge.py": (2, "scalar", "duplicate-key guard: limit(1).count() existence probe"),
     "sinks/processed_log.py": (1, "scalar", "marker-row existence count"),
     "sinks/quarantine.py": (1, "scalar", "rejected-row count returned to the caller (reference parity K3)"),
@@ -99,7 +106,7 @@ def main() -> int:
     total = sum(actual.values())
     print(f"{total} driver-action sites across {len(actual)} files")
     for f, n in sorted(actual.items()):
-        cls, why = EXPECTED.get(f, ("?", "?"))[1:]
+        cls, why = EXPECTED.get(f, (0, "?", "?"))[1:]
         print(f"  {f:40s} {n:2d}  [{cls}] {why}")
     if drift:
         print("\nDRIFT — classify the new/changed sites in "
