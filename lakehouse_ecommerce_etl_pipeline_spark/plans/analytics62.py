@@ -346,19 +346,21 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global rank (n+1)//2, and only that ~1/64 slice is sorted; every
     # other pair is filtered before any exchange.  Value-identical to
     # ranking everything and filtering rn == mid (pytest-pinned twin).
-    # r13 optimization (VERDICT r12 item 7, guide §5): the selection
-    # trio re-derived the |days|²/2 BNLJ pair expansion up to 5× (probe,
-    # counts, slice probe, slice counts, final).  A LAZY localCheckpoint
-    # on the pair table materializes it once inside the first pass and
-    # serves the rest from executor-local blocks — lazy, because the
-    # r12-rejected eager parquet spill paid a blocking write job
-    # (interleaved A/B at sf0.1, 6 reps: none 6.18/7.23 min/med, eager
-    # checkpoint 6.92/7.73, lazy checkpoint 5.85/6.45).  The daily
-    # checkpoint above stays: both sides of the self-join read it.
+    # r13 NEGATIVE RESULT (VERDICT r12 item 7): a lazy localCheckpoint
+    # of the pair table (so the selection trio's 5 passes stop
+    # re-deriving the BNLJ expansion) won inside a shared A/B session
+    # but LOST in fresh-session/bench conditions — qtime min-of-3,
+    # alternating fresh sessions: no-ckpt 4.46/5.00/5.32 s vs lazy
+    # ckpt 5.44/5.78/5.85 s, and the full bench regressed 3.92→4.86.
+    # Regenerating 2.9 M pairs from the CHECKPOINTED 2 400-row daily
+    # table is codegen-speed compute; storing and re-reading ~100 MB
+    # of pair blocks costs more than 4 regenerations.  Reverted to the
+    # r12 shape; the 100 TB follow-on (bucket slopes at generation so
+    # the slice's range filter prunes inside the expansion) is in
+    # OPTIMIZATION_r13.md "Not yet optimized".
     row, total = global_kth_with_total(
         q, ["slope", "num", "den"], primary="slope",
         k=lambda n: (n + 1) // 2, secondary="num",
-        materialize=lambda d: d.localCheckpoint(eager=False),
     )
     return row.select(
         F.lit(total).cast("bigint").alias("n_pairs"),

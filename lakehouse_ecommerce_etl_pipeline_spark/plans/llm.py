@@ -199,8 +199,12 @@ def q_lang_id(spark, sf_dir):
     oracle=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
 )
 def q_fingerprint(spark, sf_dir):
-    """Document fingerprint over normalized text (functions/text.py)."""
-    return load_parallel(spark, sf_dir, "documents").select(
+    """Document fingerprint over normalized text (functions/text.py).
+
+    r13: plain ``load`` — same one-hash-per-row shape as
+    q_dedup_exact, whose A/B showed the forced spread is pure
+    oversharding overhead for this weight class (see q_dedup_exact)."""
+    return load(spark, sf_dir, "documents").select(
         "doc_id", txt.fingerprint("text").alias("fp")
     )
 
@@ -216,8 +220,18 @@ def q_fingerprint(spark, sf_dir):
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: 16-byte content hash shuffles, never the text."""
-    return exact_dedup(load_parallel(spark, sf_dir, "documents"), "doc_id", "text")
+    """Exact dedup: 16-byte content hash shuffles, never the text.
+
+    r13 (VERDICT r12 item 3 — this row anti-scaled 0.46 at 32 vs 8
+    cores): plain ``load``, not ``load_parallel`` — ONE md5+normalize
+    per row is far too light for a forced round-robin spread, whose
+    32-way exchange of the full text column was pure overhead (guide
+    §2.2 oversharding).  Interleaved A/B at sf0.1: spread 0.70/0.76
+    min/med vs plain 0.27/0.34 at 32 cores, and plain is
+    core-count-flat (0.33 at 8 cores).  At scale the parquet scan's
+    file splits parallelize the hash for free; heavy per-row paths
+    (shingles, minhash, text metrics) keep the spread."""
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(

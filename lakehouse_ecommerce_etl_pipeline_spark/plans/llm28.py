@@ -156,16 +156,33 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_parallel(spark, sf_dir, "documents")
     toks = F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
 
+    # r13 (guide §5): the positional branch and the duplicate-set
+    # branch both computed the md5-per-shingle arrays from scratch —
+    # the dominant CPU of this query, paid twice.  One lazy
+    # localCheckpoint of (doc_id, token array, shingle array)
+    # materializes the hashes once inside the first consuming pass and
+    # serves all three consumers (posexplode, distinct-explode, and
+    # the final rebuild's token arrays).  Unlike the Theil-Sen
+    # negative result (where regeneration was codegen-cheap), the
+    # regenerated work here is a cryptographic hash per shingle —
+    # storage beats recompute.  Interleaved A/B at sf0.1 (6 reps):
+    # 1.456/2.008 → 1.204/1.633 min/med, fresh-session qtime
+    # confirmed; values byte-identical (asserted row-for-row in the
+    # A/B harness, oracle-hash-checked both SFs).
+    sh_tab = docs.select(
+        "doc_id", toks.alias("tk"), shingle_hashes("text").alias("shs")
+    ).localCheckpoint(eager=False)
+
     # (doc_id, 1-based start, shingle hash) — duplicates preserved
-    pos_sh = docs.select(
-        "doc_id", F.posexplode(shingle_hashes("text")).alias("p0", "sh")
+    pos_sh = sh_tab.select(
+        "doc_id", F.posexplode("shs").alias("p0", "sh")
     ).select("doc_id", (F.col("p0") + 1).alias("s"), "sh")
 
     # shingles seen in >= 2 docs; per-doc distinct happens in-row
     # (array_distinct before the explode), so the count's input is
     # already (sh, doc)-unique without a distinct exchange
     dup = (
-        docs.select(F.explode(F.array_distinct(shingle_hashes("text"))).alias("sh"))
+        sh_tab.select(F.explode(F.array_distinct("shs")).alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("m"))
         .filter(F.col("m") >= 2)
@@ -199,7 +216,7 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_pos = F.array_except(all_pos, F.coalesce(covered, empty))
     tk = F.col("tk")
     return (
-        docs.select("doc_id", toks.alias("tk"))
+        sh_tab.select("doc_id", "tk")
         .join(cov, "doc_id", "left")
         .select(
             "doc_id",

@@ -138,10 +138,20 @@ def run_incremental_dedup(
             ).parquet(bands_path)
         keep.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+        state_sized_shuffle,
     )
-    q.awaitTermination()
+
+    # r13: the per-batch dedup pipeline runs ~6 tiny batch jobs per
+    # staged file; input-sized shuffle width (same rationale as the
+    # stateful drains — see state_sized_shuffle) cuts the per-batch
+    # exchange overhead.  Batch-side plans keep AQE, so this only
+    # moves the pre-AQE width.
+    with state_sized_shuffle(spark, raw_dir):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 from lakehouse_ecommerce_etl_pipeline_spark.functions.timestamps import (
     normalize_nanos_timestamps,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import _as_stream_dir
+from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+    _as_stream_dir,
+    state_sized_shuffle,
+)
 
 # Exact engine-portable value sums: BIGINT integer-cents lattice
 # (DESIGN §21 rule 3; events.value is 2-dp-valued, so ROUND(v*100) is
@@ -39,17 +42,21 @@ def _events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
     return normalize_nanos_timestamps(stream, ("ts",))
 
 
-def _drain(df: DataFrame, mode: str, prefix: str) -> DataFrame:
+def _drain(
+    df: DataFrame, mode: str, prefix: str, *src_paths: str
+) -> DataFrame:
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    with state_sized_shuffle(spark, *src_paths):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def stream_static_enrich_agg(
@@ -72,7 +79,7 @@ def stream_static_enrich_agg(
                 / F.lit(100.0)
             ).alias("sum_value"),
     )
-    return _drain(agg, "complete", "stream_enrich")
+    return _drain(agg, "complete", "stream_enrich", events_path)
 
 
 def stream_interval_join(
@@ -119,7 +126,7 @@ def stream_interval_join(
         "right_id",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_micros"),
     )
-    return _drain(joined, "append", "stream_ij")
+    return _drain(joined, "append", "stream_ij", events_path)
 
 
 def stream_interval_join_outer(
@@ -174,4 +181,4 @@ def stream_interval_join_outer(
         "right_id",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_micros"),
     )
-    return _drain(joined, "append", "stream_ij_outer")
+    return _drain(joined, "append", "stream_ij_outer", events_path)

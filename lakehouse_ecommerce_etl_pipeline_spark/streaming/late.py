@@ -97,15 +97,20 @@ def windowed_counts_late_drop(
         .groupBy(F.window("ts", WINDOW).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+        state_sized_shuffle,
     )
-    q.awaitTermination()
+
+    with state_sized_shuffle(spark, raw):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select(
         F.col("w.start").alias("window_start"),
         F.col("n_kept").cast("bigint").alias("n_kept"),

@@ -23,7 +23,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from lakehouse_ecommerce_etl_pipeline_spark.functions.timestamps import (
     normalize_nanos_timestamps,
 )
-from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import _as_stream_dir
+from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+    _as_stream_dir,
+    state_sized_shuffle,
+)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -120,14 +123,15 @@ def running_user_totals_tws(spark: SparkSession, parquet_path: str) -> DataFrame
         timeMode="none",
     )
     name = f"tws_{uuid.uuid4().hex[:8]}"
-    q = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark, parquet_path):
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -152,12 +156,13 @@ def running_user_totals_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark, parquet_path):
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

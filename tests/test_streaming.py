@@ -65,3 +65,42 @@ def test_transform_with_state_parity_or_fallback(spark):
     )
     want = {(r.user_id, r.n, round(r.s, 2)) for r in batch.collect()}
     assert got == want
+
+
+def test_state_sized_shuffle_sizes_and_restores(spark):
+    """r13: stateful drains size shuffle partitions to the stream's
+    input bytes (state partitioning cannot be AQE-coalesced) and must
+    restore the session conf afterwards — including on error."""
+    import os
+
+    import pytest
+
+    from lakehouse_ecommerce_etl_pipeline_spark.streaming.windows import (
+        state_sized_shuffle,
+    )
+
+    src = f"{SF}/events.parquet"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with state_sized_shuffle(spark, src):
+        inside = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # tiny source → the floor of 2; never above defaultParallelism
+        assert 2 <= inside <= spark.sparkContext.defaultParallelism
+        expected = max(2, os.path.getsize(src) // (8 << 20))
+        assert inside == min(
+            expected, spark.sparkContext.defaultParallelism
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    with pytest.raises(RuntimeError):
+        with state_sized_shuffle(spark, src):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # explicit production override wins
+    os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"] = "7"
+    try:
+        with state_sized_shuffle(spark, src):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
